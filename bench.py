@@ -1,0 +1,72 @@
+"""Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` is the total wall-clock over all headline queries (each
+executed to completion with a count-consuming action).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pulsar_spark_spark.plans import QUERIES
+from pulsar_spark_spark.session import get_session
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# Headline set: one per operator family (scan-agg, multi-join, window,
+# anti/semi join, interval join, sessionization, group-collect, JSON).
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "latest_event_per_user_type",
+    "event_percentile_report",
+    "user_sessions",
+    "user_recent_history",
+    "purchase_click_attribution",
+    "priority_counts_semijoin",
+    "props_key_stats",
+]
+
+
+def main() -> None:
+    spark = get_session(app_name="pulsar_spark_spark_bench", master=f"local[{CPUS}]")
+    spark.sparkContext.setLogLevel("ERROR")
+    # JVM + first-read warmup (not counted).
+    QUERIES["q1_pricing_summary"](spark, SF_DIR).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in QUERIES:
+            continue
+        t0 = time.perf_counter()
+        df = QUERIES[name](spark, SF_DIR)
+        df.collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall_sec",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,59 @@
+"""SparkSession factory with engine defaults.
+
+Defaults are chosen for the 100 TB design target, scaled down to the
+local test harness:
+
+- AQE on (runtime shuffle-partition coalescing, skew-join splitting) —
+  replaces the reference's hand-tuned ``HashPartitioner(60)`` /
+  ``repartition(50)`` knobs (spark-jobs StreamingAppNew.scala:30,
+  service/SmartAddressBuildService.scala:271).
+- Arrow on — every procedural kernel (BestLatLngCalculator.scala,
+  DeliveryLocationRefinementService.scala) is a vectorized
+  grouped-map pandas UDF, not a row-at-a-time closure.
+- Broadcast join threshold left at default; small dims (region,
+  nation, supplier) are explicitly ``broadcast()``-hinted in plans.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# At 100 TB with 1000 executors you'd run 2000-4000 shuffle partitions
+# (AQE coalesces down); locally we match the driver harness core count.
+_DEFAULT_LOCAL_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_session(
+    app_name: str = "pulsar_spark_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or fetch) the engine SparkSession."""
+    master = master or f"local[{_DEFAULT_LOCAL_CPUS}]"
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or int(_DEFAULT_LOCAL_CPUS)),
+        )
+        # Timestamps in the reference are fixed-offset strings (+0530);
+        # pin the session zone so parsing never depends on host TZ.
+        .config("spark.sql.session.timeZone", "UTC")
+        # The events table carries TIMESTAMP(NANOS) parquet, which Spark
+        # rejects by default; read as long and convert in the loader
+        # (truncating ns→µs exactly like DuckDB's parquet reader).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,63 @@
+"""Batch table catalog over the driver's parquet testdata.
+
+Replaces the reference's Cassandra table scans
+(``sc.cassandraTable(ks, tbl).select(...).where(...)`` — e.g.
+spark-jobs service/DeliveryLocationRefinementService.scala:37-38) with
+plain ``spark.read.parquet``: Catalyst pushes projections and
+predicates into the parquet scan automatically, which is what the
+reference did by hand with CQL SELECT/WHERE.
+
+At 100 TB these tables would be partitioned (``date``-style partition
+columns, as the reference partitions Cassandra by date strings —
+utils/DateUtils.scala:5-6) and the same code works unchanged:
+partition pruning comes from the filter expressions.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    """Load one catalog table as a DataFrame.
+
+    ``events.ts`` is TIMESTAMP(NANOS) in parquet; Spark reads it as a
+    nanosecond long (``spark.sql.legacy.parquet.nanosAsLong``) and we
+    truncate to microseconds — bit-identical to DuckDB's reader.
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; catalog: {TABLES}")
+    if name == "events":
+        # Runtime-settable; needed even when the caller built its own
+        # plain SparkSession (e.g. the driver harness).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
+    """Register every catalog table as a temp view for spark.sql use."""
+    for name in TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            spark.read.parquet(path).createOrReplaceTempView(name)
