@@ -1,0 +1,57 @@
+"""Key-value attribute accessors.
+
+The reference stores attributes as Cassandra key-value UDT *lists*
+and scans them linearly per access (get_accuracy_level,
+service/GeoTagOptimizedService.scala:23-34; ``.filter(key==k).head``
+batch/AccuracyAnalysis.scala:61-66). We normalize to MapType columns
+(SURVEY.md §1.2) and document the duplicate-key rule per call site:
+the reference's loop-overwrite reads take the LAST duplicate, the
+``.head`` reads take the FIRST (SURVEY.md §7.3.3).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+
+def _dedup_entries_first_wins(entries: Column) -> Column:
+    """Keep the first entry per key (expression-only fold; avoids the
+    session-level mapKeyDedupPolicy dependency)."""
+    return F.aggregate(
+        entries,
+        F.expr("CAST(array() AS ARRAY<STRUCT<key STRING, value STRING>>)"),
+        lambda acc, e: F.when(
+            F.exists(acc, lambda a: a["key"] == e["key"]), acc
+        ).otherwise(F.concat(acc, F.array(e))),
+    )
+
+
+def kv_list_to_map_last_wins(kv: Column) -> Column:
+    """ARRAY<STRUCT<key,value>> → MAP, last duplicate wins (matches the
+    reference's loop-overwrite accessor)."""
+    entries = F.transform(kv, lambda e: F.struct(e["key"].alias("key"), e["value"].alias("value")))
+    return F.map_from_entries(_dedup_entries_first_wins(F.reverse(entries)))
+
+
+def kv_list_to_map_first_wins(kv: Column) -> Column:
+    """ARRAY<STRUCT<key,value>> → MAP, first duplicate wins (matches the
+    reference's ``.filter(...).head`` accessor)."""
+    entries = F.transform(kv, lambda e: F.struct(e["key"].alias("key"), e["value"].alias("value")))
+    return F.map_from_entries(_dedup_entries_first_wins(entries))
+
+
+def get_attr(attributes: Column, key: str) -> Column:
+    """element_at with missing→NULL (reference F9 accessors)."""
+    return F.element_at(attributes, key)
+
+
+def attrs_to_struct(attributes: Column, fields: tuple[str, ...]) -> Column:
+    """MAP → fixed struct projection (reference F10,
+    utils/KeyValuePairGenerator.scala:40-77)."""
+    return F.struct(*[F.element_at(attributes, f).alias(f) for f in fields])
+
+
+def has_attr(attributes: Column, key: str) -> Column:
+    """Attribute-presence predicate (reference P5)."""
+    return F.element_at(attributes, key).isNotNull()

@@ -1,0 +1,191 @@
+"""Text analysis functions: tokenization, n-grams, language ID,
+quality scoring, fingerprinting, MinHash/SimHash primitives.
+
+The tokenizer generalizes the reference's address tokenizer
+(service/SmartAddressBuildService.scala:135-153: lowercase, strip
+``[^a-z ]``, emit word 2-grams and 3-grams). Everything else is the
+training-data-pipeline extension surface (dedup / quality / lang-id),
+built expression-first so it runs JVM-side.
+
+Design rule for hash functions: anything that must be oracle-checked
+in DuckDB uses md5-derived integers (``conv(substr(md5(x),1,16),16,10)``
+≡ DuckDB ``('0x' || substr(md5(x),1,16))::UINT64``) — identical on
+both engines, stable across runs, no dependence on Spark's internal
+murmur seed.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+# ---------------------------------------------------------------------
+# tokenization / n-grams (expression-only)
+# ---------------------------------------------------------------------
+
+
+def clean_text(col: Column) -> Column:
+    """Lowercase and strip everything but [a-z ] (reference F5 cleaning,
+    SmartAddressBuildService.scala:220-221)."""
+    return F.regexp_replace(F.lower(col), "[^a-z ]", "")
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens of the cleaned text (array<string>)."""
+    t = F.split(F.trim(clean_text(col)), " +")
+    return F.filter(t, lambda x: x != "")
+
+
+def word_ngrams(tok: Column, n: int) -> Column:
+    """Word n-grams as space-joined strings (reference F5 emits 2- and
+    3-grams). Built with sequence+transform — no UDF, no explode until
+    the caller wants one."""
+    idx = F.sequence(F.lit(0), F.greatest(F.size(tok) - n, F.lit(-1)))
+    return F.transform(
+        idx, lambda i: F.array_join(F.slice(tok, i + 1, n), " ")
+    )
+
+
+def char_shingles(col: Column, k: int = 5) -> Column:
+    """Character k-shingles of the cleaned text (array<string>)."""
+    cleaned = clean_text(col)
+    idx = F.sequence(F.lit(1), F.greatest(F.length(cleaned) - (k - 1), F.lit(0)))
+    return F.transform(idx, lambda i: cleaned.substr(i, F.lit(k)))
+
+
+# ---------------------------------------------------------------------
+# hashing primitives (oracle-parity md5 scheme)
+# ---------------------------------------------------------------------
+
+
+def md5_i64(col: Column) -> Column:
+    """First 60 bits of md5(x) as a non-negative bigint.
+
+    60 bits (15 hex chars) keeps the value inside signed-64 positive
+    range on both engines. DuckDB equivalent:
+    ``('0x' || substr(md5(x), 1, 15))::BIGINT``.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def minhash_signature(shingles: Column, n_hashes: int = 16) -> Column:
+    """MinHash signature: array of n minima of salted md5 hashes.
+
+    Permutation ``i`` hashes ``i || ':' || shingle``; the min over the
+    document's shingle set approximates a random permutation minimum.
+    Fully expression-based → also expressible in the DuckDB oracle.
+    """
+    sigs = [
+        F.array_min(
+            F.transform(
+                shingles,
+                lambda s, i=i: md5_i64(F.concat(F.lit(f"{i}:"), s)),
+            )
+        )
+        for i in range(n_hashes)
+    ]
+    return F.array(*sigs)
+
+
+def lsh_bands(signature: Column, n_bands: int, rows_per_band: int) -> Column:
+    """Band the signature for LSH: array of 'band_idx:md5(band values)'.
+
+    Documents sharing any band key are near-dup candidates; join on
+    the exploded key. bands × rows must equal the signature length.
+    """
+    bands = [
+        F.concat(
+            F.lit(f"{b}:"),
+            F.md5(
+                F.array_join(
+                    F.slice(signature, b * rows_per_band + 1, rows_per_band), ","
+                )
+            ),
+        )
+        for b in range(n_bands)
+    ]
+    return F.array(*bands)
+
+
+def simhash16(tok: Column) -> Column:
+    """16-bit SimHash over whitespace tokens.
+
+    For each bit b: sum over tokens of ±1 depending on bit b of the
+    token's md5-int; bit set iff the sum > 0. 16 bits keeps the
+    expression tree small enough to stay oracle-expressible.
+    """
+    h = F.transform(tok, md5_i64)
+    bits = [
+        F.when(
+            F.aggregate(
+                h,
+                F.lit(0),
+                lambda acc, x, b=b: acc
+                + F.when(x.bitwiseAND(F.lit(1 << b)) > 0, 1).otherwise(-1),
+            )
+            > 0,
+            F.lit(1 << b),
+        ).otherwise(0)
+        for b in range(16)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("int")
+
+
+# ---------------------------------------------------------------------
+# language ID / quality / fingerprint
+# ---------------------------------------------------------------------
+
+# Tiny per-language marker lexicons (public stopwords). Scoring =
+# count of marker-word hits; argmax wins, ties resolved by the fixed
+# order below. Deliberately simple so the oracle can reproduce it.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "in", "that", "with"),
+    "es": ("el", "la", "de", "que", "los", "una", "por", "con"),
+    "fr": ("le", "les", "des", "est", "dans", "une", "pour", "qui"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ein", "mit"),
+    "zh": ("de5", "shi4", "le5", "zai4", "wo3", "you3", "ta1", "men5"),
+}
+
+
+def lang_scores(tok: Column) -> dict[str, Column]:
+    """Marker-hit count per language over a token array."""
+    return {
+        lang: F.size(F.filter(tok, lambda x, m=markers: x.isin(*m)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Heuristic document-quality features (expression-only).
+
+    n_chars, n_tokens, avg token length, stopword ratio (English
+    markers), punctuation ratio, uppercase ratio.
+    """
+    tok = F.split(F.trim(text), "\\s+")
+    tok = F.filter(tok, lambda x: x != "")
+    n_tokens = F.size(tok)
+    n_chars = F.length(text)
+    stop_hits = F.size(F.filter(tok, lambda x: F.lower(x).isin(*LANG_MARKERS["en"])))
+    n_punct = n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))
+    n_upper = n_chars - F.length(F.regexp_replace(text, "[A-Z]", ""))
+    safe_tokens = F.greatest(n_tokens, F.lit(1)).cast("double")
+    safe_chars = F.greatest(n_chars, F.lit(1)).cast("double")
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "avg_token_len": F.length(F.array_join(tok, "")) / safe_tokens,
+        "stopword_ratio": stop_hits / safe_tokens,
+        "punct_ratio": n_punct / safe_chars,
+        "upper_ratio": n_upper / safe_chars,
+    }
+
+
+def fingerprint64(text: Column) -> Column:
+    """Order-insensitive 60-bit document fingerprint: md5 of the
+    sorted distinct token set (canonical dedup key — robust to token
+    reordering, unlike raw md5(text))."""
+    tok = F.array_sort(F.array_distinct(tokens(text)))
+    return md5_i64(F.array_join(tok, " "))
