@@ -276,7 +276,11 @@ def rapid_consecutive_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, "events", sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    # Full-precision gap (fractional seconds), matching the oracle's
+    # epoch(); unix_timestamp truncates to whole seconds and can flip
+    # boundary decisions on sub-second data.
+    ts_s = col("ts").cast("double")
+    gap = ts_s - F.lag(ts_s).over(w)
     prev_type = F.lag("event_type").over(w)
     return (
         ev.select("user_id", gap.alias("gap_s"), col("event_type"), prev_type.alias("prev_type"))
@@ -294,17 +298,17 @@ def rapid_consecutive_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "user_sessions",
     oracle="""
         WITH flagged AS (
-            SELECT user_id, ts, value,
+            SELECT user_id, ts, event_id, value,
                    CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
                         OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ), sessions AS (
             SELECT user_id, ts, value,
-                   sum(new_session) OVER (
-                       PARTITION BY user_id ORDER BY ts
+                   CAST(sum(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
                        ROWS UNBOUNDED PRECEDING
-                   ) AS session_id
+                   ) AS BIGINT) AS session_id
             FROM flagged
         )
         SELECT user_id, session_id,
@@ -328,13 +332,17 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, "events", sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    w_run = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+    # event_id in the running-sum order pins determinism for duplicate
+    # (user_id, ts) pairs; both windows share one user_id shuffle.
+    w_run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    ts_s = col("ts").cast("double")  # fractional seconds, = oracle epoch()
+    gap = ts_s - F.lag(ts_s).over(w)
     flagged = ev.select(
         "user_id",
         "ts",
+        "event_id",
         "value",
         F.when(gap.isNull() | (gap > 1800), 1).otherwise(0).alias("new_session"),
     )
@@ -378,17 +386,27 @@ def user_recent_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference: combineByKey list build + per-group time sort + dedup +
     ``takeRight(100)`` (service/GeoTagOptimizedService.scala:165-191,
-    245-250). Here: sort_array(collect_list(struct)) + slice(-K) —
-    single shuffle, no driver collect. Emitted as a formatted string
-    so the oracle hash is representation-stable.
+    245-250). Implementation: window ``row_number() <= K`` FIRST, then
+    collect the ≤K survivors — the aggregation buffer is bounded at K
+    rows per key, so a hot user with millions of events never
+    materializes its full history (the round-1 ``slice(sort_array(
+    collect_list(...)), -10, 10)`` form did, and also returned an
+    EMPTY array for users with <10 events — Spark's negative-start
+    slice semantics). Window + collect share one user_id shuffle.
+    Emitted as a formatted string so the oracle hash is
+    representation-stable.
     """
     ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy(col("ts").desc(), col("event_id").desc())
+    kept_rows = (
+        ev.select("user_id", "ts", "event_id", "value")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(col("rn") <= 10)
+    )
     item = F.struct(col("ts"), col("event_id"), col("value"))
-    sorted_hist = F.sort_array(F.collect_list(item))  # ascending (ts, event_id)
-    kept = F.slice(sorted_hist, -10, 10)
     return (
-        ev.groupBy("user_id")
-        .agg(kept.alias("hist"))
+        kept_rows.groupBy("user_id")
+        .agg(F.sort_array(F.collect_list(item)).alias("hist"))
         .select(
             "user_id",
             F.array_join(

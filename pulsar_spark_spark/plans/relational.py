@@ -16,9 +16,11 @@ declarative DataFrame plans (SURVEY.md §2.3-2.7):
 - window top-k per group (reference: takeRight caps + argmax dedup,
   service/GeoTagOptimizedService.scala:245-247)
 
-Scale notes (100 TB): every join below either broadcasts a dimension
-(region/nation/supplier/customer are small relative to facts) or
-shuffles on the natural join key with AQE handling skew; aggregates
+Scale notes (100 TB): only genuinely bounded dimensions (region = 5
+rows, nation = 25 rows at every SF) carry broadcast hints; tables
+that scale with the data (customer, supplier, orders, lineitem) are
+left to AQE's runtime strategy choice. Everything else shuffles on
+the natural join key with AQE handling skew; aggregates
 are expressed so Catalyst plans partial (map-side) aggregation.
 Money sums are rounded to 2 decimals on BOTH engine and oracle side so
 the driver's value-hash is stable across summation orders.
@@ -108,8 +110,12 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3-style: filtered dims joined to the fact, top-10 revenue.
 
-    customer (small) is broadcast; orders⋈lineitem shuffles on the
-    orderkey. Deterministic tiebreak on l_orderkey for the LIMIT.
+    orders⋈lineitem shuffles on the orderkey. customer is NOT
+    broadcast-hinted: it scales with the fact tables in TPC-H (at the
+    100 TB target it is fact-sized and a forced broadcast would OOM
+    the driver) — AQE picks broadcast at small SFs from runtime stats
+    and falls back to shuffled join at scale. Deterministic tiebreak
+    on l_orderkey for the LIMIT.
     """
     cutoff = F.lit("1995-03-15 00:00:00").cast("timestamp")
     c = load_table(spark, "customer", sf_dir).filter(col("c_mktsegment") == "BUILDING")
@@ -117,7 +123,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir).filter(col("l_shipdate") > cutoff)
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
             F.round(F.sum(col("l_extendedprice") * (1 - col("l_discount"))), 2).alias(
@@ -154,8 +160,11 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5-style: revenue by nation within one region.
 
-    region/nation/supplier/customer all broadcast; the only shuffle is
-    the orders⋈lineitem key and the final 1-per-nation aggregate.
+    Only region/nation carry broadcast hints — they are genuinely
+    bounded (5 / 25 rows at every SF). customer and supplier scale
+    linearly with the data and are left to AQE: at test SFs it
+    broadcasts them from runtime stats, at 100 TB it plans shuffled
+    joins instead of OOMing the driver on a forced hint.
     """
     c = load_table(spark, "customer", sf_dir)
     o = load_table(spark, "orders", sf_dir)
@@ -165,9 +174,9 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load_table(spark, "region", sf_dir).filter(col("r_name") == "ASIA")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
-            broadcast(s),
+            s,
             (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(broadcast(n), s.s_nationkey == n.n_nationkey)

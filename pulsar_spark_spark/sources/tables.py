@@ -56,8 +56,13 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
 
 
 def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
-    """Register every catalog table as a temp view for spark.sql use."""
+    """Register every catalog table as a temp view for spark.sql use.
+
+    Routed through :func:`load_table` so both surfaces (plan API and
+    spark.sql) share the same schema handling — in particular the
+    events ns→µs timestamp conversion and its session conf.
+    """
     for name in TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
-            spark.read.parquet(path).createOrReplaceTempView(name)
+            load_table(spark, name, sf_dir).createOrReplaceTempView(name)

@@ -29,6 +29,17 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
     a, b = normalize(spark_pdf), normalize(duck_pdf)
     if list(a.columns) != list(b.columns):
         return [f"column mismatch: spark={list(a.columns)} duck={list(b.columns)}"]
+    # The driver's value-hash sees representation, not just value:
+    # bigint 1 vs float64 1.0 hash-mismatch there even though == here.
+    # Mirror that by requiring the same dtype *kind* per column
+    # (int vs float vs object), which caught the round-1
+    # user_sessions HUGEINT→float64 oracle divergence.
+    for c in a.columns:
+        ka, kb = a[c].dtype.kind, b[c].dtype.kind
+        if ka != kb:
+            problems.append(f"col {c}: dtype kind mismatch spark={a[c].dtype} duck={b[c].dtype}")
+    if problems:
+        return problems
     if len(a) != len(b):
         problems.append(f"row count: spark={len(a)} duck={len(b)}")
         return problems
