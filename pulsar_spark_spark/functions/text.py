@@ -39,18 +39,31 @@ def tokens(col: Column) -> Column:
 def word_ngrams(tok: Column, n: int) -> Column:
     """Word n-grams as space-joined strings (reference F5 emits 2- and
     3-grams). Built with sequence+transform — no UDF, no explode until
-    the caller wants one."""
-    idx = F.sequence(F.lit(0), F.greatest(F.size(tok) - n, F.lit(-1)))
-    return F.transform(
-        idx, lambda i: F.array_join(F.slice(tok, i + 1, n), " ")
+    the caller wants one. Guarded for short inputs: Spark's
+    ``sequence(0, -1)`` is DESCENDING ``[0,-1]``, so without the guard
+    a doc with <n tokens would emit junk n-grams."""
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(tok) - n),
+        lambda i: F.array_join(F.slice(tok, i + 1, n), " "),
+    )
+    return F.when(F.size(tok) >= n, grams).otherwise(
+        F.expr("CAST(array() AS ARRAY<STRING>)")
     )
 
 
 def char_shingles(col: Column, k: int = 5) -> Column:
-    """Character k-shingles of the cleaned text (array<string>)."""
+    """Character k-shingles of the cleaned text (array<string>).
+
+    Short-input guarded for the same descending-sequence reason as
+    :func:`word_ngrams`."""
     cleaned = clean_text(col)
-    idx = F.sequence(F.lit(1), F.greatest(F.length(cleaned) - (k - 1), F.lit(0)))
-    return F.transform(idx, lambda i: cleaned.substr(i, F.lit(k)))
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.length(cleaned) - (k - 1)),
+        lambda i: cleaned.substr(i, F.lit(k)),
+    )
+    return F.when(F.length(cleaned) >= k, shingles).otherwise(
+        F.expr("CAST(array() AS ARRAY<STRING>)")
+    )
 
 
 # ---------------------------------------------------------------------
@@ -75,14 +88,14 @@ def minhash_signature(shingles: Column, n_hashes: int = 16) -> Column:
     document's shingle set approximates a random permutation minimum.
     Fully expression-based → also expressible in the DuckDB oracle.
     """
+    # NB: PySpark higher-order functions pass one argument per lambda
+    # parameter, so the ``lambda s, i=i`` default-arg idiom would bind
+    # ``i`` to a second lambda variable — capture via closure instead.
+    def _salted(i: int):
+        return lambda s: md5_i64(F.concat(F.lit(f"{i}:"), s))
+
     sigs = [
-        F.array_min(
-            F.transform(
-                shingles,
-                lambda s, i=i: md5_i64(F.concat(F.lit(f"{i}:"), s)),
-            )
-        )
-        for i in range(n_hashes)
+        F.array_min(F.transform(shingles, _salted(i))) for i in range(n_hashes)
     ]
     return F.array(*sigs)
 
@@ -115,17 +128,14 @@ def simhash16(tok: Column) -> Column:
     expression tree small enough to stay oracle-expressible.
     """
     h = F.transform(tok, md5_i64)
+
+    def _bit_merge(b: int):
+        return lambda acc, x: acc + F.when(
+            x.bitwiseAND(F.lit(1 << b)) > 0, 1
+        ).otherwise(-1)
+
     bits = [
-        F.when(
-            F.aggregate(
-                h,
-                F.lit(0),
-                lambda acc, x, b=b: acc
-                + F.when(x.bitwiseAND(F.lit(1 << b)) > 0, 1).otherwise(-1),
-            )
-            > 0,
-            F.lit(1 << b),
-        ).otherwise(0)
+        F.when(F.aggregate(h, F.lit(0), _bit_merge(b)) > 0, F.lit(1 << b)).otherwise(0)
         for b in range(16)
     ]
     out = bits[0]
@@ -152,8 +162,12 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 
 def lang_scores(tok: Column) -> dict[str, Column]:
     """Marker-hit count per language over a token array."""
+
+    def _hit(markers: tuple[str, ...]):
+        return lambda x: x.isin(*markers)
+
     return {
-        lang: F.size(F.filter(tok, lambda x, m=markers: x.isin(*m)))
+        lang: F.size(F.filter(tok, _hit(markers)))
         for lang, markers in LANG_MARKERS.items()
     }
 

@@ -1,1 +1,258 @@
-"""Placeholder — populated in a later milestone."""
+"""Similarity search over the ``embeddings`` table (array<float> vecs).
+
+Brief components:
+
+- ``ann_topk_bruteforce`` — exact cosine top-k for a fixed query set:
+  broadcast the (tiny) query side against the full corpus, rank per
+  query. The correctness baseline every approximate variant is
+  measured against.
+- ``ann_topk_lsh`` — the scale path: coordinate-hyperplane LSH (sign
+  bits of the leading dimensions) buckets both sides; each query only
+  scans its own bucket, then exact-cosine reranks within it. At 100 TB
+  the bucket key is the join/shuffle key, so the work is
+  O(corpus/buckets) per query instead of O(corpus); recall is tuned by
+  bucket width (fewer bits) or multi-probing (flip-one-bit buckets).
+- ``embedding_near_dup_pairs`` — embedding-cosine near-dup dedup:
+  bucket join on the same sign-bit LSH key, exact cosine ≥ threshold
+  within buckets, never all-pairs.
+
+Floating-point parity with the oracle is engineered, not hoped for:
+both sides promote float32→float64 per element and accumulate with a
+sequential left fold (Spark ``aggregate``, DuckDB ``list_reduce``),
+so dot products are bit-identical and rounding is stable.
+
+The reference has no vector operators; this is the training-data
+extension surface (brief), built on the same expression-first spine
+as the geo distance functions (functions/geo.py).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql.functions import broadcast, col
+
+from pulsar_spark_spark.plans.registry import query
+from pulsar_spark_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------
+# vector expression builders (JVM-side, no UDF)
+# ---------------------------------------------------------------------
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-left-fold dot product in float64 (oracle-parity)."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2_norm(a: Column) -> Column:
+    """Euclidean norm with the same fold discipline as :func:`dot`."""
+    sq = F.transform(a, lambda x: x.cast("double") * x.cast("double"))
+    return F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def sign_bucket(a: Column, n_bits: int) -> Column:
+    """Coordinate-hyperplane LSH key: sign bits of the first n dims.
+
+    A crude but deterministic random-hyperplane LSH (the hyperplanes
+    are the coordinate axes); nearby vectors agree on most signs. Used
+    as the bucket/join key for the approximate variants.
+    """
+    bits = [
+        F.when(F.element_at(a, i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for i in range(n_bits)
+    ]
+    return F.concat(*bits)
+
+
+# DuckDB twins of the expression builders -----------------------------
+
+
+def _sql_dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(range(1, len({a}) + 1), "
+        f"i -> ({a}[i]::DOUBLE) * ({b}[i]::DOUBLE)), (x, y) -> x + y)"
+    )
+
+
+def _sql_norm(a: str) -> str:
+    return (
+        f"sqrt(list_reduce(list_transform(range(1, len({a}) + 1), "
+        f"i -> ({a}[i]::DOUBLE) * ({a}[i]::DOUBLE)), (x, y) -> x + y))"
+    )
+
+
+def _sql_cosine(a: str, b: str) -> str:
+    return f"({_sql_dot(a, b)} / ({_sql_norm(a)} * {_sql_norm(b)}))"
+
+
+def _sql_bucket(a: str, n_bits: int) -> str:
+    bits = " || ".join(
+        f"(CASE WHEN {a}[{i + 1}] >= 0 THEN '1' ELSE '0' END)" for i in range(n_bits)
+    )
+    return f"({bits})"
+
+
+_N_QUERIES = 5  # vec_id < 5 form the query set
+_TOP_K = 10
+_LSH_BITS = 4
+_NEAR_DUP_COS = 0.35
+
+
+# ---------------------------------------------------------------------
+# brute-force exact top-k
+# ---------------------------------------------------------------------
+@query(
+    "ann_topk_bruteforce",
+    oracle=f"""
+        SELECT query_id, neighbor_id, rank, round(cos_sim, 6) AS cos_sim
+        FROM (
+            SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                   {_sql_cosine('q.embedding', 'e.embedding')} AS cos_sim,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_sql_cosine('q.embedding', 'e.embedding')} DESC,
+                                e.vec_id
+                   ) AS rank
+            FROM (SELECT * FROM embeddings WHERE vec_id < {_N_QUERIES}) q
+            JOIN embeddings e ON e.vec_id <> q.vec_id
+        )
+        WHERE rank <= {_TOP_K}
+        ORDER BY query_id, rank
+    """,
+)
+def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: broadcast the query set, scan the corpus once.
+
+    The query side is k rows → broadcast-join (no shuffle of the
+    corpus); the only shuffle is the per-query top-k window over
+    |queries|×|corpus| scored pairs, which AQE keeps tiny. This is the
+    recall-1.0 baseline for the LSH variant.
+    """
+    emb = load_table(spark, "embeddings", sf_dir)
+    q = emb.filter(col("vec_id") < _N_QUERIES).select(
+        col("vec_id").alias("query_id"), col("embedding").alias("q_emb")
+    )
+    joined = emb.join(broadcast(q), col("vec_id") != col("query_id"))
+    scored = joined.select(
+        "query_id",
+        col("vec_id").alias("neighbor_id"),
+        cosine(col("q_emb"), col("embedding")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc(), col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(col("rank") <= _TOP_K)
+        .select("query_id", "neighbor_id", "rank", F.round("cos_sim", 6).alias("cos_sim"))
+        .orderBy("query_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------
+# LSH-bucketed approximate top-k (the 100 TB path)
+# ---------------------------------------------------------------------
+@query(
+    "ann_topk_lsh",
+    oracle=f"""
+        SELECT query_id, neighbor_id, rank, round(cos_sim, 6) AS cos_sim
+        FROM (
+            SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                   {_sql_cosine('q.embedding', 'e.embedding')} AS cos_sim,
+                   row_number() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY {_sql_cosine('q.embedding', 'e.embedding')} DESC,
+                                e.vec_id
+                   ) AS rank
+            FROM (SELECT * FROM embeddings WHERE vec_id < {_N_QUERIES}) q
+            JOIN embeddings e
+              ON e.vec_id <> q.vec_id
+             AND {_sql_bucket('e.embedding', _LSH_BITS)}
+                 = {_sql_bucket('q.embedding', _LSH_BITS)}
+        )
+        WHERE rank <= {_TOP_K}
+        ORDER BY query_id, rank
+    """,
+)
+def ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: sign-bit LSH bucket join + exact rerank.
+
+    The bucket key becomes the equi-join key, so each query scores
+    only its bucket (~corpus/2^bits candidates) instead of the full
+    corpus — the shape that survives a 1000-executor scan. Recall
+    is traded via bucket width; the exact rerank keeps ranking
+    correct within the probed bucket.
+    """
+    emb = load_table(spark, "embeddings", sf_dir).withColumn(
+        "bucket", sign_bucket(col("embedding"), _LSH_BITS)
+    )
+    q = emb.filter(col("vec_id") < _N_QUERIES).select(
+        col("vec_id").alias("query_id"),
+        col("embedding").alias("q_emb"),
+        col("bucket").alias("q_bucket"),
+    )
+    joined = emb.join(
+        broadcast(q),
+        (col("bucket") == col("q_bucket")) & (col("vec_id") != col("query_id")),
+    )
+    scored = joined.select(
+        "query_id",
+        col("vec_id").alias("neighbor_id"),
+        cosine(col("q_emb"), col("embedding")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc(), col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(col("rank") <= _TOP_K)
+        .select("query_id", "neighbor_id", "rank", F.round("cos_sim", 6).alias("cos_sim"))
+        .orderBy("query_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------
+# embedding-cosine near-dup pairs (bucketed, never all-pairs)
+# ---------------------------------------------------------------------
+@query(
+    "embedding_near_dup_pairs",
+    oracle=f"""
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round({_sql_cosine('a.embedding', 'b.embedding')}, 6) AS cos_sim
+        FROM embeddings a
+        JOIN embeddings b
+          ON a.vec_id < b.vec_id
+         AND {_sql_bucket('a.embedding', _LSH_BITS)}
+             = {_sql_bucket('b.embedding', _LSH_BITS)}
+        WHERE {_sql_cosine('a.embedding', 'b.embedding')} >= {_NEAR_DUP_COS}
+        ORDER BY vec_a, vec_b
+    """,
+)
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs via LSH bucket join + cosine gate.
+
+    Same bucketed shape as the MinHash text dedup (plans/text.py):
+    the candidate generator is an equi-join on the LSH key — pairs
+    across buckets are never scored. The within-bucket exact cosine is
+    the verifier. At 100 TB the bucket key shards both the shuffle and
+    the quadratic term.
+    """
+    emb = load_table(spark, "embeddings", sf_dir).withColumn(
+        "bucket", sign_bucket(col("embedding"), _LSH_BITS)
+    )
+    a = emb.select(
+        col("vec_id").alias("vec_a"), col("embedding").alias("emb_a"), "bucket"
+    )
+    b = emb.select(
+        col("vec_id").alias("vec_b"), col("embedding").alias("emb_b"),
+        col("bucket").alias("bucket_b"),
+    )
+    return (
+        a.join(b, (col("bucket") == col("bucket_b")) & (col("vec_a") < col("vec_b")))
+        .withColumn("cos_sim", cosine(col("emb_a"), col("emb_b")))
+        .filter(col("cos_sim") >= _NEAR_DUP_COS)
+        .select("vec_a", "vec_b", F.round("cos_sim", 6).alias("cos_sim"))
+        .orderBy("vec_a", "vec_b")
+    )

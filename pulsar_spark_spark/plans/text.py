@@ -1,1 +1,545 @@
-"""Placeholder — populated in a later milestone."""
+"""LLM-training-data text pipeline over the ``documents`` table.
+
+The four brief components as registered, oracle-checked queries:
+
+- **Exact dedup** (``doc_exact_dup_groups``): 60-bit md5 fingerprint
+  of the sorted distinct token set → hash groupBy. The fingerprint is
+  order-insensitive, so shuffled copies of a document collapse.
+- **Near dedup** (``doc_near_dup_pairs``): char-5-shingle MinHash
+  (16 hashes) → banded LSH (8 bands × 2 rows) → candidate pairs via a
+  join on exploded band keys → exact Jaccard verify ≥ 0.8. This is
+  the bucketed, never-all-pairs shape: at 100 TB the only shuffle is
+  on band keys, candidates are a tiny fraction of n², and the exact
+  verify touches candidates only.
+- **SimHash buckets** (``doc_simhash_buckets``): 16-bit SimHash over
+  tokens; identical-hash buckets are near-dup candidates — a single
+  groupBy, the cheapest near-dup prefilter.
+- **Language ID** (``doc_language_id``): marker-lexicon hit counts,
+  argmax with a fixed tie order — confusion counts vs the labeled
+  ``lang`` column.
+- **Quality scoring** (``doc_quality_stats``): per-source aggregate
+  of length/stopword/punctuation/uppercase features.
+- **Token counting** (``doc_token_counts``): whitespace tokens + a
+  BPE-ish regex token count (letter runs / digits / punctuation).
+
+Every hash uses the md5 scheme from ``functions/text.py`` so DuckDB
+reproduces Spark bit-for-bit (no dependence on Spark-internal murmur
+seeds); that is what makes these oracle-checkable.
+
+Reference lineage: the tokenizer generalizes the address tokenizer at
+spark-jobs service/SmartAddressBuildService.scala:135-153; md5 keying
+mirrors utils/Utility.scala:145-150 (addr_hash). Everything beyond
+that is the training-data extension surface the brief asks for.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.functions import col
+
+from pulsar_spark_spark.functions.text import (
+    LANG_MARKERS,
+    char_shingles,
+    fingerprint64,
+    lang_scores,
+    lsh_bands,
+    md5_i64,
+    minhash_signature,
+    quality_features,
+    simhash16,
+    tokens,
+)
+from pulsar_spark_spark.plans.registry import query
+from pulsar_spark_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------
+# DuckDB oracle SQL fragments mirroring functions/text.py exactly.
+# ---------------------------------------------------------------------
+
+# tokens(text): lowercase → strip [^a-z ] → split on runs of spaces →
+# drop empties.  (functions/text.py clean_text + tokens)
+_SQL_TOKS = (
+    "list_filter(string_split_regex(trim(regexp_replace(lower(text), "
+    "'[^a-z ]', '', 'g')), ' +'), x -> x != '')"
+)
+# cleaned text for char shingles
+_SQL_CLEAN = "regexp_replace(lower(text), '[^a-z ]', '', 'g')"
+
+
+def _sql_md5_i64(expr: str) -> str:
+    """DuckDB equivalent of functions.text.md5_i64 (60-bit md5 int)."""
+    return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
+def _sql_shingles(k: int = 5) -> str:
+    """DuckDB char-k shingles of the cleaned text (list<varchar>)."""
+    return (
+        f"list_transform(range(1, greatest(length({_SQL_CLEAN}) - {k - 1}, 0) + 1), "
+        f"i -> substr({_SQL_CLEAN}, i::INTEGER, {k}))"
+    )
+
+
+def _sql_minhash(n_hashes: int, shingles_expr: str) -> list[str]:
+    """One DuckDB min-hash expression per salted permutation."""
+    return [
+        f"list_min(list_transform({shingles_expr}, "
+        f"s -> {_sql_md5_i64(repr(f'{i}:') + ' || s')}))"
+        for i in range(n_hashes)
+    ]
+
+
+# ---------------------------------------------------------------------
+# exact dedup: fingerprint groupBy
+# ---------------------------------------------------------------------
+_SQL_FP = _sql_md5_i64(
+    f"array_to_string(list_sort(list_distinct({_SQL_TOKS})), ' ')"
+)
+
+
+@query(
+    "doc_exact_dup_groups",
+    oracle=f"""
+        SELECT
+            fingerprint,
+            count(*)                                        AS n_docs,
+            string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS doc_ids
+        FROM (SELECT doc_id, {_SQL_FP} AS fingerprint FROM documents)
+        GROUP BY fingerprint
+        HAVING count(*) > 1
+        ORDER BY fingerprint
+    """,
+)
+def doc_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Groups of exactly-duplicate documents by token-set fingerprint.
+
+    Scale shape: one md5 per document (map-side), one hash aggregate on
+    a 60-bit key — the canonical exact-dedup plan at any scale. The
+    fingerprint ignores token order and multiplicity, so reshuffled
+    copies dedupe together (stricter raw-text md5 is a trivial variant).
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    ids_str = F.array_join(
+        F.transform(F.sort_array(F.collect_list("doc_id")), lambda x: x.cast("string")),
+        ",",
+    )
+    return (
+        docs.select(col("doc_id"), fingerprint64(col("text")).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_docs"), ids_str.alias("doc_ids"))
+        .filter(col("n_docs") > 1)
+        .orderBy("fingerprint")
+    )
+
+
+# ---------------------------------------------------------------------
+# near dedup: MinHash + banded LSH + exact-Jaccard verify
+# ---------------------------------------------------------------------
+_N_HASHES = 16
+_N_BANDS = 8
+_ROWS_PER_BAND = 2
+_JACCARD_MIN = 0.8
+
+
+def _near_dup_oracle() -> str:
+    sigs = _sql_minhash(_N_HASHES, "shingles")
+    band_exprs = ", ".join(
+        f"'{b}:' || md5(array_to_string(sig[{b * _ROWS_PER_BAND + 1}:"
+        f"{(b + 1) * _ROWS_PER_BAND}], ','))"
+        for b in range(_N_BANDS)
+    )
+    return f"""
+        WITH sh AS (
+            SELECT doc_id, list_distinct({_sql_shingles()}) AS shingles
+            FROM documents
+        ), sig AS (
+            SELECT doc_id, [{', '.join(sigs)}] AS sig
+            FROM sh
+        ), banded AS (
+            SELECT doc_id, unnest([{band_exprs}]) AS band_key FROM sig
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM banded a JOIN banded b
+              ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+        )
+        SELECT
+            c.doc_a AS doc_a,
+            c.doc_b AS doc_b,
+            round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+                  / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 4)
+                AS jaccard
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.doc_a
+        JOIN sh sb ON sb.doc_id = c.doc_b
+        WHERE len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+              / len(list_distinct(list_concat(sa.shingles, sb.shingles)))
+              >= {_JACCARD_MIN}
+        ORDER BY doc_a, doc_b
+    """
+
+
+@query("doc_near_dup_pairs", oracle=_near_dup_oracle())
+def doc_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs: MinHash → LSH bands → exact-Jaccard verify.
+
+    The 100 TB shape: the ONLY join key is the band hash (8 bands × 2
+    rows over 16 minhashes — candidate prob ≈ 1 for J≥0.9, ≈ 0.9 for
+    J≥0.8), so work is O(candidates), never O(n²). The exact-Jaccard
+    rerank runs only on candidate pairs. Both the signature scheme and
+    the banding are md5-based, hence bit-identical in the oracle.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    sh = docs.select(
+        col("doc_id"),
+        F.array_distinct(char_shingles(col("text"))).alias("shingles"),
+    )
+    sig = sh.select(
+        "doc_id",
+        "shingles",
+        minhash_signature(col("shingles"), _N_HASHES).alias("sig"),
+    )
+    banded = sig.select(
+        "doc_id",
+        F.explode(lsh_bands(col("sig"), _N_BANDS, _ROWS_PER_BAND)).alias("band_key"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (col("a.band_key") == col("b.band_key"))
+            & (col("a.doc_id") < col("b.doc_id")),
+        )
+        .select(col("a.doc_id").alias("doc_a"), col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sh.select(col("doc_id").alias("doc_a"), col("shingles").alias("sh_a"))
+    sb = sh.select(col("doc_id").alias("doc_b"), col("shingles").alias("sh_b"))
+    jac = F.size(F.array_intersect(col("sh_a"), col("sh_b"))).cast("double") / F.size(
+        F.array_union(col("sh_a"), col("sh_b"))
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", jac)
+        .filter(col("jaccard") >= _JACCARD_MIN)
+        .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------
+# SimHash buckets
+# ---------------------------------------------------------------------
+def _simhash_oracle() -> str:
+    tok_hash = f"list_transform({_SQL_TOKS}, t -> {_sql_md5_i64('t')})"
+    bit_terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform({tok_hash}, "
+        f"h -> CASE WHEN (h & {1 << b}) > 0 THEN 1 ELSE -1 END)) > 0 "
+        f"THEN {1 << b} ELSE 0 END)"
+        for b in range(16)
+    )
+    return f"""
+        SELECT simhash,
+               count(*)                                         AS n_docs,
+               string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS doc_ids
+        FROM (SELECT doc_id, CAST({bit_terms} AS INTEGER) AS simhash FROM documents)
+        GROUP BY simhash
+        HAVING count(*) > 1
+        ORDER BY simhash
+    """
+
+
+@query("doc_simhash_buckets", oracle=_simhash_oracle())
+def doc_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents sharing an identical 16-bit SimHash (near-dup buckets).
+
+    SimHash collapses similar bags-of-tokens to the same integer; a
+    single hash aggregate finds candidate buckets — the cheapest
+    near-dup prefilter (one map pass + one shuffle of intermediate
+    <bucket, id> pairs). Wider hashes + hamming-ball probing are the
+    production extension; 16 bits keeps the oracle expression small.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    ids_str = F.array_join(
+        F.transform(F.sort_array(F.collect_list("doc_id")), lambda x: x.cast("string")),
+        ",",
+    )
+    return (
+        docs.select(col("doc_id"), simhash16(tokens(col("text"))).alias("simhash"))
+        .groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("n_docs"), ids_str.alias("doc_ids"))
+        .filter(col("n_docs") > 1)
+        .orderBy("simhash")
+    )
+
+
+# ---------------------------------------------------------------------
+# language ID (marker lexicons, fixed tie order)
+# ---------------------------------------------------------------------
+_LANG_ORDER = tuple(LANG_MARKERS)  # en, es, fr, de, zh — tie priority
+
+
+def _lang_oracle() -> str:
+    score = {
+        lang: (
+            f"len(list_filter({_SQL_TOKS}, t -> t IN "
+            f"({', '.join(repr(m) for m in markers)})))"
+        )
+        for lang, markers in LANG_MARKERS.items()
+    }
+    cases = []
+    for i, lang in enumerate(_LANG_ORDER):
+        later = _LANG_ORDER[i + 1 :]
+        if later:
+            cond = " AND ".join(f"s_{lang} >= s_{other}" for other in later)
+            cases.append(f"WHEN {cond} THEN '{lang}'")
+        else:
+            cases.append(f"ELSE '{lang}'")
+    case_sql = "CASE " + " ".join(cases) + " END"
+    score_cols = ", ".join(f"{expr} AS s_{lang}" for lang, expr in score.items())
+    return f"""
+        SELECT lang, pred_lang, count(*) AS n_docs
+        FROM (
+            SELECT lang, {case_sql} AS pred_lang
+            FROM (SELECT lang, {score_cols} FROM documents)
+        )
+        GROUP BY lang, pred_lang
+        ORDER BY lang, pred_lang
+    """
+
+
+@query("doc_language_id", oracle=_lang_oracle())
+def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion counts of the n-gram-lexicon language classifier vs
+    the labeled ``lang`` column.
+
+    Argmax over marker-hit counts with a FIXED priority order for ties
+    (en > es > fr > de > zh) so the result is deterministic — ties are
+    common on short or out-of-lexicon documents. One scan + one tiny
+    aggregate; the marker lists ship with the expression (no lookup
+    join), so the classifier is a pure map at any scale.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    tok = tokens(col("text"))
+    scores = lang_scores(tok)
+    pred = None
+    for i, lang in enumerate(_LANG_ORDER):
+        later = _LANG_ORDER[i + 1 :]
+        if not later:
+            pred = pred.otherwise(F.lit(lang))
+            break
+        cond = None
+        for other in later:
+            c = scores[lang] >= scores[other]
+            cond = c if cond is None else (cond & c)
+        pred = F.when(cond, F.lit(lang)) if pred is None else pred.when(cond, F.lit(lang))
+    return (
+        docs.select(col("lang"), pred.alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "pred_lang")
+    )
+
+
+# ---------------------------------------------------------------------
+# quality scoring (per-source aggregate)
+# ---------------------------------------------------------------------
+@query(
+    "doc_quality_stats",
+    oracle=f"""
+        SELECT
+            source,
+            count(*)                        AS n_docs,
+            round(avg(n_chars), 4)          AS avg_chars,
+            round(avg(n_tokens), 4)         AS avg_tokens,
+            round(avg(avg_token_len), 4)    AS avg_token_len,
+            round(avg(stopword_ratio), 4)   AS avg_stopword_ratio,
+            round(avg(punct_ratio), 4)      AS avg_punct_ratio,
+            round(avg(upper_ratio), 4)      AS avg_upper_ratio
+        FROM (
+            SELECT
+                source,
+                length(text) AS n_chars,
+                len(ws) AS n_tokens,
+                length(array_to_string(ws, ''))
+                    / greatest(len(ws), 1)::DOUBLE AS avg_token_len,
+                len(list_filter(ws, t -> lower(t) IN
+                    ({', '.join(repr(m) for m in LANG_MARKERS['en'])})))
+                    / greatest(len(ws), 1)::DOUBLE AS stopword_ratio,
+                (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                    / greatest(length(text), 1)::DOUBLE AS punct_ratio,
+                (length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')))
+                    / greatest(length(text), 1)::DOUBLE AS upper_ratio
+            FROM (
+                SELECT source, text,
+                       list_filter(string_split_regex(trim(text), '\\s+'),
+                                   x -> x != '') AS ws
+                FROM documents
+            )
+        )
+        GROUP BY source
+        ORDER BY source
+    """,
+)
+def doc_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-quality profile (the filter-threshold input
+    of a training-data pipeline).
+
+    All features are single-pass column expressions
+    (functions/text.py quality_features) — the whole query is one scan
+    + one 20-group aggregate regardless of corpus size.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    feats = quality_features(col("text"))
+    per_doc = docs.select(
+        "source",
+        feats["n_chars"].alias("n_chars"),
+        feats["n_tokens"].alias("n_tokens"),
+        feats["avg_token_len"].alias("avg_token_len"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+        feats["punct_ratio"].alias("punct_ratio"),
+        feats["upper_ratio"].alias("upper_ratio"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+            F.round(F.avg("avg_token_len"), 4).alias("avg_token_len"),
+            F.round(F.avg("stopword_ratio"), 4).alias("avg_stopword_ratio"),
+            F.round(F.avg("punct_ratio"), 4).alias("avg_punct_ratio"),
+            F.round(F.avg("upper_ratio"), 4).alias("avg_upper_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------
+# token counting (whitespace + BPE-ish regex)
+# ---------------------------------------------------------------------
+_BPE_RE = "[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]"
+
+
+@query(
+    "doc_token_counts",
+    oracle=f"""
+        SELECT
+            source,
+            CAST(sum(n_ws) AS BIGINT)       AS total_ws_tokens,
+            CAST(sum(n_bpe) AS BIGINT)      AS total_bpe_tokens,
+            round(avg(n_bpe), 4)            AS avg_bpe_tokens,
+            max(n_bpe)                      AS max_bpe_tokens
+        FROM (
+            SELECT source,
+                   len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                   x -> x != '')) AS n_ws,
+                   len(regexp_extract_all(text, '{_BPE_RE}')) AS n_bpe
+            FROM documents
+        )
+        GROUP BY source
+        ORDER BY source
+    """,
+)
+def doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token budget: whitespace tokens and a BPE-ish regex count
+    (letter runs, single digits, single punctuation — the GPT-2-style
+    pre-tokenizer shape) per source.
+
+    Pure map + 20-group aggregate; the regex runs JVM-side inside
+    codegen, no UDF.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    ws = F.filter(F.split(F.trim(col("text")), "\\s+"), lambda x: x != "")
+    per_doc = docs.select(
+        "source",
+        F.size(ws).alias("n_ws"),
+        F.size(F.regexp_extract_all(col("text"), F.lit(_BPE_RE), 0)).alias("n_bpe"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.sum("n_ws").alias("total_ws_tokens"),
+            F.sum("n_bpe").alias("total_bpe_tokens"),
+            F.round(F.avg("n_bpe"), 4).alias("avg_bpe_tokens"),
+            F.max("n_bpe").alias("max_bpe_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------
+# document fingerprinting via rolling hash (word 3-gram Rabin-style)
+# ---------------------------------------------------------------------
+@query(
+    "doc_winnow_fingerprints",
+    oracle=f"""
+        SELECT doc_a, doc_b, n_shared
+        FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   count(*) AS n_shared
+            FROM (SELECT doc_id, unnest(grams) AS g FROM (
+                     SELECT doc_id, list_distinct(list_transform(
+                         range(1, greatest(len(toks) - 2, 0) + 1),
+                         i -> {_sql_md5_i64("toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]")}
+                     )) AS grams
+                     FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+                 )) a
+            JOIN (SELECT doc_id, unnest(grams) AS g FROM (
+                     SELECT doc_id, list_distinct(list_transform(
+                         range(1, greatest(len(toks) - 2, 0) + 1),
+                         i -> {_sql_md5_i64("toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]")}
+                     )) AS grams
+                     FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+                 )) b
+              ON a.g = b.g AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        WHERE n_shared >= 20
+        ORDER BY doc_a, doc_b
+    """,
+)
+def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared word-3-gram fingerprint counts between document pairs
+    (MOSS/winnowing-style containment detection).
+
+    Each doc emits its distinct hashed 3-grams; pairs sharing ≥20
+    grams are contained/overlapping candidates. The join key is the
+    gram hash — bucketed like the LSH join, never all-pairs. n-gram
+    Jaccard dedup (brief item) reduces to this same join with a
+    normalizing denominator.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    tok = tokens(col("text"))
+    grams3 = F.transform(
+        F.sequence(F.lit(0), F.size(col("toks")) - 3),
+        lambda i: md5_i64(
+            F.concat_ws(
+                " ",
+                F.element_at(col("toks"), i + 1),
+                F.element_at(col("toks"), i + 2),
+                F.element_at(col("toks"), i + 3),
+            )
+        ),
+    )
+    exploded = (
+        docs.select(col("doc_id"), tok.alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.when(F.size(col("toks")) >= 3, F.array_distinct(grams3)).otherwise(
+                    F.expr("CAST(array() AS ARRAY<BIGINT>)")
+                )
+            ).alias("g"),
+        )
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(b, (col("a.g") == col("b.g")) & (col("a.doc_id") < col("b.doc_id")))
+        .groupBy(col("a.doc_id").alias("doc_a"), col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(col("n_shared") >= 20)
+        .orderBy("doc_a", "doc_b")
+    )
