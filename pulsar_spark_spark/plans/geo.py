@@ -1,1 +1,415 @@
-"""Placeholder — populated in a later milestone."""
+"""Geo-predicate queries: geofence containment, bbox quality filters,
+geofence state transitions, and the history-merge pipeline.
+
+The ``events`` table carries no coordinates, so these queries run over
+a DETERMINISTIC geo projection derived from md5 hashes of the key
+columns — reproducible bit-for-bit in the DuckDB oracle (same md5
+scheme as functions/text.py). Each user gets a stable base point;
+each event jitters around it (with occasional far outliers), which
+gives the per-key point clouds the reference's geo kernels expect.
+
+Reference semantics re-expressed:
+
+- J7 geofence containment — service/TripTrackingService.scala:128-134
+  (``isInsideGeofences``: haversine < radius): an equi-free range
+  join, planned as broadcast(geofences) + a conservative bbox
+  prefilter so the haversine only runs on plausible pairs. At 100 TB
+  the prefilter is what keeps this from being events × geofences; a
+  geohash-prefix bucket join is the generalization when the geofence
+  side is also large.
+- P4 bbox + validity filter —
+  service/SmartAddressBuildService.scala:274-305 (India bounding box,
+  accuracy ceiling, zero-coord rejection).
+- G9 geofence state machine — TripTrackingService.scala:149-190:
+  batch analog via window lag over the per-event containing geofence;
+  the alert CASE logic mirrors the reference's nested transitions
+  (trip_start / geofence_exit on leaving, trip_end / geofence_entry
+  on arriving). The streaming version lives in streaming/.
+- J4/A3/U1/U4 history merge — service/GeoTagOptimizedService.scala:
+  165-250: new-batch ∪ state → in-group first-wins dedup on the
+  (lat, lng, accuracy) triple → keep newest 100. Expressed as
+  window row_numbers instead of per-group Scala lists, so the state
+  never materializes unbounded in one buffer.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql.functions import broadcast, col
+
+from pulsar_spark_spark.functions.geo import haversine_m
+from pulsar_spark_spark.functions.text import md5_i64
+from pulsar_spark_spark.plans.registry import query
+from pulsar_spark_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------
+# deterministic geo projection (Spark + DuckDB twins)
+# ---------------------------------------------------------------------
+
+
+def _salted_mod(prefix: str, key: Column, mod: int) -> Column:
+    return md5_i64(F.concat(F.lit(prefix), key.cast("string"))) % mod
+
+
+def _sql_salted_mod(prefix: str, key_expr: str, mod: int) -> str:
+    return (
+        f"(('0x' || substr(md5('{prefix}' || CAST({key_expr} AS VARCHAR)), 1, 15))"
+        f"::BIGINT % {mod})"
+    )
+
+
+def geo_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events + deterministic (lat, lng, accuracy) columns.
+
+    Base point per user in a [2°,40°) × [60°,100°) box; per-event
+    jitter ±0.0005° (~±55 m), with 1-in-10 outliers jittering ±0.05°
+    (~±5.5 km); accuracy uniform in [0, 300).
+    """
+    ev = load_table(spark, "events", sf_dir)
+    lat0 = 2.0 + _salted_mod("ulat:", col("user_id"), 3800) * 0.01
+    lng0 = 60.0 + _salted_mod("ulng:", col("user_id"), 4000) * 0.01
+    mult = F.when(_salted_mod("eout:", col("event_id"), 10) == 0, 100.0).otherwise(1.0)
+    jlat = (_salted_mod("elat:", col("event_id"), 1001) - 500) * 1e-6 * mult
+    jlng = (_salted_mod("elng:", col("event_id"), 1001) - 500) * 1e-6 * mult
+    acc = _salted_mod("eacc:", col("event_id"), 300).cast("double")
+    return ev.select(
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        "value",
+        (lat0 + jlat).alias("lat"),
+        (lng0 + jlng).alias("lng"),
+        acc.alias("accuracy"),
+    )
+
+
+_SQL_GEO_EVENTS = f"""
+    SELECT event_id, ts, user_id, event_type, value,
+           (2.0 + {_sql_salted_mod('ulat:', 'user_id', 3800)} * 0.01::DOUBLE)
+           + ({_sql_salted_mod('elat:', 'event_id', 1001)} - 500) * 1e-6
+             * (CASE WHEN {_sql_salted_mod('eout:', 'event_id', 10)} = 0
+                     THEN 100.0 ELSE 1.0 END) AS lat,
+           (60.0 + {_sql_salted_mod('ulng:', 'user_id', 4000)} * 0.01::DOUBLE)
+           + ({_sql_salted_mod('elng:', 'event_id', 1001)} - 500) * 1e-6
+             * (CASE WHEN {_sql_salted_mod('eout:', 'event_id', 10)} = 0
+                     THEN 100.0 ELSE 1.0 END) AS lng,
+           CAST({_sql_salted_mod('eacc:', 'event_id', 300)} AS DOUBLE) AS accuracy
+    FROM events
+"""
+
+
+def geofences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """25 deterministic geofences keyed off nation (bounded dim table).
+
+    Each is centered on the base point of the user sharing its key
+    (same salted-hash formula as :func:`geo_events`), radius 2–7 km:
+    anchor users' normal jitter (±55 m) stays inside, their 1-in-10
+    outlier jumps (±5.5 km) cross the boundary — which is what makes
+    the state-machine query produce real transitions.
+    """
+    n = load_table(spark, "nation", sf_dir)
+    return n.select(
+        F.concat(F.lit("G"), col("n_nationkey").cast("string")).alias("geofence_id"),
+        col("n_nationkey").alias("geofence_idx"),
+        (2.0 + _salted_mod("ulat:", col("n_nationkey"), 3800) * 0.01).alias("glat"),
+        (60.0 + _salted_mod("ulng:", col("n_nationkey"), 4000) * 0.01).alias("glng"),
+        (2000.0 + _salted_mod("grad:", col("n_nationkey"), 5000)).alias("radius_m"),
+    )
+
+
+_SQL_GEOFENCES = f"""
+    SELECT 'G' || CAST(n_nationkey AS VARCHAR) AS geofence_id,
+           n_nationkey AS geofence_idx,
+           2.0 + {_sql_salted_mod('ulat:', 'n_nationkey', 3800)} * 0.01::DOUBLE AS glat,
+           60.0 + {_sql_salted_mod('ulng:', 'n_nationkey', 4000)} * 0.01::DOUBLE AS glng,
+           2000.0 + {_sql_salted_mod('grad:', 'n_nationkey', 5000)} AS radius_m
+    FROM nation
+"""
+
+# haversine, R = 6371 km (reference TripTrackingService.scala:69-75).
+_SQL_HAVERSINE = (
+    "(2 * 6371000.0 * asin(sqrt("
+    "power(sin(radians({lat2} - {lat1}) / 2), 2) "
+    "+ cos(radians({lat1})) * cos(radians({lat2})) "
+    "* power(sin(radians({lng2} - {lng1}) / 2), 2))))"
+)
+
+
+def _bbox_prefilter() -> Column:
+    """Conservative bbox around each geofence (superset of the circle),
+    so the haversine runs on plausible pairs only. Never changes the
+    result — it only prunes pairs the distance test would reject."""
+    lat_margin = col("radius_m") / 110000.0
+    lng_margin = col("radius_m") / 80000.0  # conservative for |lat| ≤ 40°
+    return (
+        col("lat").between(col("glat") - lat_margin, col("glat") + lat_margin)
+        & col("lng").between(col("glng") - lng_margin, col("glng") + lng_margin)
+    )
+
+
+# ---------------------------------------------------------------------
+# J7: geofence containment range join
+# ---------------------------------------------------------------------
+@query(
+    "geofence_containment",
+    oracle=f"""
+        WITH ge AS ({_SQL_GEO_EVENTS}), gf AS ({_SQL_GEOFENCES})
+        SELECT gf.geofence_id                    AS geofence_id,
+               count(*)                          AS n_events,
+               count(DISTINCT ge.user_id)        AS n_users,
+               round(min({_SQL_HAVERSINE.format(lat1='ge.lat', lng1='ge.lng',
+                                                lat2='gf.glat', lng2='gf.glng')}), 1)
+                   AS min_dist_m
+        FROM ge JOIN gf
+          ON {_SQL_HAVERSINE.format(lat1='ge.lat', lng1='ge.lng',
+                                    lat2='gf.glat', lng2='gf.glng')} < gf.radius_m
+        GROUP BY gf.geofence_id
+        ORDER BY geofence_id
+    """,
+)
+def geofence_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events inside each geofence (haversine < radius range join).
+
+    Plan shape: broadcast the 25-row geofence table, bbox-prune the
+    cross product (Catalyst evaluates the cheap comparisons before the
+    trig), then the haversine predicate decides. One scan of events,
+    no shuffle until the tiny per-geofence aggregate. min() instead of
+    avg() in the output keeps the oracle hash order-independent.
+    """
+    ge = geo_events(spark, sf_dir)
+    gf = geofences(spark, sf_dir)
+    dist = haversine_m(col("lat"), col("lng"), col("glat"), col("glng"))
+    return (
+        ge.join(broadcast(gf), _bbox_prefilter() & (dist < col("radius_m")))
+        .groupBy("geofence_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.min(dist), 1).alias("min_dist_m"),
+        )
+        .orderBy("geofence_id")
+    )
+
+
+# ---------------------------------------------------------------------
+# P4: bbox + validity quality filter
+# ---------------------------------------------------------------------
+_INDIA_BBOX = (6.75, 68.03, 36.26, 97.40)  # SmartAddressBuildService.scala:274-305
+
+
+@query(
+    "bbox_quality_filter",
+    oracle=f"""
+        WITH ge AS ({_SQL_GEO_EVENTS})
+        SELECT event_type,
+               count(*) AS n_total,
+               count(*) FILTER (WHERE lat BETWEEN {_INDIA_BBOX[0]} AND {_INDIA_BBOX[2]}
+                                  AND lng BETWEEN {_INDIA_BBOX[1]} AND {_INDIA_BBOX[3]})
+                   AS n_in_bbox,
+               count(*) FILTER (WHERE lat BETWEEN {_INDIA_BBOX[0]} AND {_INDIA_BBOX[2]}
+                                  AND lng BETWEEN {_INDIA_BBOX[1]} AND {_INDIA_BBOX[3]}
+                                  AND accuracy < 300 AND lat <> 0 AND lng <> 0)
+                   AS n_quality
+        FROM ge
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+)
+def bbox_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounding-box + validity audit per event type (reference P4:
+    India bbox, accuracy ceiling, zero-coordinate rejection).
+
+    Pure scan-level conditional counts — one pass, partial aggregation,
+    no shuffle beyond the 5-row result.
+    """
+    ge = geo_events(spark, sf_dir)
+    in_bbox = col("lat").between(_INDIA_BBOX[0], _INDIA_BBOX[2]) & col("lng").between(
+        _INDIA_BBOX[1], _INDIA_BBOX[3]
+    )
+    quality = in_bbox & (col("accuracy") < 300) & (col("lat") != 0) & (col("lng") != 0)
+    return (
+        ge.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count(F.when(in_bbox, 1)).alias("n_in_bbox"),
+            F.count(F.when(quality, 1)).alias("n_quality"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------
+# G9 (batch analog): geofence state transitions
+# ---------------------------------------------------------------------
+_SRC_GF = "G0"
+_DEST_GF = "G24"
+
+
+@query(
+    "trip_geofence_transitions",
+    oracle=f"""
+        WITH ge AS ({_SQL_GEO_EVENTS}), gf AS ({_SQL_GEOFENCES}),
+        located AS (
+            SELECT ge.event_id, ge.ts, ge.user_id,
+                   coalesce(
+                       'G' || CAST(max(CASE WHEN
+                           {_SQL_HAVERSINE.format(lat1='ge.lat', lng1='ge.lng',
+                                                  lat2='gf.glat', lng2='gf.glng')}
+                           < gf.radius_m THEN gf.geofence_idx END) AS VARCHAR),
+                       'outer') AS cur_gf
+            FROM ge LEFT JOIN gf ON TRUE
+            GROUP BY ge.event_id, ge.ts, ge.user_id
+        ), lagged AS (
+            SELECT user_id, event_id, ts, cur_gf,
+                   coalesce(lag(cur_gf) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ), 'outer') AS prev_gf
+            FROM located
+        )
+        SELECT user_id, event_id, prev_gf, cur_gf,
+               CASE WHEN prev_gf = '{_SRC_GF}' THEN 'trip_start'
+                    WHEN prev_gf <> 'outer'    THEN 'geofence_exit'
+               END AS exit_alert,
+               CASE WHEN cur_gf = 'outer' THEN NULL
+                    WHEN cur_gf = '{_DEST_GF}' THEN 'trip_end'
+                    ELSE 'geofence_entry'
+               END AS entry_alert
+        FROM lagged
+        WHERE cur_gf <> prev_gf
+        ORDER BY user_id, event_id
+    """,
+)
+def trip_geofence_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geofence state-machine transitions (batch analog of G9).
+
+    Reference (TripTrackingService.scala:149-190): per event, the
+    containing geofence is the LAST match in list order (loop
+    overwrite → max geofence index); on change vs the stored
+    last_geofence_id it emits exit alerts (trip_start when leaving the
+    source, geofence_exit otherwise) and entry alerts (trip_end at the
+    destination, geofence_entry otherwise). Here last_geofence_id is
+    the lag window over time, seeded 'outer' — one user_id shuffle; the
+    containment probe stays a broadcast join. The incremental/stateful
+    version runs in streaming/ via foreachBatch over this same plan.
+    """
+    ge = geo_events(spark, sf_dir)
+    gf = geofences(spark, sf_dir)
+    dist = haversine_m(col("lat"), col("lng"), col("glat"), col("glng"))
+    located = (
+        ge.join(broadcast(gf), _bbox_prefilter() & (dist < col("radius_m")), "left")
+        .groupBy("event_id", "ts", "user_id")
+        .agg(
+            F.coalesce(
+                F.concat(F.lit("G"), F.max("geofence_idx").cast("string")),
+                F.lit("outer"),
+            ).alias("cur_gf")
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = located.withColumn(
+        "prev_gf", F.coalesce(F.lag("cur_gf").over(w), F.lit("outer"))
+    )
+    exit_alert = (
+        F.when(col("prev_gf") == _SRC_GF, "trip_start")
+        .when(col("prev_gf") != "outer", "geofence_exit")
+        .otherwise(F.lit(None).cast("string"))
+    )
+    entry_alert = (
+        F.when(col("cur_gf") == "outer", F.lit(None).cast("string"))
+        .when(col("cur_gf") == _DEST_GF, "trip_end")
+        .otherwise(F.lit("geofence_entry"))
+    )
+    return (
+        lagged.filter(col("cur_gf") != col("prev_gf"))
+        .select(
+            "user_id",
+            "event_id",
+            "prev_gf",
+            "cur_gf",
+            exit_alert.alias("exit_alert"),
+            entry_alert.alias("entry_alert"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+# ---------------------------------------------------------------------
+# J4/A3/U1/U4: history-merge pipeline (batch formulation)
+# ---------------------------------------------------------------------
+@query(
+    "geotag_history_merge",
+    oracle=f"""
+        WITH pts AS (
+            SELECT user_id, event_id, ts,
+                   (2.0 + {_sql_salted_mod('ulat:', 'user_id', 3800)} * 0.01::DOUBLE)
+                   + ({_sql_salted_mod('hlat:', 'event_id', 5)} - 2) * 1e-4 AS lat,
+                   (60.0 + {_sql_salted_mod('ulng:', 'user_id', 4000)} * 0.01::DOUBLE)
+                   + ({_sql_salted_mod('hlng:', 'event_id', 5)} - 2) * 1e-4 AS lng,
+                   CAST({_sql_salted_mod('eacc:', 'event_id', 3)} * 50 AS DOUBLE)
+                       AS accuracy
+            FROM events
+        ), dedup AS (
+            SELECT *, row_number() OVER (
+                       PARTITION BY user_id, lat, lng, accuracy
+                       ORDER BY ts, event_id) AS dup_rn
+            FROM pts
+        ), capped AS (
+            SELECT *, row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC) AS cap_rn
+            FROM dedup WHERE dup_rn = 1
+        )
+        SELECT user_id, event_id, ts, lat, lng, accuracy
+        FROM capped
+        WHERE cap_rn <= 100
+        ORDER BY user_id, ts, event_id
+    """,
+)
+def geotag_history_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user location history merge: union → in-group exact dedup →
+    cap-100 (reference GeoTagOptimizedService.scala:165-250).
+
+    The reference unions the micro-batch with the stored state,
+    rebuilds each address's list in one executor-side Scala buffer,
+    drops duplicate (lat, lng, accuracy) triples keeping the FIRST
+    occurrence, and keeps the newest 100 (takeRight). Re-expressed as
+    two window row_numbers sharing one user_id shuffle — no unbounded
+    per-key buffer, so a hot key with millions of points streams
+    through instead of materializing. Coordinates snap to a ~11 m grid
+    (5×5 jitter cells per user) and accuracy buckets to {{0,50,100}} so
+    exact-triple duplicates actually occur, as they do in the
+    reference's data — the grid is built directly from integer hashes,
+    never by rounding a double (round() half-case behavior is not
+    oracle-portable).
+    """
+    ev = load_table(spark, "events", sf_dir)
+    lat = (2.0 + _salted_mod("ulat:", col("user_id"), 3800) * 0.01) + (
+        _salted_mod("hlat:", col("event_id"), 5) - 2
+    ) * 1e-4
+    lng = (60.0 + _salted_mod("ulng:", col("user_id"), 4000) * 0.01) + (
+        _salted_mod("hlng:", col("event_id"), 5) - 2
+    ) * 1e-4
+    pts = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        lat.alias("lat"),
+        lng.alias("lng"),
+        (_salted_mod("eacc:", col("event_id"), 3) * 50).cast("double").alias("accuracy"),
+    )
+    w_dup = Window.partitionBy("user_id", "lat", "lng", "accuracy").orderBy(
+        "ts", "event_id"
+    )
+    w_cap = Window.partitionBy("user_id").orderBy(
+        col("ts").desc(), col("event_id").desc()
+    )
+    return (
+        pts.withColumn("dup_rn", F.row_number().over(w_dup))
+        .filter(col("dup_rn") == 1)
+        .withColumn("cap_rn", F.row_number().over(w_cap))
+        .filter(col("cap_rn") <= 100)
+        .select("user_id", "event_id", "ts", "lat", "lng", "accuracy")
+        .orderBy("user_id", "ts", "event_id")
+    )
