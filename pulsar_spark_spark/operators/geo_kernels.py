@@ -1,0 +1,379 @@
+"""Geo-analytics kernels G1-G8: per-group procedural algorithms.
+
+These reproduce the reference's per-address / per-agent scoring and
+clustering logic EXACTLY, including its documented quirks:
+
+- G1 ``best_lat_lng`` (BestLatLngCalculator.scala:33-58): n<4 / n>500
+  guards return the last point; O(n²) Vincenty neighbor counts within
+  300 m (self-pairs count, because the reference has no i≠j check and
+  d(i,i)=0); first-max wins.
+- G2 ``best_lat_lng_with_cluster_score`` (:65-121): score map keyed by
+  COORDINATE (duplicates collapse), score overwritten by the LAST
+  differing neighbor (1/(1+d) inside the j-loop — reproduced, not
+  "fixed"); neighbor counts accumulate per ROW so duplicate coords
+  multiply; the majority bar is ``ceil(numPoints/2)`` where the
+  division is Scala Int division — i.e. effectively n//2; confidence
+  1.0 only when a max-score location clears the bar.
+- G3 ``get_cluster_best_lat_lng_with_score`` (:123-163): argmax by
+  neighbor count, real ``ceil((majority%/100)*n)`` bar, min-points 3.
+- G4 ``get_cluster_centroid_lat_lng`` (:165-198): iterative
+  outlier-trimmed centroid. The reference loops thresholds
+  [100,75,50,25] but each run starts from scratch and only the LAST
+  (25) is kept — reproduced by running threshold 25 once. Trimming
+  re-orders the point list by distance, which changes subsequent
+  centroid summation order — preserved.
+- G5 ``get_dbscan_clusters``
+  (DeliveryLocationRefinementService.scala:132-174): time-sorted
+  single-pass variant. Points are PREPENDED, so "head" is the most
+  recently added point and "last" the oldest; a point farther than
+  eps from the head but within eps of the tail is silently DROPPED
+  (neither added nor cluster-closing) — reproduced. avg timestamp is
+  integer (floor) division.
+- G6 ``get_best_cluster`` (:176-204): min centroid distance (≤100 m)
+  under good delivery accuracy, else min |avg_ts − delivery_ts|; ties
+  go to the LATER cluster (the reference compares with ≤).
+- G7 ``get_refined_lat_lng`` (:97-130, labels :206-224): orchestration
+  with ORIGINAL_DELIVERED_LOCATION / CLUSTER_GEOCODE_SCORE_{HIGH,LOW}
+  / CLUSTER_CENTROID fallback labels.
+- G8 ``removeDelValuesAndAddRefinedLocation`` (:257-284): keeps
+  history entries only when BOTH lat and lng differ from the delivered
+  point (the reference's && — an entry sharing just one coordinate is
+  dropped), appends refined points with the 198.0 accuracy sentinel,
+  caps to the newest 100 (takeRight).
+
+One pinned deviation, documented: where the reference iterates a Scala
+``mutable.HashMap`` (tie order among equal-score locations in G2/G3),
+iteration order is implementation-defined; we use FIRST-OCCURRENCE
+order of the coordinate in the input list, which is deterministic.
+
+Everything here is pure Python/numpy over one group's points — the
+Spark integration is ``groupBy(key).applyInPandas`` (operators/
+grouped.py), so the O(n²) work is bounded by the reference's own
+n ≤ 500 guard and parallelizes across groups.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from pulsar_spark_spark.functions.geo import vincenty_np
+
+# Reference defaults (BestLatLngCalculator.scala config getOrElse's,
+# DeliveryLocationRefinementService.scala:99-106).
+NEIGHBOR_RADIUS_M = 300.0
+SCORE_DISTANCE_THRESHOLD_M = 200.0
+SCORE_MIN_POINTS = 3
+SCORE_MAJORITY_PCT = 50.0
+CENTROID_THRESHOLDS = (100, 75, 50, 25)
+CENTROID_ACCURACY_LIMIT = 100.0
+DBSCAN_EPS_M = 50.0
+DBSCAN_MIN_COUNT = 3
+PINGS_WINDOW_START_MS = -120_000
+PINGS_WINDOW_END_MS = 300_000
+PINGS_ACCURACY_THRESHOLD = 100.0
+DELIVERED_ACCURACY_THRESHOLD = 100.0
+CLUSTER_DEL_DISTANCE_THRESHOLD = 100.0
+REFINED_ACCURACY_SENTINEL = 198.0
+HISTORY_CAP = 100
+
+LABEL_ORIGINAL = "ORIGINAL_DELIVERED_LOCATION"
+LABEL_SCORE_HIGH = "CLUSTER_GEOCODE_SCORE_HIGH"
+LABEL_SCORE_LOW = "CLUSTER_GEOCODE_SCORE_LOW"
+LABEL_CENTROID = "CLUSTER_CENTROID"
+
+
+def _pairwise_vincenty(lats: np.ndarray, lngs: np.ndarray) -> np.ndarray:
+    """n×n Vincenty distance matrix (meters), lat==0 sentinel applied."""
+    n = len(lats)
+    d = vincenty_np(
+        np.repeat(lats, n), np.repeat(lngs, n), np.tile(lats, n), np.tile(lngs, n)
+    )
+    return d.reshape(n, n)
+
+
+def _dist(lat1: float, lng1: float, lat2: float, lng2: float) -> float:
+    return float(
+        vincenty_np(
+            np.array([lat1]), np.array([lng1]), np.array([lat2]), np.array([lng2])
+        )[0]
+    )
+
+
+# ---------------------------------------------------------------------
+# G1
+# ---------------------------------------------------------------------
+def best_lat_lng(lats: np.ndarray, lngs: np.ndarray) -> tuple[float, float]:
+    """G1: point with the most neighbors within 300 m; guards to last."""
+    n = len(lats)
+    if n < 4 or n > 500:
+        return float(lats[n - 1]), float(lngs[n - 1])
+    d = _pairwise_vincenty(np.asarray(lats, float), np.asarray(lngs, float))
+    counts = (d < NEIGHBOR_RADIUS_M).sum(axis=1)
+    max_index = int(np.argmax(counts))  # first max wins, like the reference loop
+    return float(lats[max_index]), float(lngs[max_index])
+
+
+# ---------------------------------------------------------------------
+# G2 / G3 shared score + neighbor-count maps
+# ---------------------------------------------------------------------
+def _score_maps(
+    lats: np.ndarray, lngs: np.ndarray, threshold_m: float
+) -> tuple[list[tuple[float, float]], dict, dict]:
+    """Coordinate-keyed score/neighbor maps with the reference's
+    overwrite-by-last-differing-neighbor scoring and per-row count
+    accumulation. Returns (unique coords in first-occurrence order,
+    score map, count map)."""
+    n = len(lats)
+    lat_a = np.asarray(lats, float)
+    lng_a = np.asarray(lngs, float)
+    d = _pairwise_vincenty(lat_a, lng_a)
+    differs = (lat_a[None, :] != lat_a[:, None]) | (lng_a[None, :] != lng_a[:, None])
+
+    uniq: list[tuple[float, float]] = []
+    seen: set[tuple[float, float]] = set()
+    for i in range(n):
+        c = (float(lat_a[i]), float(lng_a[i]))
+        if c not in seen:
+            seen.add(c)
+            uniq.append(c)
+    score = {c: 0.0 for c in uniq}
+    count = {c: 0 for c in uniq}
+    for i in range(n):
+        c = (float(lat_a[i]), float(lng_a[i]))
+        js = np.nonzero(differs[i])[0]
+        if len(js):
+            # the reference overwrites the score on every differing j,
+            # so the surviving value is from the last one
+            score[c] = 1.0 / (1.0 + float(d[i, js[-1]]))
+        count[c] += int(((d[i] <= threshold_m) & differs[i]).sum())
+    return uniq, score, count
+
+
+def best_lat_lng_with_cluster_score(
+    lats: np.ndarray,
+    lngs: np.ndarray,
+    distance_threshold_m: float = SCORE_DISTANCE_THRESHOLD_M,
+) -> tuple[float, float, float]:
+    """G2: max-score location, high-confidence iff a max-score location
+    has ≥ n//2 neighbors within the threshold (ties by neighbor count)."""
+    n = len(lats)
+    if n < 3:
+        return float(lats[n - 1]), float(lngs[n - 1]), 0.0
+    uniq, score, count = _score_maps(lats, lngs, distance_threshold_m)
+    max_score = max(score.values())
+    candidates = [c for c in uniq if score[c] == max_score]
+    best = candidates[0]
+    max_neighbors = 0
+    high = False
+    # Scala: math.ceil(numPoints / 2) — Int division happens first.
+    majority_bar = n // 2
+    for c in candidates:
+        if count[c] >= majority_bar and count[c] > max_neighbors:
+            max_neighbors = count[c]
+            best = c
+            high = True
+    return best[0], best[1], (1.0 if high else 0.0)
+
+
+def cluster_best_lat_lng_with_score(
+    lats: np.ndarray,
+    lngs: np.ndarray,
+    distance_threshold_m: float = SCORE_DISTANCE_THRESHOLD_M,
+    min_points: int = SCORE_MIN_POINTS,
+    majority_pct: float = SCORE_MAJORITY_PCT,
+) -> tuple[float, float, float, bool]:
+    """G3: argmax-by-neighbor-count location with a real-ceil majority
+    bar; score 0.0 below min_points."""
+    n = len(lats)
+    uniq, _score, count = _score_maps(lats, lngs, distance_threshold_m)
+    best = uniq[0]
+    best_count = count[best]
+    for c in uniq[1:]:  # first max wins in first-occurrence order
+        if count[c] > best_count:
+            best, best_count = c, count[c]
+    if n < min_points:
+        return best[0], best[1], 0.0, False
+    if best_count >= math.ceil((majority_pct / 100.0) * n):
+        return best[0], best[1], 1.0, True
+    return best[0], best[1], 0.0, False
+
+
+# ---------------------------------------------------------------------
+# G4
+# ---------------------------------------------------------------------
+def trimmed_centroid(
+    lats: np.ndarray,
+    lngs: np.ndarray,
+    accuracies: np.ndarray,
+    threshold_m: float = CENTROID_THRESHOLDS[-1],
+    accuracy_limit: float = CENTROID_ACCURACY_LIMIT,
+) -> tuple[float, float] | None:
+    """G4: iterative outlier-trimmed centroid at the final threshold.
+
+    The reference runs thresholds [100,75,50,25] from scratch and keeps
+    only the last run's centroid, so a single run at 25 is equivalent.
+    Returns None when fewer than 4 accurate points exist (the reference
+    yields a null centroid there and the caller skips the result).
+    """
+    pts = [
+        (float(la), float(ln))
+        for la, ln, a in zip(lats, lngs, accuracies)
+        if a <= accuracy_limit
+    ]
+    centroid: tuple[float, float] | None = None
+    while len(pts) > 3:
+        m = len(pts)
+        c_lat = float(np.sum(np.fromiter((p[0] for p in pts), float, m))) / m
+        c_lng = float(np.sum(np.fromiter((p[1] for p in pts), float, m))) / m
+        centroid = (c_lat, c_lng)
+        d = vincenty_np(
+            np.full(m, c_lat),
+            np.full(m, c_lng),
+            np.fromiter((p[0] for p in pts), float, m),
+            np.fromiter((p[1] for p in pts), float, m),
+        )
+        avg = float(np.sum(d)) / m
+        if avg > threshold_m:
+            outliers = max(m * 0.1, 1)
+            keep = np.argsort(d, kind="stable")[: m - int(outliers)]
+            # NB: the kept list is re-ordered by distance, like the
+            # reference's sortBy — later centroids sum in that order.
+            pts = [pts[int(k)] for k in keep]
+        else:
+            break
+    return centroid
+
+
+# ---------------------------------------------------------------------
+# G5
+# ---------------------------------------------------------------------
+def dbscan_clusters(
+    pings: list[tuple[int, float, float, float]],
+    eps_m: float = DBSCAN_EPS_M,
+    min_count: int = DBSCAN_MIN_COUNT,
+) -> list[tuple[list[tuple[float, float, float, int]], float, float, int]]:
+    """G5: time-sorted single-pass DBSCAN variant.
+
+    ``pings`` are (ts_ms, lat, lng, accuracy) tuples; they are sorted
+    by ts (stable — equal timestamps keep input order, which callers
+    pin with a secondary key). Cluster points are stored in PREPEND
+    order (newest first), matching the reference's ``+=:``; the
+    head/tail asymmetry and the silent drop case are reproduced.
+    Returns (points, centroid_lat, centroid_lng, floor-avg ts) tuples.
+    """
+    clusters: list = []
+    cur: list[tuple[float, float, float, int]] = []
+    sum_lat = sum_lng = 0.0
+    sum_ts = 0
+    ordered = sorted(pings, key=lambda p: p[0])
+
+    def _close() -> None:
+        if len(cur) >= min_count:
+            m = len(cur)
+            clusters.append((list(cur), sum_lat / m, sum_lng / m, sum_ts // m))
+
+    for ts_ms, lat, lng, acc in ordered:
+        if not cur or _dist(lat, lng, cur[0][0], cur[0][1]) <= eps_m:
+            cur.insert(0, (lat, lng, acc, ts_ms))
+            sum_lat += lat
+            sum_lng += lng
+            sum_ts += ts_ms
+        elif _dist(lat, lng, cur[-1][0], cur[-1][1]) > eps_m:
+            _close()
+            cur = [(lat, lng, acc, ts_ms)]
+            sum_lat, sum_lng, sum_ts = lat, lng, ts_ms
+        # else: within eps of the tail but not the head → dropped
+        # (reference quirk — no branch handles this case)
+    _close()
+    return clusters
+
+
+# ---------------------------------------------------------------------
+# G6
+# ---------------------------------------------------------------------
+def best_cluster(
+    del_lat: float,
+    del_lng: float,
+    del_time_ms: int,
+    del_accuracy: float,
+    clusters: list,
+    del_accuracy_threshold: float = DELIVERED_ACCURACY_THRESHOLD,
+    cluster_del_distance_threshold: float = CLUSTER_DEL_DISTANCE_THRESHOLD,
+) -> list:
+    """G6: choose by min centroid distance (bounded) when the delivery
+    fix is accurate, else by min |avg_ts − delivery_ts|. The reference
+    compares with ≤, so ties go to the LATER cluster."""
+    min_distance = float("inf")
+    min_time_diff = float("inf")
+    best: list = []
+    for points, c_lat, c_lng, avg_ts in clusters:
+        if del_accuracy <= del_accuracy_threshold:
+            d = _dist(c_lat, c_lng, del_lat, del_lng)
+            if d <= min_distance and d <= cluster_del_distance_threshold:
+                min_distance = d
+                best = points
+        else:
+            td = abs(avg_ts - del_time_ms)
+            if td <= min_time_diff:
+                min_time_diff = td
+                best = points
+    return best
+
+
+# ---------------------------------------------------------------------
+# G7
+# ---------------------------------------------------------------------
+def refine_delivery(
+    del_lat: float,
+    del_lng: float,
+    del_time_ms: int,
+    del_accuracy: float,
+    pings: list[tuple[int, float, float, float]],
+) -> tuple[bool, list[tuple[float, float, str]]]:
+    """G7: full refinement orchestration → (is_refined, [(lat, lng,
+    label)]). Pings are (ts_ms, lat, lng, accuracy)."""
+    filtered = [
+        p
+        for p in pings
+        if p[3] <= PINGS_ACCURACY_THRESHOLD
+        and del_time_ms + PINGS_WINDOW_START_MS <= p[0] <= del_time_ms + PINGS_WINDOW_END_MS
+    ]
+    clusters = dbscan_clusters(filtered)
+    if not clusters:
+        return False, [(del_lat, del_lng, LABEL_ORIGINAL)]
+    chosen = best_cluster(del_lat, del_lng, del_time_ms, del_accuracy, clusters)
+    if not chosen:
+        return False, [(del_lat, del_lng, LABEL_ORIGINAL)]
+    c_lats = np.array([p[0] for p in chosen])
+    c_lngs = np.array([p[1] for p in chosen])
+    c_accs = np.array([p[2] for p in chosen])
+    s_lat, s_lng, _score, high = cluster_best_lat_lng_with_score(c_lats, c_lngs)
+    results = [(s_lat, s_lng, LABEL_SCORE_HIGH if high else LABEL_SCORE_LOW)]
+    cen = trimmed_centroid(c_lats, c_lngs, c_accs)
+    if cen is not None:
+        results.append((cen[0], cen[1], LABEL_CENTROID))
+    return True, results
+
+
+# ---------------------------------------------------------------------
+# G8
+# ---------------------------------------------------------------------
+def merge_refined_history(
+    history: list[tuple[str, float, float, float]],
+    del_lat: float,
+    del_lng: float,
+    refined: list[tuple[float, float, str]],
+    refined_time: str,
+) -> list[tuple[str, float, float, float]]:
+    """G8: swap refined locations into a (time, lat, lng, accuracy)
+    history list. An entry survives only if BOTH coordinates differ
+    from the delivered point (the reference's &&); refined points are
+    appended with the 198.0 accuracy sentinel; newest 100 kept."""
+    final = [e for e in history if e[1] != del_lat and e[2] != del_lng]
+    for lat, lng, _label in refined:
+        final.append((refined_time, lat, lng, REFINED_ACCURACY_SENTINEL))
+    if len(final) > HISTORY_CAP:
+        final = final[-HISTORY_CAP:]
+    return final

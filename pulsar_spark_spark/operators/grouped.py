@@ -1,0 +1,188 @@
+"""Grouped-map Spark operators wrapping the G1-G8 kernels.
+
+The reference applies these algorithms inside per-key Scala ``map``
+calls after a ``combineByKey`` list build (e.g.
+GeoTagOptimizedService.scala:74-76,
+DeliveryLocationRefinementService.scala:85-88). The Spark-native home
+is ``groupBy(key).applyInPandas``: each group arrives as one Arrow
+batch, the kernel runs vectorized numpy, and output rows stream back —
+no driver collect, no unbounded buffers beyond the group itself
+(bounded by the reference's own n ≤ 500 kernel guard at the scoring
+step, and by upstream cap-100 state in the real pipeline).
+
+Determinism: applyInPandas makes no ordering promise inside a group,
+so every wrapper sorts its batch by (ts_ms, event_id) first — the
+reference's time-sorted list order with a pinned tiebreak
+(SURVEY.md §7.3.2).
+
+Scale notes: grouping key is high-cardinality (addr_hash/user); skew
+is bounded because groups are capped (>500 short-circuits in G1;
+history state is capped at 100 upstream). Arrow batches keep the
+Python boundary amortized; the kernels are numpy pairwise ops, never
+per-row Python in an inner loop over rows × rows.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from pulsar_spark_spark.operators.shipping import ensure_package_on_executors
+from pulsar_spark_spark.operators.geo_kernels import (
+    best_lat_lng,
+    best_lat_lng_with_cluster_score,
+    cluster_best_lat_lng_with_score,
+    refine_delivery,
+    trimmed_centroid,
+)
+
+_SORT = ["ts_ms", "event_id"]
+
+
+def apply_best_latlng(points: DataFrame) -> DataFrame:
+    """G1 per group. Input columns: user_id, event_id, ts_ms, lat, lng.
+
+    Output: user_id, best_lat, best_lng, n_points.
+    """
+    ensure_package_on_executors(points.sparkSession)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(_SORT)
+        lat, lng = best_lat_lng(pdf["lat"].to_numpy(), pdf["lng"].to_numpy())
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "best_lat": [lat],
+                "best_lng": [lng],
+                "n_points": [len(pdf)],
+            }
+        )
+
+    schema = "user_id bigint, best_lat double, best_lng double, n_points int"
+    return points.groupBy("user_id").applyInPandas(kernel, schema)
+
+
+def apply_cluster_score(points: DataFrame) -> DataFrame:
+    """G2 per group. Output: user_id, lat, lng, cluster_score, n_points."""
+    ensure_package_on_executors(points.sparkSession)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(_SORT)
+        lat, lng, score = best_lat_lng_with_cluster_score(
+            pdf["lat"].to_numpy(), pdf["lng"].to_numpy()
+        )
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "lat": [lat],
+                "lng": [lng],
+                "cluster_score": [score],
+                "n_points": [len(pdf)],
+            }
+        )
+
+    schema = "user_id bigint, lat double, lng double, cluster_score double, n_points int"
+    return points.groupBy("user_id").applyInPandas(kernel, schema)
+
+
+def apply_cluster_score_v3(points: DataFrame) -> DataFrame:
+    """G3 per group (ping-cluster scoring with the real-ceil majority).
+
+    Output: user_id, lat, lng, cluster_score, is_high_confidence.
+    """
+    ensure_package_on_executors(points.sparkSession)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(_SORT)
+        lat, lng, score, high = cluster_best_lat_lng_with_score(
+            pdf["lat"].to_numpy(), pdf["lng"].to_numpy()
+        )
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "lat": [lat],
+                "lng": [lng],
+                "cluster_score": [score],
+                "is_high_confidence": [high],
+            }
+        )
+
+    schema = (
+        "user_id bigint, lat double, lng double, cluster_score double, "
+        "is_high_confidence boolean"
+    )
+    return points.groupBy("user_id").applyInPandas(kernel, schema)
+
+
+def apply_trimmed_centroid(points: DataFrame) -> DataFrame:
+    """G4 per group. Input adds an ``accuracy`` column.
+
+    Output: user_id, centroid_lat, centroid_lng (null when fewer than
+    4 accurate points), n_accurate.
+    """
+    ensure_package_on_executors(points.sparkSession)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(_SORT)
+        cen = trimmed_centroid(
+            pdf["lat"].to_numpy(), pdf["lng"].to_numpy(), pdf["accuracy"].to_numpy()
+        )
+        n_acc = int((pdf["accuracy"] <= 100.0).sum())
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "centroid_lat": [cen[0] if cen else None],
+                "centroid_lng": [cen[1] if cen else None],
+                "n_accurate": [n_acc],
+            }
+        )
+
+    schema = "user_id bigint, centroid_lat double, centroid_lng double, n_accurate int"
+    return points.groupBy("user_id").applyInPandas(kernel, schema)
+
+
+def apply_delivery_refinement(joined: DataFrame) -> DataFrame:
+    """G5-G7 per delivery. Input: one row per (delivery × candidate
+    ping) from a left interval join, columns delivery_id, user_id,
+    del_ts_ms, del_lat, del_lng, del_accuracy, p_ts_ms, p_lat, p_lng,
+    p_accuracy, p_event_id (ping columns null for pingless deliveries).
+
+    Output: one row per refinement result (1-2 per delivery):
+    delivery_id, user_id, is_refined, method, ref_lat, ref_lng.
+    """
+    ensure_package_on_executors(joined.sparkSession)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        head = pdf.iloc[0]
+        pings = pdf[pdf["p_ts_ms"].notna()].sort_values(["p_ts_ms", "p_event_id"])
+        ping_list = list(
+            zip(
+                pings["p_ts_ms"].astype("int64"),
+                pings["p_lat"],
+                pings["p_lng"],
+                pings["p_accuracy"],
+            )
+        )
+        refined, results = refine_delivery(
+            float(head["del_lat"]),
+            float(head["del_lng"]),
+            int(head["del_ts_ms"]),
+            float(head["del_accuracy"]),
+            ping_list,
+        )
+        return pd.DataFrame(
+            {
+                "delivery_id": [head["delivery_id"]] * len(results),
+                "user_id": [head["user_id"]] * len(results),
+                "is_refined": [refined] * len(results),
+                "method": [r[2] for r in results],
+                "ref_lat": [r[0] for r in results],
+                "ref_lng": [r[1] for r in results],
+            }
+        )
+
+    schema = (
+        "delivery_id bigint, user_id bigint, is_refined boolean, "
+        "method string, ref_lat double, ref_lng double"
+    )
+    return joined.groupBy("delivery_id").applyInPandas(kernel, schema)

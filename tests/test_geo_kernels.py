@@ -1,0 +1,300 @@
+"""G1-G7 kernel tests: hand-built semantic cases + Spark-vs-oracle
+parity on the real geo projection at sf0.001.
+
+The hand-built cases pin the reference quirks (guards, drop case,
+tie directions, sentinel behavior); the parity tests run the full
+applyInPandas queries and compare every group against the independent
+loop oracle in tests/geo_oracle.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pulsar_spark_spark.operators.geo_kernels import (
+    best_cluster,
+    best_lat_lng,
+    best_lat_lng_with_cluster_score,
+    cluster_best_lat_lng_with_score,
+    dbscan_clusters,
+    merge_refined_history,
+    trimmed_centroid,
+)
+from pulsar_spark_spark.plans import QUERIES
+from pulsar_spark_spark.plans.geo import geo_events
+from tests import geo_oracle
+from tests.conftest import SF_DIR_SMALL
+
+BLR = (12.9716, 77.5946)  # a realistic base point
+
+
+def _jitter(base, dlat_m, dlng_m):
+    # ~1e-5 deg ≈ 1.1 m in lat; cheap offsets for test geometry
+    return (base[0] + dlat_m * 9e-6, base[1] + dlng_m * 9e-6)
+
+
+# ---------------------------------------------------------------------
+# G1
+# ---------------------------------------------------------------------
+class TestBestLatLng:
+    def test_small_group_returns_last(self):
+        pts = [_jitter(BLR, i, 0) for i in range(3)]
+        lats = np.array([p[0] for p in pts])
+        lngs = np.array([p[1] for p in pts])
+        assert best_lat_lng(lats, lngs) == (pts[-1][0], pts[-1][1])
+
+    def test_oversized_group_returns_last(self):
+        pts = [_jitter(BLR, i, 0) for i in range(501)]
+        lats = np.array([p[0] for p in pts])
+        lngs = np.array([p[1] for p in pts])
+        assert best_lat_lng(lats, lngs) == (pts[-1][0], pts[-1][1])
+
+    def test_densest_point_wins(self):
+        # 4 tight points + 1 outlier 10 km away: any tight point has 4
+        # neighbors (incl. self), outlier has 1 → first tight point wins
+        tight = [_jitter(BLR, i * 10, 0) for i in range(4)]
+        outlier = [_jitter(BLR, 10_000, 0)]
+        pts = outlier + tight
+        lats = np.array([p[0] for p in pts])
+        lngs = np.array([p[1] for p in pts])
+        assert best_lat_lng(lats, lngs) == (tight[0][0], tight[0][1])
+
+    def test_zero_lat_sentinel_kills_neighbors(self):
+        # lat==0 rows get the 1e7 sentinel to everything (incl. self)
+        pts = [(0.0, 77.0)] * 3 + [_jitter(BLR, i, 0) for i in range(2)]
+        lats = np.array([p[0] for p in pts])
+        lngs = np.array([p[1] for p in pts])
+        # the two real points have 2 neighbors each, zero-lat rows 0 →
+        # first real point wins
+        assert best_lat_lng(lats, lngs) == pts[3]
+
+
+# ---------------------------------------------------------------------
+# G2
+# ---------------------------------------------------------------------
+class TestClusterScore:
+    def test_below_min_points_last_and_zero(self):
+        pts = [_jitter(BLR, 0, 0), _jitter(BLR, 5, 0)]
+        lat, lng, score = best_lat_lng_with_cluster_score(
+            np.array([p[0] for p in pts]), np.array([p[1] for p in pts])
+        )
+        assert (lat, lng) == pts[-1] and score == 0.0
+
+    def test_all_identical_coords_scores_zero(self):
+        pts = [BLR] * 5
+        lat, lng, score = best_lat_lng_with_cluster_score(
+            np.array([p[0] for p in pts]), np.array([p[1] for p in pts])
+        )
+        assert (lat, lng) == BLR and score == 0.0
+
+    def test_majority_cluster_high_confidence(self):
+        # 5 points within 200 m of each other → each has 4 differing
+        # neighbors ≥ ceil-int(5/2)=2 → confidence 1.0
+        pts = [_jitter(BLR, i * 20, 0) for i in range(5)]
+        _lat, _lng, score = best_lat_lng_with_cluster_score(
+            np.array([p[0] for p in pts]), np.array([p[1] for p in pts])
+        )
+        assert score == 1.0
+
+    def test_matches_oracle_on_random_points(self):
+        rng = np.random.default_rng(7)
+        for _ in range(5):
+            n = int(rng.integers(3, 40))
+            lats = BLR[0] + rng.integers(-30, 30, n) * 9e-6 * 10
+            lngs = BLR[1] + rng.integers(-30, 30, n) * 9e-6 * 10
+            got = best_lat_lng_with_cluster_score(lats, lngs)
+            want = geo_oracle.cluster_score_oracle(list(zip(lats, lngs)))
+            assert got == want
+
+
+# ---------------------------------------------------------------------
+# G4
+# ---------------------------------------------------------------------
+class TestTrimmedCentroid:
+    def test_too_few_accurate_points_none(self):
+        pts = [_jitter(BLR, i, 0) for i in range(6)]
+        accs = np.array([10.0, 10.0, 10.0, 500.0, 500.0, 500.0])
+        assert (
+            trimmed_centroid(
+                np.array([p[0] for p in pts]), np.array([p[1] for p in pts]), accs
+            )
+            is None
+        )
+
+    def test_outlier_trimmed(self):
+        tight = [_jitter(BLR, i, i) for i in range(8)]
+        far = [_jitter(BLR, 5000, 5000)]
+        pts = tight + far
+        lats = np.array([p[0] for p in pts])
+        lngs = np.array([p[1] for p in pts])
+        accs = np.full(len(pts), 10.0)
+        cen = trimmed_centroid(lats, lngs, accs)
+        want = geo_oracle.trimmed_centroid_oracle(
+            [(la, ln, a) for la, ln, a in zip(lats, lngs, accs)]
+        )
+        assert cen is not None and want is not None
+        assert cen[0] == pytest.approx(want[0], abs=1e-9)
+        assert cen[1] == pytest.approx(want[1], abs=1e-9)
+        # the far point must not dominate: centroid within the tight patch
+        assert abs(cen[0] - BLR[0]) < 0.001
+
+
+# ---------------------------------------------------------------------
+# G5 / G6
+# ---------------------------------------------------------------------
+class TestDbscan:
+    def test_basic_clustering_and_min_count(self):
+        a = [(1000 * i, *_jitter(BLR, i, 0), 10.0) for i in range(4)]
+        hop = [(10_000, *_jitter(BLR, 100_000, 0), 10.0)]  # isolated → dropped
+        b = [(20_000 + 1000 * i, *_jitter((13.5, 78.0), i, 0), 10.0) for i in range(3)]
+        pings = [(t, la, ln, ac) for t, la, ln, ac in a + hop + b]
+        clusters = dbscan_clusters(pings)
+        assert len(clusters) == 2
+        assert len(clusters[0][0]) == 4 and len(clusters[1][0]) == 3
+
+    def test_drop_case_head_far_tail_near(self):
+        # Build a chain where a point is within eps of the OLDEST point
+        # (tail) but beyond eps of the newest (head): reference drops it.
+        p0 = (0, *BLR, 10.0)
+        p1 = (1000, *_jitter(BLR, 45, 0), 10.0)   # within 50 m of p0 (head=p0)
+        p2 = (2000, *_jitter(BLR, 90, 0), 10.0)   # 45 m from p1(head), 90 m from p0
+        p3 = (3000, *_jitter(BLR, 30, 0), 10.0)   # 60 m from head p2, 30 m from tail p0
+        clusters = dbscan_clusters([p0, p1, p2, p3], eps_m=50.0, min_count=3)
+        # p3 dropped; remaining cluster has 3 points
+        assert len(clusters) == 1
+        assert len(clusters[0][0]) == 3
+        got_ts = [p[3] for p in clusters[0][0]]
+        assert got_ts == [2000, 1000, 0]  # prepend order, newest first
+
+    def test_best_cluster_tie_goes_to_later(self):
+        c1 = ([(1.0, 2.0, 3.0, 100)], BLR[0], BLR[1], 1000)
+        c2 = ([(4.0, 5.0, 6.0, 200)], BLR[0], BLR[1], 1000)
+        best = best_cluster(BLR[0], BLR[1], 0, 50.0, [c1, c2])
+        assert best == c2[0]  # ≤ comparison → later cluster wins ties
+
+
+# ---------------------------------------------------------------------
+# G8
+# ---------------------------------------------------------------------
+class TestMergeRefinedHistory:
+    def test_and_removal_and_cap(self):
+        # entries sharing EITHER coordinate with the delivery are
+        # removed (the reference's && keeps only fully-different rows)
+        hist = [
+            ("t1", 1.0, 2.0, 50.0),   # both differ → kept
+            ("t2", 9.0, 2.5, 50.0),   # lat differs, lng differs → kept
+            ("t3", 5.0, 6.0, 50.0),   # lat == del_lat → dropped
+            ("t4", 1.5, 6.5, 50.0),   # lng == del_lng → dropped
+        ]
+        out = merge_refined_history(hist, 5.0, 6.5, [(7.0, 8.0, "X")], "t9")
+        assert [e[0] for e in out] == ["t1", "t2", "t9"]
+        assert out[-1] == ("t9", 7.0, 8.0, 198.0)
+
+    def test_cap_keeps_newest_100(self):
+        hist = [(f"t{i}", 1.0 + i, 2.0 + i, 9.0) for i in range(150)]
+        out = merge_refined_history(hist, 0.0, 0.0, [], "tx")
+        assert len(out) == 100
+        assert out[0][0] == "t50" and out[-1][0] == "t149"
+
+
+# ---------------------------------------------------------------------
+# Spark ↔ oracle parity on real data (sf0.001)
+# ---------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def geo_pdf(spark):
+    import pyspark.sql.functions as F
+
+    ge = geo_events(spark, SF_DIR_SMALL).select(
+        "user_id",
+        "event_id",
+        F.unix_millis("ts").alias("ts_ms"),
+        "lat",
+        "lng",
+        "accuracy",
+        "event_type",
+    )
+    return ge.toPandas()
+
+
+def _groups(geo_pdf):
+    for uid, g in geo_pdf.sort_values(["ts_ms", "event_id"]).groupby("user_id"):
+        yield uid, g
+
+
+def test_best_latlng_parity(spark, geo_pdf):
+    got = {
+        r["user_id"]: (r["best_lat"], r["best_lng"])
+        for r in QUERIES["best_latlng_per_user"](spark, SF_DIR_SMALL).collect()
+    }
+    for uid, g in _groups(geo_pdf):
+        want = geo_oracle.best_lat_lng_oracle(list(zip(g["lat"], g["lng"])))
+        assert got[uid] == want, f"user {uid}"
+
+
+def test_cluster_score_parity(spark, geo_pdf):
+    got = {
+        r["user_id"]: (r["lat"], r["lng"], r["cluster_score"])
+        for r in QUERIES["cluster_score_per_user"](spark, SF_DIR_SMALL).collect()
+    }
+    for uid, g in _groups(geo_pdf):
+        want = geo_oracle.cluster_score_oracle(list(zip(g["lat"], g["lng"])))
+        assert got[uid] == want, f"user {uid}"
+
+
+def test_ping_cluster_score_parity(spark, geo_pdf):
+    got = {
+        r["user_id"]: (r["lat"], r["lng"], r["cluster_score"], r["is_high_confidence"])
+        for r in QUERIES["ping_cluster_score_per_user"](spark, SF_DIR_SMALL).collect()
+    }
+    for uid, g in _groups(geo_pdf):
+        want = geo_oracle.cluster_score_v3_oracle(list(zip(g["lat"], g["lng"])))
+        assert got[uid] == want, f"user {uid}"
+
+
+def test_trimmed_centroid_parity(spark, geo_pdf):
+    got = {
+        r["user_id"]: (r["centroid_lat"], r["centroid_lng"])
+        for r in QUERIES["trimmed_centroid_per_user"](spark, SF_DIR_SMALL).collect()
+    }
+    for uid, g in _groups(geo_pdf):
+        want = geo_oracle.trimmed_centroid_oracle(
+            list(zip(g["lat"], g["lng"], g["accuracy"]))
+        )
+        if want is None:
+            assert got[uid] == (None, None), f"user {uid}"
+        else:
+            assert got[uid][0] == pytest.approx(want[0], abs=1e-9), f"user {uid}"
+            assert got[uid][1] == pytest.approx(want[1], abs=1e-9), f"user {uid}"
+
+
+def test_delivery_refinement_parity(spark, geo_pdf):
+    rows = QUERIES["delivery_refinement"](spark, SF_DIR_SMALL).collect()
+    got: dict = {}
+    for r in rows:
+        got.setdefault(r["delivery_id"], []).append(
+            (r["is_refined"], r["method"], r["ref_lat"], r["ref_lng"])
+        )
+    deliveries = geo_pdf[geo_pdf["event_type"] == "purchase"]
+    assert set(got) == set(deliveries["event_id"])
+    for _, d in deliveries.iterrows():
+        cand = geo_pdf[
+            (geo_pdf["user_id"] == d["user_id"])
+            & (geo_pdf["accuracy"] <= 100.0)
+            & (geo_pdf["ts_ms"] >= d["ts_ms"] - 120_000)
+            & (geo_pdf["ts_ms"] <= d["ts_ms"] + 300_000)
+        ].sort_values(["ts_ms", "event_id"])
+        pings = list(zip(cand["ts_ms"], cand["lat"], cand["lng"], cand["accuracy"]))
+        refined, results = geo_oracle.refine_oracle(
+            d["lat"], d["lng"], int(d["ts_ms"]), d["accuracy"], pings
+        )
+        want = sorted(
+            [(refined, lbl, la, ln) for la, ln, lbl in results], key=lambda x: x[1]
+        )
+        got_d = sorted(got[d["event_id"]], key=lambda x: x[1])
+        assert len(got_d) == len(want), f"delivery {d['event_id']}"
+        for g, w in zip(got_d, want):
+            assert g[0] == w[0] and g[1] == w[1], f"delivery {d['event_id']}"
+            assert g[2] == pytest.approx(w[2], abs=1e-9)
+            assert g[3] == pytest.approx(w[3], abs=1e-9)
