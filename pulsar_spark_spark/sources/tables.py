@@ -45,9 +45,11 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; catalog: {TABLES}")
+    # Runtime-settable; needed even when the caller built its own plain
+    # SparkSession (e.g. the driver harness): UTC keeps date_format /
+    # from_unixtime output independent of the host timezone.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # Runtime-settable; needed even when the caller built its own
-        # plain SparkSession (e.g. the driver harness).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":

@@ -1,0 +1,114 @@
+"""Structured Streaming pipelines (S1 analog, T1-T3, T5, T7, K6, A7).
+
+The reference's ingest surface is a hand-built direct DStream: the
+driver plans bounded per-partition offset ranges each batch
+(PulsarHelper.scala:125-170), executors consume exactly that range
+(PulsarBoundedConsumer.scala:37-106), and offsets commit only after a
+successful Cassandra write (KafkaStreamingService.scala:53-56).
+Structured Streaming subsumes each piece (SURVEY.md §2.1/2.11):
+
+- bounded micro-batches → file source + ``maxFilesPerTrigger`` (the
+  rate.py planner is the policy analog of the per-partition math);
+- offset tracking / commit-after-success → checkpointLocation: the
+  batch is committed to the WAL only after ``foreachBatch`` returns,
+  so a crash replays it — paired with the idempotent keyed upsert sink
+  (sources/sinks.py) this is the same exactly-once-ish contract (T3);
+- recovery → restart with the same checkpoint dir (T7);
+- late data → ``withWatermark`` + windowed aggregation (T5), replacing
+  the reference's re-scan-today workaround;
+- per-batch record counts (A7) → StreamingQueryProgress.numInputRows.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.functions import col
+from pyspark.sql.streaming import StreamingQuery
+
+from pulsar_spark_spark.sources.sinks import upsert_parquet
+
+
+def stream_events(
+    spark: SparkSession,
+    input_dir: str,
+    schema,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """File-backed micro-batch source (S1 analog).
+
+    ``maxFilesPerTrigger`` bounds each batch the way the reference's
+    offset-range ``batchSize`` does; the checkpoint tracks which files
+    are consumed the way the cursor tracked message ids.
+    """
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+
+
+def run_dedup_upsert_stream(
+    events: DataFrame,
+    state_path: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """A2-dedup each micro-batch and upsert into keyed parquet state.
+
+    Per batch: keep the newest event per (user_id, event_type) —
+    ``max_by`` over (ts, event_id) — then merge into the state table
+    keyed on (user_id, event_type) with the event's (ts, event_id) as
+    the version. Replayed batches (crash between sink write and WAL
+    commit) re-apply the same winners: idempotent, hence the
+    commit-after-write guarantee of the reference (T3) without its
+    failure window.
+    """
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        latest = (
+            batch_df.groupBy("user_id", "event_type")
+            .agg(
+                F.max_by(
+                    F.struct("ts", "event_id", "value"),
+                    F.struct("ts", "event_id"),
+                ).alias("newest")
+            )
+            .select(
+                "user_id",
+                "event_type",
+                col("newest.ts").alias("ts"),
+                col("newest.event_id").alias("event_id"),
+                col("newest.value").alias("value"),
+            )
+            .withColumn("version", F.unix_micros("ts"))
+        )
+        upsert_parquet(
+            latest, state_path, ["user_id", "event_type"], "version"
+        )
+
+    return (
+        events.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def windowed_counts(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """T5: event-time tumbling window with late-data watermark.
+
+    The reference tolerates lateness by re-scanning "today so far"
+    every cycle (DeliveryLocationRefinementService.scala:32-38); the
+    declarative form bounds state instead: rows later than the
+    watermark are dropped, windows finalize exactly once.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "5 minutes").alias("w"), col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )

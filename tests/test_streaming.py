@@ -1,0 +1,191 @@
+"""Streaming tests: rate planner (reference unit expectations),
+micro-batch dedup-upsert with checkpoint recovery, watermark windows.
+
+CORRECTNESS_r{N} can't see streaming, so these pytest gates are the
+coverage for S1/T1-T3/T5/T7/K6 (mirroring the reference's own
+PulsarHelperTest + ViestiTestSuite strategy).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pyspark.sql.functions as F
+import pytest
+
+from pulsar_spark_spark.sources.tables import load_table
+from pulsar_spark_spark.streaming.pipeline import (
+    run_dedup_upsert_stream,
+    stream_events,
+    windowed_counts,
+)
+from pulsar_spark_spark.streaming.rate import (
+    RateConfig,
+    compute_max_entries_per_partition,
+    default_entries_per_partition,
+)
+from tests.conftest import SF_DIR_SMALL
+
+# ---------------------------------------------------------------------
+# T2 rate planner — the reference's own unit expectations
+# (PulsarHelperTest.scala:83-97; maxRatePerPartition=20, avg=1.0)
+# ---------------------------------------------------------------------
+_BACKLOGS = {"p0": 100, "p1": 0, "p2": 1000}
+_CFG = RateConfig(max_rate_per_partition=20.0)
+
+
+def test_rate_split_estimated_rate_10():
+    got = compute_max_entries_per_partition(10, _BACKLOGS, 5000, _CFG)
+    assert got == {"p0": 5, "p1": 0, "p2": 46}
+
+
+def test_rate_split_estimated_rate_40():
+    got = compute_max_entries_per_partition(40, _BACKLOGS, 5000, _CFG)
+    assert got == {"p0": 19, "p1": 0, "p2": 100}
+
+
+def test_rate_split_no_estimate_uses_max_rate():
+    got = compute_max_entries_per_partition(None, _BACKLOGS, 5000, _CFG)
+    assert got == {"p0": 100, "p1": 0, "p2": 100}
+
+
+def test_rate_split_zero_estimate_treated_as_absent():
+    got = compute_max_entries_per_partition(0, _BACKLOGS, 5000, _CFG)
+    assert got == {"p0": 100, "p1": 0, "p2": 100}
+
+
+def test_default_entries():
+    assert default_entries_per_partition(RateConfig(), 5000) == 5000
+
+
+# ---------------------------------------------------------------------
+# S1/T1/T3/T7/K6: bounded micro-batches + checkpointed dedup-upsert
+# ---------------------------------------------------------------------
+@pytest.fixture()
+def event_chunks(spark, tmp_path):
+    """Split sf0.001 events into 3 arrival chunks (parquet files)."""
+    ev = load_table(spark, "events", SF_DIR_SMALL).withColumn(
+        "chunk", (F.col("event_id") % 3).cast("int")
+    )
+    chunks = []
+    for i in range(3):
+        p = str(tmp_path / f"chunk_{i}")
+        ev.filter(F.col("chunk") == i).drop("chunk").coalesce(1).write.parquet(p)
+        chunks.append(p)
+    return chunks, ev.drop("chunk")
+
+
+def _copy_parquet_files(src_dir: str, dst_dir: str, tag: str) -> None:
+    os.makedirs(dst_dir, exist_ok=True)
+    n = 0
+    for f in os.listdir(src_dir):
+        if f.endswith(".parquet"):
+            shutil.copy(os.path.join(src_dir, f), os.path.join(dst_dir, f"{tag}_{n}.parquet"))
+            n += 1
+
+
+def _expected_latest(all_events):
+    return {
+        (r["user_id"], r["event_type"]): (r["ts"], r["event_id"])
+        for r in (
+            all_events.groupBy("user_id", "event_type")
+            .agg(
+                F.max_by(
+                    F.struct("ts", "event_id"), F.struct("ts", "event_id")
+                ).alias("m")
+            )
+            .select("user_id", "event_type", "m.ts", "m.event_id")
+        ).collect()
+    }
+
+
+def test_stream_dedup_upsert_with_restart(spark, tmp_path, event_chunks):
+    chunks, all_events = event_chunks
+    input_dir = str(tmp_path / "incoming")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    schema = spark.read.parquet(chunks[0]).schema
+
+    # Phase 1: two chunks arrive, stream drains (availableNow), stops.
+    _copy_parquet_files(chunks[0], input_dir, "c0")
+    _copy_parquet_files(chunks[1], input_dir, "c1")
+    ev = stream_events(spark, input_dir, schema, max_files_per_trigger=1)
+    q = run_dedup_upsert_stream(ev, state, ckpt)
+    q.awaitTermination(120)
+    assert not q.isActive
+    n_batches_p1 = len(q.recentProgress)
+    assert n_batches_p1 >= 2  # maxFilesPerTrigger=1 → one batch per file
+    # A7: per-batch record counts are observable on the progress feed
+    assert sum(p.numInputRows for p in q.recentProgress) > 0
+
+    # Phase 2: third chunk arrives, RESTART from the same checkpoint.
+    _copy_parquet_files(chunks[2], input_dir, "c2")
+    ev2 = stream_events(spark, input_dir, schema, max_files_per_trigger=1)
+    q2 = run_dedup_upsert_stream(ev2, state, ckpt)
+    q2.awaitTermination(120)
+    assert not q2.isActive
+    # recovery processed ONLY the new chunk, not the already-committed files
+    assert sum(p.numInputRows for p in q2.recentProgress) < all_events.count()
+
+    got = {
+        (r["user_id"], r["event_type"]): (r["ts"], r["event_id"])
+        for r in spark.read.parquet(state).collect()
+    }
+    assert got == _expected_latest(all_events)
+
+
+def test_stream_replay_is_idempotent(spark, tmp_path, event_chunks):
+    chunks, all_events = event_chunks
+    input_dir = str(tmp_path / "incoming")
+    state = str(tmp_path / "state")
+    _copy_parquet_files(chunks[0], input_dir, "c0")
+    schema = spark.read.parquet(chunks[0]).schema
+
+    # First run with checkpoint A, then a "crashed-before-commit" replay
+    # with a FRESH checkpoint (worst case: every batch re-delivered).
+    for ckpt in (str(tmp_path / "ckptA"), str(tmp_path / "ckptB")):
+        ev = stream_events(spark, input_dir, schema)
+        q = run_dedup_upsert_stream(ev, state, ckpt)
+        q.awaitTermination(120)
+        assert not q.isActive
+    chunk0 = spark.read.parquet(chunks[0])
+    assert spark.read.parquet(state).count() == (
+        chunk0.select("user_id", "event_type").distinct().count()
+    )
+
+
+# ---------------------------------------------------------------------
+# T5: watermark + tumbling window
+# ---------------------------------------------------------------------
+def test_windowed_counts_with_watermark(spark, tmp_path, event_chunks):
+    chunks, all_events = event_chunks
+    input_dir = str(tmp_path / "incoming")
+    _copy_parquet_files(chunks[0], input_dir, "c0")
+    schema = spark.read.parquet(chunks[0]).schema
+    ev = stream_events(spark, input_dir, schema, max_files_per_trigger=10)
+    q = (
+        windowed_counts(ev)
+        .writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_w"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # Append mode only emits windows finalized by the watermark; verify
+    # every emitted row matches the batch ground truth.
+    got = spark.sql("SELECT * FROM win_counts").collect()
+    chunk0 = spark.read.parquet(chunks[0])
+    want = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in (
+            chunk0.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+        ).collect()
+    }
+    assert got, "watermark should finalize at least one window"
+    for r in got:
+        assert want[(r["window_start"], r["event_type"])] == r["n_events"]
