@@ -22,8 +22,11 @@ from pulsar_spark_spark.session import get_session
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
-# Headline set: one per operator family (scan-agg, multi-join, window,
-# anti/semi join, interval join, sessionization, group-collect, JSON).
+# Headline set: one per operator family — relational spine (scan-agg,
+# multi-join, window, anti/semi join, interval join, sessionization,
+# group-collect, JSON), LLM pipeline (exact/near dedup, ANN, text
+# quality), geo predicates (range join, state machine, history merge)
+# and the procedural kernels (G1/G2 scoring, G5-G7 refinement).
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -35,6 +38,18 @@ HEADLINE = [
     "purchase_click_attribution",
     "priority_counts_semijoin",
     "props_key_stats",
+    "doc_exact_dup_groups",
+    "doc_near_dup_pairs",
+    "doc_language_id",
+    "ann_topk_bruteforce",
+    "ann_topk_lsh",
+    "geofence_containment",
+    "trip_geofence_transitions",
+    "geotag_history_merge",
+    "event_attrs_quality",
+    "best_latlng_per_user",
+    "delivery_refinement",
+    "media_feature_extract",
 ]
 
 

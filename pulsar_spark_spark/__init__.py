@@ -10,17 +10,20 @@ Structured Streaming for the micro-batch ingest surface.
 Layout
 ------
 - ``session``    SparkSession factory with engine defaults
-- ``sources``    batch table catalog + micro-batch stream source with
-                 offset-range planning / backpressure (reference:
-                 pulsar-spark-dstream offset model)
+- ``sources``    batch table catalog (tables.py) + write paths
+                 (sinks.py: keyed upsert, CSV report)
 - ``functions``  scalar function library (geo, text, time, maps)
-- ``operators``  relational + dataflow operators (dedup, similarity,
-                 joins, state merge, multimodal) and the G1-G9
-                 grouped-map kernels
+- ``operators``  G1-G8 procedural geo kernels (geo_kernels.py), their
+                 applyInPandas wrappers (grouped.py), executor package
+                 shipping (shipping.py)
 - ``plans``      the named query library exposed to the driver via
-                 ``__spark_entry__``
-- ``streaming``  foreachBatch pipelines, watermark/dedup, stateful
-                 geofence machine
+                 ``__spark_entry__``: relational spine, event
+                 analytics, text dedup/quality, similarity search,
+                 geo predicates + history merge, kernel queries,
+                 KV-attribute/time queries, multimodal columns
+- ``streaming``  micro-batch rate planning (rate.py), file-source
+                 pipelines with checkpointed foreachBatch upsert and
+                 watermark windows (pipeline.py)
 """
 
 from pulsar_spark_spark.session import get_session

@@ -234,12 +234,75 @@ def geohash_udf(lat: pd.Series, lng: pd.Series, precision: pd.Series) -> pd.Seri
 
 
 def vincenty_py(lat1: float, lng1: float, lat2: float, lng2: float) -> float:
-    """Scalar convenience wrapper over vincenty_np (used by kernels/tests)."""
-    return float(
-        vincenty_np(
-            np.array([lat1]), np.array([lng1]), np.array([lat2]), np.array([lng2])
-        )[0]
+    """Scalar Vincenty, arithmetic-identical to :func:`vincenty_np`.
+
+    Pure-``math`` fast path (~100× less overhead than a 1-element
+    numpy call) for the sequential kernels (DBSCAN walk, best-cluster
+    probe) where distances are inherently one-at-a-time. Mirrors the
+    numpy version's operation order exactly so batch and scalar paths
+    agree bit-for-bit (the lambda iteration reaches a float fixed
+    point, so extra batch iterations don't perturb converged values).
+    """
+    if lat1 == 0.0 or lat2 == 0.0:
+        return NO_FIX_DISTANCE_M
+    if lat1 == lat2 and lng1 == lng2:
+        return 0.0
+    phi1, phi2 = math.radians(lat1), math.radians(lat2)
+    U1 = math.atan((1 - _WGS84_F) * math.tan(phi1))
+    U2 = math.atan((1 - _WGS84_F) * math.tan(phi2))
+    L = math.radians(lng2 - lng1)
+    lam = L
+    sinU1, cosU1 = math.sin(U1), math.cos(U1)
+    sinU2, cosU2 = math.sin(U2), math.cos(U2)
+    sin_sigma = 0.0
+    cos_sigma = 1.0
+    sigma = 0.0
+    cos_sq_alpha = 1.0
+    cos2sm = 0.0
+    for _ in range(200):
+        sin_lam, cos_lam = math.sin(lam), math.cos(lam)
+        sin_sigma = math.sqrt(
+            (cosU2 * sin_lam) ** 2 + (cosU1 * sinU2 - sinU1 * cosU2 * cos_lam) ** 2
+        )
+        cos_sigma = sinU1 * sinU2 + cosU1 * cosU2 * cos_lam
+        sigma = math.atan2(sin_sigma, cos_sigma)
+        sin_alpha = (
+            cosU1 * cosU2 * sin_lam / max(sin_sigma, 1e-300)
+            if sin_sigma != 0
+            else 0.0
+        )
+        cos_sq_alpha = 1.0 - sin_alpha**2
+        cos2sm = (
+            cos_sigma - 2.0 * sinU1 * sinU2 / max(cos_sq_alpha, 1e-300)
+            if cos_sq_alpha != 0
+            else 0.0
+        )
+        C = _WGS84_F / 16.0 * cos_sq_alpha * (4 + _WGS84_F * (4 - 3 * cos_sq_alpha))
+        lam_new = L + (1 - C) * _WGS84_F * sin_alpha * (
+            sigma + C * sin_sigma * (cos2sm + C * cos_sigma * (-1 + 2 * cos2sm**2))
+        )
+        if abs(lam_new - lam) < 1e-12:
+            lam = lam_new
+            break
+        lam = lam_new
+    u_sq = cos_sq_alpha * (_WGS84_A**2 - _WGS84_B**2) / _WGS84_B**2
+    A = 1 + u_sq / 16384 * (4096 + u_sq * (-768 + u_sq * (320 - 175 * u_sq)))
+    B = u_sq / 1024 * (256 + u_sq * (-128 + u_sq * (74 - 47 * u_sq)))
+    delta_sigma = (
+        B
+        * sin_sigma
+        * (
+            cos2sm
+            + B
+            / 4
+            * (
+                cos_sigma * (-1 + 2 * cos2sm**2)
+                - B / 6 * cos2sm * (-3 + 4 * sin_sigma**2) * (-3 + 4 * cos2sm**2)
+            )
+        )
     )
+    dist = _WGS84_B * A * (sigma - delta_sigma)
+    return 0.0 if math.isnan(dist) else dist
 
 
 def haversine_py(lat1: float, lng1: float, lat2: float, lng2: float) -> float:

@@ -81,23 +81,59 @@ def md5_i64(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
 
 
-def minhash_signature(shingles: Column, n_hashes: int = 16) -> Column:
-    """MinHash signature: array of n minima of salted md5 hashes.
+# Universal-hash permutations for MinHash: perm_i(s) = (a_i·h + b_i)
+# mod P over the Mersenne prime P = 2^31−1, with h = md5_i64(s) mod P.
+# ONE md5 per shingle (the md5 is the cost at corpus scale) and 16
+# integer transforms instead of 16 md5s — a_i·h < 2^62 stays inside
+# BIGINT on both engines. Constants are fixed digits of the md5 of the
+# permutation index, so both expression builders embed the same
+# literals.
+MINHASH_P = 2_147_483_647
 
-    Permutation ``i`` hashes ``i || ':' || shingle``; the min over the
-    document's shingle set approximates a random permutation minimum.
-    Fully expression-based → also expressible in the DuckDB oracle.
+
+def _mh_constants(i: int) -> tuple[int, int]:
+    import hashlib
+
+    d = hashlib.md5(f"minhash-perm:{i}".encode()).hexdigest()
+    a = int(d[:15], 16) % (MINHASH_P - 1) + 1
+    b = int(d[15:30], 16) % MINHASH_P
+    return a, b
+
+
+def shingle_hashes(shingles: Column) -> Column:
+    """md5-hash a shingle set to integers mod P, once.
+
+    Callers should materialize (cache) this column before fanning out
+    to the 16 permutations: Spark does not common-subexpression-
+    eliminate through higher-order-function lambdas, so embedding the
+    md5 inside every permutation would run it 16×.
     """
+    return F.array_distinct(F.transform(shingles, lambda s: md5_i64(s) % MINHASH_P))
+
+
+def minhash_signature_from_hashes(hvals: Column, n_hashes: int = 16) -> Column:
+    """MinHash signature from pre-hashed shingle ints (cheap integer
+    transforms only — the md5 cost was paid once in shingle_hashes)."""
+
     # NB: PySpark higher-order functions pass one argument per lambda
-    # parameter, so the ``lambda s, i=i`` default-arg idiom would bind
+    # parameter, so the ``lambda h, i=i`` default-arg idiom would bind
     # ``i`` to a second lambda variable — capture via closure instead.
-    def _salted(i: int):
-        return lambda s: md5_i64(F.concat(F.lit(f"{i}:"), s))
+    def _perm(a: int, b: int):
+        return lambda h: (h * a + b) % MINHASH_P
 
     sigs = [
-        F.array_min(F.transform(shingles, _salted(i))) for i in range(n_hashes)
+        F.array_min(F.transform(hvals, _perm(*_mh_constants(i))))
+        for i in range(n_hashes)
     ]
     return F.array(*sigs)
+
+
+def minhash_signature(shingles: Column, n_hashes: int = 16) -> Column:
+    """MinHash signature: array of n universal-hash permutation minima.
+
+    Fully expression-based → bit-identical in the DuckDB oracle.
+    """
+    return minhash_signature_from_hashes(shingle_hashes(shingles), n_hashes)
 
 
 def lsh_bands(signature: Column, n_bands: int, rows_per_band: int) -> Column:

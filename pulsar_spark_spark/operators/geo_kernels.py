@@ -58,7 +58,7 @@ import math
 
 import numpy as np
 
-from pulsar_spark_spark.functions.geo import vincenty_np
+from pulsar_spark_spark.functions.geo import vincenty_np, vincenty_py
 
 # Reference defaults (BestLatLngCalculator.scala config getOrElse's,
 # DeliveryLocationRefinementService.scala:99-106).
@@ -94,11 +94,10 @@ def _pairwise_vincenty(lats: np.ndarray, lngs: np.ndarray) -> np.ndarray:
 
 
 def _dist(lat1: float, lng1: float, lat2: float, lng2: float) -> float:
-    return float(
-        vincenty_np(
-            np.array([lat1]), np.array([lng1]), np.array([lat2]), np.array([lng2])
-        )[0]
-    )
+    # scalar fast path: the sequential kernels (DBSCAN walk, cluster
+    # probe) compute one distance at a time, where a 1-element numpy
+    # call pays ~100× overhead; vincenty_py is arithmetic-identical.
+    return vincenty_py(lat1, lng1, lat2, lng2)
 
 
 # ---------------------------------------------------------------------

@@ -39,6 +39,20 @@ from pulsar_spark_spark.operators.geo_kernels import (
 _SORT = ["ts_ms", "event_id"]
 
 
+def _spread(df: DataFrame, key: str) -> DataFrame:
+    """Explicit pre-shuffle for Python-heavy grouped kernels.
+
+    applyInPandas work is invisible to AQE's size-based coalescing: a
+    few MB of shuffle data collapses to ONE post-shuffle partition and
+    the per-group Python runs serially. An explicit numPartitions
+    pins the exchange (AQE leaves user-specified counts alone) and
+    applyInPandas reuses it — groups spread across all cores here and
+    across executors on a cluster.
+    """
+    n = df.sparkSession.sparkContext.defaultParallelism * 2
+    return df.repartition(n, key)
+
+
 def apply_best_latlng(points: DataFrame) -> DataFrame:
     """G1 per group. Input columns: user_id, event_id, ts_ms, lat, lng.
 
@@ -59,7 +73,7 @@ def apply_best_latlng(points: DataFrame) -> DataFrame:
         )
 
     schema = "user_id bigint, best_lat double, best_lng double, n_points int"
-    return points.groupBy("user_id").applyInPandas(kernel, schema)
+    return _spread(points, "user_id").groupBy("user_id").applyInPandas(kernel, schema)
 
 
 def apply_cluster_score(points: DataFrame) -> DataFrame:
@@ -82,7 +96,7 @@ def apply_cluster_score(points: DataFrame) -> DataFrame:
         )
 
     schema = "user_id bigint, lat double, lng double, cluster_score double, n_points int"
-    return points.groupBy("user_id").applyInPandas(kernel, schema)
+    return _spread(points, "user_id").groupBy("user_id").applyInPandas(kernel, schema)
 
 
 def apply_cluster_score_v3(points: DataFrame) -> DataFrame:
@@ -111,7 +125,7 @@ def apply_cluster_score_v3(points: DataFrame) -> DataFrame:
         "user_id bigint, lat double, lng double, cluster_score double, "
         "is_high_confidence boolean"
     )
-    return points.groupBy("user_id").applyInPandas(kernel, schema)
+    return _spread(points, "user_id").groupBy("user_id").applyInPandas(kernel, schema)
 
 
 def apply_trimmed_centroid(points: DataFrame) -> DataFrame:
@@ -138,7 +152,7 @@ def apply_trimmed_centroid(points: DataFrame) -> DataFrame:
         )
 
     schema = "user_id bigint, centroid_lat double, centroid_lng double, n_accurate int"
-    return points.groupBy("user_id").applyInPandas(kernel, schema)
+    return _spread(points, "user_id").groupBy("user_id").applyInPandas(kernel, schema)
 
 
 def apply_delivery_refinement(joined: DataFrame) -> DataFrame:
@@ -185,4 +199,4 @@ def apply_delivery_refinement(joined: DataFrame) -> DataFrame:
         "delivery_id bigint, user_id bigint, is_refined boolean, "
         "method string, ref_lat double, ref_lng double"
     )
-    return joined.groupBy("delivery_id").applyInPandas(kernel, schema)
+    return _spread(joined, "delivery_id").groupBy("delivery_id").applyInPandas(kernel, schema)

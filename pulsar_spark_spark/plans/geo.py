@@ -391,14 +391,21 @@ def geotag_history_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     lng = (60.0 + _salted_mod("ulng:", col("user_id"), 4000) * 0.01) + (
         _salted_mod("hlng:", col("event_id"), 5) - 2
     ) * 1e-4
-    pts = ev.select(
+    all_pts = ev.select(
         "user_id",
         "event_id",
         "ts",
+        "event_type",
         lat.alias("lat"),
         lng.alias("lng"),
         (_salted_mod("eacc:", col("event_id"), 3) * 50).cast("double").alias("accuracy"),
     )
+    # U1/J4: the stored state and the new micro-batch are distinct
+    # relations unioned by name before the merge — 'purchase' events
+    # play the arriving batch, everything else the persisted state.
+    state = all_pts.filter(col("event_type") != "purchase").drop("event_type")
+    batch = all_pts.filter(col("event_type") == "purchase").drop("event_type")
+    pts = state.unionByName(batch)
     w_dup = Window.partitionBy("user_id", "lat", "lng", "accuracy").orderBy(
         "ts", "event_id"
     )

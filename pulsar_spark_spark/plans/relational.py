@@ -361,3 +361,42 @@ def priority_counts_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .orderBy("o_orderpriority")
     )
+
+
+# --------------------------------------------------------------------
+# A8/U2: distinct key sets, union-distinct, intersection
+# --------------------------------------------------------------------
+@query(
+    "distinct_event_entities",
+    oracle="""
+        WITH p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+             c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click')
+        SELECT
+            (SELECT count(*) FROM p)                                  AS n_purchasers,
+            (SELECT count(*) FROM c)                                  AS n_clickers,
+            (SELECT count(*) FROM (SELECT * FROM p UNION SELECT * FROM c)) AS n_union,
+            (SELECT count(*) FROM (SELECT * FROM p INTERSECT SELECT * FROM c)) AS n_both
+    """,
+)
+def distinct_event_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct entity key sets with union-distinct and intersection.
+
+    Reference U2/A8: device-id key sets across two tables unioned on
+    the driver (batch/GeoTagEventIntersection.scala:56-92) and
+    ``rdd.distinct().collect()`` probes. Here the sets stay
+    distributed; each distinct is a partial-aggregated shuffle on the
+    key and the counts are single-row results.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    p = ev.filter(col("event_type") == "purchase").select("user_id").distinct()
+    c = ev.filter(col("event_type") == "click").select("user_id").distinct()
+    return (
+        p.agg(F.count(F.lit(1)).alias("n_purchasers"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_clickers")))
+        .crossJoin(
+            p.union(c).distinct().agg(F.count(F.lit(1)).alias("n_union"))
+        )
+        .crossJoin(
+            p.intersect(c).agg(F.count(F.lit(1)).alias("n_both"))
+        )
+    )

@@ -5,8 +5,8 @@ The four brief components as registered, oracle-checked queries:
 - **Exact dedup** (``doc_exact_dup_groups``): 60-bit md5 fingerprint
   of the sorted distinct token set → hash groupBy. The fingerprint is
   order-insensitive, so shuffled copies of a document collapse.
-- **Near dedup** (``doc_near_dup_pairs``): char-5-shingle MinHash
-  (16 hashes) → banded LSH (8 bands × 2 rows) → candidate pairs via a
+- **Near dedup** (``doc_near_dup_pairs``): char-8-shingle MinHash
+  (16 hashes) → banded LSH (4 bands × 4 rows) → candidate pairs via a
   join on exploded band keys → exact Jaccard verify ≥ 0.8. This is
   the bucketed, never-all-pairs shape: at 100 TB the only shuffle is
   on band keys, candidates are a tiny fraction of n², and the exact
@@ -45,8 +45,9 @@ from pulsar_spark_spark.functions.text import (
     lang_scores,
     lsh_bands,
     md5_i64,
-    minhash_signature,
+    minhash_signature_from_hashes,
     quality_features,
+    shingle_hashes,
     simhash16,
     tokens,
 )
@@ -78,15 +79,6 @@ def _sql_shingles(k: int = 5) -> str:
         f"list_transform(range(1, greatest(length({_SQL_CLEAN}) - {k - 1}, 0) + 1), "
         f"i -> substr({_SQL_CLEAN}, i::INTEGER, {k}))"
     )
-
-
-def _sql_minhash(n_hashes: int, shingles_expr: str) -> list[str]:
-    """One DuckDB min-hash expression per salted permutation."""
-    return [
-        f"list_min(list_transform({shingles_expr}, "
-        f"s -> {_sql_md5_i64(repr(f'{i}:') + ' || s')}))"
-        for i in range(n_hashes)
-    ]
 
 
 # ---------------------------------------------------------------------
@@ -135,14 +127,22 @@ def doc_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------
 # near dedup: MinHash + banded LSH + exact-Jaccard verify
 # ---------------------------------------------------------------------
+_SHINGLE_K = 8  # long shingles span word boundaries → random-pair
+# similarity collapses on small-vocab corpora, keeping LSH candidate
+# sets near the true-pair set instead of ~20% of all pairs
 _N_HASHES = 16
-_N_BANDS = 8
-_ROWS_PER_BAND = 2
+_N_BANDS = 4
+_ROWS_PER_BAND = 4
 _JACCARD_MIN = 0.8
 
 
 def _near_dup_oracle() -> str:
-    sigs = _sql_minhash(_N_HASHES, "shingles")
+    from pulsar_spark_spark.functions.text import MINHASH_P, _mh_constants
+
+    sigs = [
+        f"list_min(list_transform(hv, h -> (h * {a} + {b}) % {MINHASH_P}))"
+        for a, b in (_mh_constants(i) for i in range(_N_HASHES))
+    ]
     band_exprs = ", ".join(
         f"'{b}:' || md5(array_to_string(sig[{b * _ROWS_PER_BAND + 1}:"
         f"{(b + 1) * _ROWS_PER_BAND}], ','))"
@@ -150,7 +150,10 @@ def _near_dup_oracle() -> str:
     )
     return f"""
         WITH sh AS (
-            SELECT doc_id, list_distinct({_sql_shingles()}) AS shingles
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       {_sql_shingles(_SHINGLE_K)},
+                       s -> {_sql_md5_i64('s')} % {MINHASH_P})) AS hv
             FROM documents
         ), sig AS (
             SELECT doc_id, [{', '.join(sigs)}] AS sig
@@ -165,14 +168,14 @@ def _near_dup_oracle() -> str:
         SELECT
             c.doc_a AS doc_a,
             c.doc_b AS doc_b,
-            round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
-                  / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 4)
+            round(len(list_intersect(sa.hv, sb.hv))::DOUBLE
+                  / len(list_distinct(list_concat(sa.hv, sb.hv))), 4)
                 AS jaccard
         FROM cand c
         JOIN sh sa ON sa.doc_id = c.doc_a
         JOIN sh sb ON sb.doc_id = c.doc_b
-        WHERE len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
-              / len(list_distinct(list_concat(sa.shingles, sb.shingles)))
+        WHERE len(list_intersect(sa.hv, sb.hv))::DOUBLE
+              / len(list_distinct(list_concat(sa.hv, sb.hv)))
               >= {_JACCARD_MIN}
         ORDER BY doc_a, doc_b
     """
@@ -182,21 +185,35 @@ def _near_dup_oracle() -> str:
 def doc_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs: MinHash → LSH bands → exact-Jaccard verify.
 
-    The 100 TB shape: the ONLY join key is the band hash (8 bands × 2
-    rows over 16 minhashes — candidate prob ≈ 1 for J≥0.9, ≈ 0.9 for
-    J≥0.8), so work is O(candidates), never O(n²). The exact-Jaccard
+    The 100 TB shape: the ONLY join key is the band hash (4 bands × 4
+    rows over 16 minhashes — candidate prob ≈ 0.99 at J=0.9, ≈ 0.88 at
+    J=0.8, <0.1% for unrelated docs once 8-char shingles decorrelate
+    them), so work is O(candidates), never O(n²). The exact-Jaccard
     rerank runs only on candidate pairs. Both the signature scheme and
     the banding are md5-based, hence bit-identical in the oracle.
     """
     docs = load_table(spark, "documents", sf_dir)
-    sh = docs.select(
-        col("doc_id"),
-        F.array_distinct(char_shingles(col("text"))).alias("shingles"),
+    # The corpus arrives as few parquet splits, so without an explicit
+    # spread the md5-per-shingle map work runs in one task; repartition
+    # by doc_id before the expensive projection. The md5 is paid ONCE
+    # per shingle here (shingle_hashes) — Spark does not CSE through
+    # higher-order lambdas, so hashing inside each of the 16
+    # permutations would cost 16×. X4: the hashed relation then feeds
+    # three consumers (signature, left/right sides of the Jaccard
+    # rerank) — cache it; the Jaccard runs over the same int sets
+    # (bit-identical in the oracle, and cheaper than string arrays).
+    n_spread = spark.sparkContext.defaultParallelism * 2
+    sh = (
+        docs.repartition(n_spread, col("doc_id"))
+        .select(
+            col("doc_id"),
+            shingle_hashes(char_shingles(col("text"), _SHINGLE_K)).alias("hv"),
+        )
+        .cache()
     )
     sig = sh.select(
         "doc_id",
-        "shingles",
-        minhash_signature(col("shingles"), _N_HASHES).alias("sig"),
+        minhash_signature_from_hashes(col("hv"), _N_HASHES).alias("sig"),
     )
     banded = sig.select(
         "doc_id",
@@ -213,8 +230,8 @@ def doc_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(col("a.doc_id").alias("doc_a"), col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sa = sh.select(col("doc_id").alias("doc_a"), col("shingles").alias("sh_a"))
-    sb = sh.select(col("doc_id").alias("doc_b"), col("shingles").alias("sh_b"))
+    sa = sh.select(col("doc_id").alias("doc_a"), col("hv").alias("sh_a"))
+    sb = sh.select(col("doc_id").alias("doc_b"), col("hv").alias("sh_b"))
     jac = F.size(F.array_intersect(col("sh_a"), col("sh_b"))).cast("double") / F.size(
         F.array_union(col("sh_a"), col("sh_b"))
     )

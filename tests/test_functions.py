@@ -1,0 +1,123 @@
+"""Unit tests for the scalar function library (F1-F5 coverage).
+
+The reference tests its pure logic in isolation (PulsarLedgerTest
+pattern); these pin the geo/text primitives: Vincenty semantics
+(sentinel, zero, known geodesic distances), geohash round-trips and
+published test vectors, haversine constants, and the n-gram/shingle
+short-input guards.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+import pyspark.sql.functions as F
+
+from pulsar_spark_spark.functions.geo import (
+    NO_FIX_DISTANCE_M,
+    geohash_decode_py,
+    geohash_encode_py,
+    haversine_m,
+    haversine_py,
+    vincenty_py,
+)
+from pulsar_spark_spark.functions.text import (
+    char_shingles,
+    tokens,
+    word_ngrams,
+)
+
+BLR = (12.9716, 77.5946)
+CHENNAI = (13.0827, 80.2707)
+
+
+class TestVincenty:
+    def test_zero_lat_sentinel(self):
+        # reference BestLatLngCalculator.scala:17-18: lat==0 → 1e7
+        assert vincenty_py(0.0, 77.0, 12.9, 77.6) == NO_FIX_DISTANCE_M
+        assert vincenty_py(12.9, 77.6, 0.0, 77.0) == NO_FIX_DISTANCE_M
+
+    def test_same_point_zero(self):
+        assert vincenty_py(*BLR, *BLR) == 0.0
+
+    def test_known_distance_blr_chennai(self):
+        # WGS-84 geodesic BLR→Chennai ≈ 290.2 km (published geodesic
+        # calculators agree within meters)
+        d = vincenty_py(*BLR, *CHENNAI)
+        assert d == pytest.approx(290_000, rel=0.01)
+
+    def test_one_degree_latitude_at_equator_adjacent(self):
+        # 1° of latitude ≈ 110.57 km near the equator on WGS-84
+        d = vincenty_py(1.0, 0.0, 2.0, 0.0)
+        assert d == pytest.approx(110_570, rel=0.005)
+
+    def test_close_to_haversine_at_short_range(self):
+        # ellipsoid vs sphere differ < 0.6% at city scale
+        v = vincenty_py(12.9716, 77.5946, 12.9800, 77.6000)
+        h = haversine_py(12.9716, 77.5946, 12.9800, 77.6000)
+        assert v == pytest.approx(h, rel=0.006)
+
+
+class TestHaversine:
+    def test_known_value(self):
+        # pure great-circle with R=6371 km (reference constant)
+        d = haversine_py(*BLR, *CHENNAI)
+        assert d == pytest.approx(290_200, rel=0.01)
+
+    def test_expression_matches_python(self, spark):
+        df = spark.createDataFrame(
+            [(BLR[0], BLR[1], CHENNAI[0], CHENNAI[1])], "a double, b double, c double, d double"
+        )
+        got = df.select(
+            haversine_m(F.col("a"), F.col("b"), F.col("c"), F.col("d")).alias("m")
+        ).collect()[0]["m"]
+        assert got == pytest.approx(haversine_py(*BLR, *CHENNAI), abs=1e-6)
+
+
+class TestGeohash:
+    def test_published_vector(self):
+        # canonical example from the public geohash spec
+        assert geohash_encode_py(42.6, -5.6, 5) == "ezs42"
+        lat, lng = geohash_decode_py("ezs42")
+        assert lat == pytest.approx(42.6, abs=0.03)
+        assert lng == pytest.approx(-5.6, abs=0.03)
+
+    def test_roundtrip_precision7(self):
+        # precision 7 cells are ≈153 m × 153 m → decode within ~0.002°
+        for lat, lng in [BLR, CHENNAI, (-33.8688, 151.2093), (51.5074, -0.1278)]:
+            gh = geohash_encode_py(lat, lng, 7)
+            assert len(gh) == 7
+            dlat, dlng = geohash_decode_py(gh)
+            assert dlat == pytest.approx(lat, abs=0.002)
+            assert dlng == pytest.approx(lng, abs=0.002)
+
+    def test_prefix_property(self):
+        # a longer geohash refines (shares the prefix of) a shorter one
+        full = geohash_encode_py(*BLR, 12)
+        for p in (4, 7, 9):
+            assert geohash_encode_py(*BLR, p) == full[:p]
+
+
+class TestTextPrimitives:
+    @pytest.fixture(scope="class")
+    def df(self, spark):
+        return spark.createDataFrame(
+            [("the quick brown fox",), ("ab",), ("",), ("x y",)], "text string"
+        )
+
+    def test_tokens_and_short_input_guards(self, spark, df):
+        rows = df.select(
+            tokens(F.col("text")).alias("tok"),
+            word_ngrams(tokens(F.col("text")), 3).alias("g3"),
+            char_shingles(F.col("text"), 5).alias("sh"),
+        ).collect()
+        by_input = {tuple(r["tok"]): r for r in rows}
+        r = by_input[("the", "quick", "brown", "fox")]
+        assert r["g3"] == ["the quick brown", "quick brown fox"]
+        assert len(r["sh"]) == len("the quick brown fox") - 4
+        # short inputs: no junk from Spark's descending sequence()
+        assert by_input[("ab",)]["g3"] == []
+        assert by_input[("ab",)]["sh"] == []
+        assert by_input[()]["g3"] == []
+        assert by_input[("x", "y")]["g3"] == []
