@@ -90,3 +90,25 @@ def write_csv_report(df: DataFrame, path: str, header: bool = True) -> str:
     shutil.move(part, path)
     shutil.rmtree(tmp)
     return path
+
+
+def dump_blobs(df: DataFrame, out_dir: str, id_col: str, payload_col: str) -> int:
+    """Per-row binary dump (K4 analog of batch/ImageDump.scala:17-49).
+
+    Writes each row's payload as ``<id>.bin`` under ``out_dir`` from
+    the executors via ``foreachPartition`` — distributed, no driver
+    collect (the reference's version also wrote per-row from a
+    ``foreach``). Returns the number of files written.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_partition(rows) -> None:
+        for row in rows:
+            payload = row[payload_col]
+            if payload is None:
+                continue
+            with open(os.path.join(out_dir, f"{row[id_col]}.bin"), "wb") as f:
+                f.write(bytes(payload))
+
+    df.select(id_col, payload_col).foreachPartition(write_partition)
+    return len([f for f in os.listdir(out_dir) if f.endswith(".bin")])

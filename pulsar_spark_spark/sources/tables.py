@@ -68,3 +68,24 @@ def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
             load_table(spark, name, sf_dir).createOrReplaceTempView(name)
+
+
+def load_events_range(
+    spark: SparkSession,
+    sf_dir: str = DEFAULT_SF_DIR,
+    start_id: int | None = None,
+    end_id: int | None = None,
+) -> DataFrame:
+    """Batch read over an explicit offset range (S2 analog).
+
+    The reference's ``createRDD(start, end)`` reads a bounded message
+    id range (pulsar-spark-dstream PulsarStreamUtils.scala:20-43);
+    here the monotone ``event_id`` plays the offset and the predicate
+    pushes into the parquet scan, so only matching row groups are read.
+    """
+    df = load_table(spark, "events", sf_dir)
+    if start_id is not None:
+        df = df.filter(F.col("event_id") >= start_id)
+    if end_id is not None:
+        df = df.filter(F.col("event_id") <= end_id)
+    return df

@@ -112,3 +112,34 @@ def windowed_counts(events: DataFrame, watermark: str = "10 minutes") -> DataFra
             "n_events",
         )
     )
+
+
+def periodic_requery(
+    spark: SparkSession,
+    query_fn,
+    checkpoint_dir: str,
+    interval: str = "1 seconds",
+    rows_per_second: int = 1,
+):
+    """S8 analog: a self-triggering periodic re-query.
+
+    The reference drives a re-query of the hot store every batch
+    interval with a ConstantInputDStream
+    (DeliveryLocationRefinementApp.scala:74-75); here the ``rate``
+    source is the clock and ``foreachBatch`` re-runs ``query_fn``
+    (batch_id) each tick. Returns the running StreamingQuery — caller
+    stops it.
+    """
+
+    def tick(_batch_df: DataFrame, batch_id: int) -> None:
+        query_fn(batch_id)
+
+    return (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+        .writeStream.foreachBatch(tick)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=interval)
+        .start()
+    )

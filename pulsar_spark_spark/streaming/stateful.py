@@ -1,0 +1,157 @@
+"""Stateful streaming: the G9 geofence machine + A10 running state.
+
+The reference keeps ``last_geofence_id`` per trip in Cassandra and
+walks a transition table on every event
+(TripTrackingService.scala:149-190, state update :146-148). The
+Spark-native form is ``applyInPandasWithState``: the key's state
+(last geofence + running event count) lives in the checkpointed state
+store, each micro-batch delivers the key's new events as Arrow
+batches, and alert rows stream out. Restart-safe via the same
+checkpoint mechanism as the rest of the pipeline (T7).
+
+The per-event containing geofence is computed BEFORE the stateful op
+as a stream-static broadcast join (the same plan as the batch analog
+in plans/geo.py) — the stateful kernel only walks transitions, so its
+state is O(1) per key.
+
+The A10 component (running per-key accumulation, the reference's
+``updateStateByKey`` connector test, ViestiTestSuite.scala:72-76) is
+the ``n_events_seen`` counter carried in the same state tuple.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from pulsar_spark_spark.operators.shipping import ensure_package_on_executors
+
+OUTER = "outer"
+
+
+def locate_expr(fences: list[tuple[int, float, float, float]]):
+    """Map-side containing-geofence resolver for STREAMS.
+
+    A streaming groupBy-per-event (the batch analog's containment
+    aggregate) is a streaming aggregation and can't run in append
+    mode; with a bounded fence set the same last-match-wins rule folds
+    into one expression: greatest over CASE WHEN haversine < radius
+    THEN fence index. ``fences`` are (idx, lat, lng, radius_m) rows —
+    driver-collected from the 25-row dim, i.e. a broadcast-by-literal.
+    Returns a Column producing 'G<idx>' or 'outer'.
+    """
+    import pyspark.sql.functions as F
+    from pyspark.sql.functions import col
+
+    from pulsar_spark_spark.functions.geo import haversine_m
+
+    cases = [
+        F.when(
+            haversine_m(col("lat"), col("lng"), F.lit(glat), F.lit(glng))
+            < F.lit(radius),
+            F.lit(idx),
+        ).otherwise(F.lit(-1))
+        for idx, glat, glng, radius in fences
+    ]
+    mx = F.greatest(*cases) if len(cases) > 1 else cases[0]
+    return (
+        F.when(mx >= 0, F.concat(F.lit("G"), mx.cast("string")))
+        .otherwise(F.lit(OUTER))
+    )
+
+_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("prev_gf", StringType()),
+        StructField("cur_gf", StringType()),
+        StructField("exit_alert", StringType()),
+        StructField("entry_alert", StringType()),
+        StructField("n_events_seen", LongType()),
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [StructField("last_gf", StringType()), StructField("n_seen", LongType())]
+)
+
+
+def _alerts(prev_gf: str, cur_gf: str, src_gf: str, dest_gf: str):
+    """The reference's nested transition logic, shared with the batch
+    analog: exit side (trip_start when leaving src, geofence_exit when
+    leaving any non-outer fence) and entry side (trip_end at dest,
+    geofence_entry otherwise)."""
+    exit_alert = (
+        "trip_start"
+        if prev_gf == src_gf
+        else ("geofence_exit" if prev_gf != OUTER else None)
+    )
+    entry_alert = (
+        None
+        if cur_gf == OUTER
+        else ("trip_end" if cur_gf == dest_gf else "geofence_entry")
+    )
+    return exit_alert, entry_alert
+
+
+def geofence_alert_stream(
+    located: DataFrame,
+    src_gf: str = "G0",
+    dest_gf: str = "G24",
+) -> DataFrame:
+    """Stateful geofence transitions over a stream of located events.
+
+    ``located`` needs columns (user_id, event_id, ts_ms, cur_gf) —
+    cur_gf from the broadcast containment join. Emits one row per
+    transition with the persistent per-user state (last geofence,
+    running event count) carried across micro-batches and restarts.
+    """
+    ensure_package_on_executors(located.sparkSession)
+
+    def walk(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        last_gf, n_seen = state.get if state.exists else (OUTER, 0)
+        rows: list[dict] = []
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["ts_ms", "event_id"])
+        for _, r in batch.iterrows():
+            n_seen += 1
+            cur = r["cur_gf"]
+            if cur != last_gf:
+                exit_alert, entry_alert = _alerts(last_gf, cur, src_gf, dest_gf)
+                rows.append(
+                    {
+                        "user_id": user_id,
+                        "event_id": r["event_id"],
+                        "prev_gf": last_gf,
+                        "cur_gf": cur,
+                        "exit_alert": exit_alert,
+                        "entry_alert": entry_alert,
+                        "n_events_seen": n_seen,
+                    }
+                )
+                last_gf = cur
+        state.update((last_gf, n_seen))
+        yield pd.DataFrame(rows, columns=[f.name for f in _OUTPUT_SCHEMA.fields])
+
+    return located.groupBy("user_id").applyInPandasWithState(
+        walk,
+        outputStructType=_OUTPUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,90 @@
+"""Physical-plan audits: pushdown, pruning, join strategy, shuffles.
+
+These lock in the scale properties the queries were designed around —
+a regression that silently turns a pruned scan into a full scan or a
+broadcast join into a cartesian product fails here, not at 100 TB.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from pulsar_spark_spark.plans import QUERIES
+from tests.conftest import SF_DIR
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_q1_filter_pushdown_and_column_pruning(spark):
+    plan = plan_of(QUERIES["q1_pricing_summary"](spark, SF_DIR))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # only the 7 needed columns reach the scan — not the full table
+    read = next(line for line in plan.splitlines() if "ReadSchema" in line)
+    assert "l_orderkey" not in read and "l_comment" not in read
+    assert "l_quantity" in read and "l_returnflag" in read
+
+
+def test_props_stats_prunes_to_two_columns(spark):
+    plan = plan_of(QUERIES["props_key_stats"](spark, SF_DIR))
+    read = next(line for line in plan.splitlines() if "ReadSchema" in line)
+    assert "props" in read and "event_type" in read
+    assert "user_id" not in read and "value" not in read
+
+
+def test_q5_broadcasts_only_bounded_dims(spark):
+    plan = plan_of(QUERIES["q5_region_revenue"](spark, SF_DIR), "extended")
+    # exactly two broadcast hints (nation, region) reach the analyzer;
+    # customer/supplier must be left to AQE's runtime choice
+    analyzed = plan.split("== Analyzed Logical Plan ==")[1].split("== Optimized")[0]
+    assert analyzed.count("ResolvedHint (strategy=broadcast)") == 2
+
+
+def test_geofence_containment_is_broadcast_not_cartesian(spark):
+    plan = plan_of(QUERIES["geofence_containment"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_interval_join_is_equi_join_with_range_residual(spark):
+    plan = plan_of(QUERIES["purchase_click_attribution"](spark, SF_DIR))
+    # the user_id equi-key must be the join key (hash/sort-merge),
+    # with the time range as a residual condition — never a cross join
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_user_sessions_single_shuffle_for_both_windows(spark):
+    plan = plan_of(QUERIES["user_sessions"](spark, SF_DIR))
+    # both window passes AND the (user_id, session_id) aggregate share
+    # ONE hashpartitioning(user_id) exchange (partitioning by a key
+    # subset satisfies the aggregate's clustering); the only other
+    # exchange is the final presentation sort
+    assert plan.count("hashpartitioning(user_id") == 1, plan
+
+
+def test_whole_stage_codegen_covers_relational_spine(spark):
+    df = QUERIES["q1_pricing_summary"](spark, SF_DIR)
+    df.collect()  # AQE finalizes the physical plan on execution
+    final = df._jdf.queryExecution().executedPlan().toString()
+    # '*(n)' marks WholeStageCodegen stages in the executed plan; the
+    # scan→partial-agg and final-agg pipelines must both be codegen'd
+    assert "*(1)" in final and "*(2)" in final, final
+    # partial (map-side) aggregation before the shuffle
+    assert "partial_sum" in final
+
+
+def test_kernel_query_spreads_groups(spark):
+    plan = plan_of(QUERIES["best_latlng_per_user"](spark, SF_DIR))
+    # the explicit repartition must survive planning so AQE cannot
+    # serialize the Python kernel stage into one partition
+    assert "REPARTITION_BY_NUM" in plan or "RoundRobinPartitioning" in plan or (
+        "hashpartitioning(user_id" in plan
+    )
+    assert "FlatMapGroupsInPandas" in plan

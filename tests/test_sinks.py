@@ -63,3 +63,29 @@ def test_csv_report_roundtrip(spark, tmp_path):
     assert [(r["bucket"], r["count"]) for r in rows] == [
         ("0", "4"), ("1", "3"), ("2", "3"),
     ]
+
+
+def test_blob_dump_per_row(spark, tmp_path):
+    from pulsar_spark_spark.plans.multimodal import media_table
+    from pulsar_spark_spark.sources.sinks import dump_blobs
+
+    m = media_table(spark, "/root/testdata/sf0.001").limit(7)
+    out = str(tmp_path / "blobs")
+    n = dump_blobs(m, out, "media_id", "payload")
+    assert n == 7
+    row = m.orderBy("media_id").first()
+    with open(f"{out}/{row['media_id']}.bin", "rb") as f:
+        assert f.read() == bytes(row["payload"])
+
+
+def test_events_range_read_pushdown(spark):
+    from pulsar_spark_spark.sources.tables import load_events_range
+
+    df = load_events_range(spark, "/root/testdata/sf0.001", 100, 199)
+    ids = [r["event_id"] for r in df.select("event_id").collect()]
+    assert ids and min(ids) >= 100 and max(ids) <= 199
+    import contextlib, io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    assert "GreaterThanOrEqual(event_id,100)" in buf.getvalue()

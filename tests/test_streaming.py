@@ -189,3 +189,19 @@ def test_windowed_counts_with_watermark(spark, tmp_path, event_chunks):
     assert got, "watermark should finalize at least one window"
     for r in got:
         assert want[(r["window_start"], r["event_type"])] == r["n_events"]
+
+
+def test_periodic_requery_ticks(spark, tmp_path):
+    import time
+
+    from pulsar_spark_spark.streaming.pipeline import periodic_requery
+
+    seen: list[int] = []
+    q = periodic_requery(
+        spark, seen.append, str(tmp_path / "ckpt_rate"), interval="1 seconds"
+    )
+    deadline = time.time() + 60
+    while len(seen) < 2 and time.time() < deadline:
+        time.sleep(0.5)
+    q.stop()
+    assert len(seen) >= 2  # the clock re-ran the query function
