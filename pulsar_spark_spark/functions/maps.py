@@ -15,30 +15,27 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column
 
 
-def _dedup_entries_first_wins(entries: Column) -> Column:
-    """Keep the first entry per key (expression-only fold; avoids the
-    session-level mapKeyDedupPolicy dependency)."""
-    return F.aggregate(
-        entries,
-        F.expr("CAST(array() AS ARRAY<STRUCT<key STRING, value STRING>>)"),
-        lambda acc, e: F.when(
-            F.exists(acc, lambda a: a["key"] == e["key"]), acc
-        ).otherwise(F.concat(acc, F.array(e))),
+def _entries(kv: Column) -> Column:
+    return F.transform(
+        kv, lambda e: F.struct(e["key"].alias("key"), e["value"].alias("value"))
     )
 
 
 def kv_list_to_map_last_wins(kv: Column) -> Column:
     """ARRAY<STRUCT<key,value>> → MAP, last duplicate wins (matches the
-    reference's loop-overwrite accessor)."""
-    entries = F.transform(kv, lambda e: F.struct(e["key"].alias("key"), e["value"].alias("value")))
-    return F.map_from_entries(_dedup_entries_first_wins(F.reverse(entries)))
+    reference's loop-overwrite accessor).
+
+    Uses the native ``map_from_entries`` under the LAST_WIN dedup
+    policy (set by the table loader) — a single linear pass, unlike
+    the O(k²) exists-fold it replaces.
+    """
+    return F.map_from_entries(_entries(kv))
 
 
 def kv_list_to_map_first_wins(kv: Column) -> Column:
     """ARRAY<STRUCT<key,value>> → MAP, first duplicate wins (matches the
-    reference's ``.filter(...).head`` accessor)."""
-    entries = F.transform(kv, lambda e: F.struct(e["key"].alias("key"), e["value"].alias("value")))
-    return F.map_from_entries(_dedup_entries_first_wins(entries))
+    reference's ``.filter(...).head`` accessor): reverse + LAST_WIN."""
+    return F.map_from_entries(F.reverse(_entries(kv)))
 
 
 def get_attr(attributes: Column, key: str) -> Column:

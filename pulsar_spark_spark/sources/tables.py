@@ -47,8 +47,11 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
         raise KeyError(f"unknown table {name!r}; catalog: {TABLES}")
     # Runtime-settable; needed even when the caller built its own plain
     # SparkSession (e.g. the driver harness): UTC keeps date_format /
-    # from_unixtime output independent of the host timezone.
+    # from_unixtime output independent of the host timezone, and
+    # LAST_WIN lets the KV-attribute layer build maps from
+    # duplicate-keyed lists in one pass (functions/maps.py).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
