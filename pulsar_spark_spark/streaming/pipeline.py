@@ -65,6 +65,14 @@ def run_dedup_upsert_stream(
     """
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # P8: null-guard before the sink (the reference validates its
+        # KV shapes ahead of every Cassandra write); rejected rows are
+        # dropped here — route them to a quarantine sink in production.
+        from pulsar_spark_spark.sources.adapters import validate_for_sink
+
+        batch_df, _rejected = validate_for_sink(
+            batch_df, ["user_id", "event_type", "ts"]
+        )
         latest = (
             batch_df.groupBy("user_id", "event_type")
             .agg(
