@@ -4,22 +4,24 @@ The reference applies these algorithms inside per-key Scala ``map``
 calls after a ``combineByKey`` list build (e.g.
 GeoTagOptimizedService.scala:74-76,
 DeliveryLocationRefinementService.scala:85-88). The Spark-native home
-is ``groupBy(key).applyInPandas``: each group arrives as one Arrow
-batch, the kernel runs vectorized numpy, and output rows stream back —
-no driver collect, no unbounded buffers beyond the group itself
-(bounded by the reference's own n ≤ 500 kernel guard at the scoring
-step, and by upstream cap-100 state in the real pipeline).
+is a grouped map over Arrow batches; all wrappers here run through
+:func:`grouped_map_in_pandas` (partition-stream pattern) because the
+group populations are large-N-small-groups, where per-group
+``applyInPandas`` overhead (one Arrow batch + pandas frame + Python
+call per group, ~10 ms) would dominate the kernels themselves.
 
-Determinism: applyInPandas makes no ordering promise inside a group,
-so every wrapper sorts its batch by (ts_ms, event_id) first — the
-reference's time-sorted list order with a pinned tiebreak
-(SURVEY.md §7.3.2).
+Two scale rules are baked in:
+- an EXPLICIT numPartitions repartition precedes the Python stage —
+  Python work is invisible to AQE's size-based coalescing, which
+  would otherwise collapse the small shuffle to one partition and
+  serialize every kernel;
+- groups are bounded (the reference's own n ≤ 500 kernel guard;
+  cap-100 history upstream), so skew cannot concentrate unbounded
+  Python work on one key.
 
-Scale notes: grouping key is high-cardinality (addr_hash/user); skew
-is bounded because groups are capped (>500 short-circuits in G1;
-history state is capped at 100 upstream). Arrow batches keep the
-Python boundary amortized; the kernels are numpy pairwise ops, never
-per-row Python in an inner loop over rows × rows.
+Determinism: no grouped map promises in-group order, so every kernel
+sorts its batch by (ts_ms, event_id) first — the reference's
+time-sorted list order with a pinned tiebreak (SURVEY.md §7.3.2).
 """
 
 from __future__ import annotations
@@ -37,20 +39,6 @@ from pulsar_spark_spark.operators.geo_kernels import (
 )
 
 _SORT = ["ts_ms", "event_id"]
-
-
-def _spread(df: DataFrame, key: str) -> DataFrame:
-    """Explicit pre-shuffle for Python-heavy grouped kernels.
-
-    applyInPandas work is invisible to AQE's size-based coalescing: a
-    few MB of shuffle data collapses to ONE post-shuffle partition and
-    the per-group Python runs serially. An explicit numPartitions
-    pins the exchange (AQE leaves user-specified counts alone) and
-    applyInPandas reuses it — groups spread across all cores here and
-    across executors on a cluster.
-    """
-    n = df.sparkSession.sparkContext.defaultParallelism * 2
-    return df.repartition(n, key)
 
 
 def apply_best_latlng(points: DataFrame) -> DataFrame:
@@ -73,7 +61,7 @@ def apply_best_latlng(points: DataFrame) -> DataFrame:
         )
 
     schema = "user_id bigint, best_lat double, best_lng double, n_points int"
-    return _spread(points, "user_id").groupBy("user_id").applyInPandas(kernel, schema)
+    return grouped_map_in_pandas(points, "user_id", kernel, schema)
 
 
 def apply_cluster_score(points: DataFrame) -> DataFrame:
@@ -96,7 +84,7 @@ def apply_cluster_score(points: DataFrame) -> DataFrame:
         )
 
     schema = "user_id bigint, lat double, lng double, cluster_score double, n_points int"
-    return _spread(points, "user_id").groupBy("user_id").applyInPandas(kernel, schema)
+    return grouped_map_in_pandas(points, "user_id", kernel, schema)
 
 
 def apply_cluster_score_v3(points: DataFrame) -> DataFrame:
@@ -125,7 +113,7 @@ def apply_cluster_score_v3(points: DataFrame) -> DataFrame:
         "user_id bigint, lat double, lng double, cluster_score double, "
         "is_high_confidence boolean"
     )
-    return _spread(points, "user_id").groupBy("user_id").applyInPandas(kernel, schema)
+    return grouped_map_in_pandas(points, "user_id", kernel, schema)
 
 
 def apply_trimmed_centroid(points: DataFrame) -> DataFrame:
@@ -152,7 +140,7 @@ def apply_trimmed_centroid(points: DataFrame) -> DataFrame:
         )
 
     schema = "user_id bigint, centroid_lat double, centroid_lng double, n_accurate int"
-    return _spread(points, "user_id").groupBy("user_id").applyInPandas(kernel, schema)
+    return grouped_map_in_pandas(points, "user_id", kernel, schema)
 
 
 def apply_delivery_refinement(joined: DataFrame) -> DataFrame:

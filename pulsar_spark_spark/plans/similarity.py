@@ -256,3 +256,113 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", F.round("cos_sim", 6).alias("cos_sim"))
         .orderBy("vec_a", "vec_b")
     )
+
+
+# ---------------------------------------------------------------------
+# IVF-style coarse quantization + probe (the other 100 TB ANN path)
+# ---------------------------------------------------------------------
+_N_CENTROIDS = 16
+_N_PROBE = 2
+
+_SQL_ASSIGN = f"""
+        cents AS (SELECT vec_id AS cent_id, embedding AS cent_emb
+                  FROM embeddings WHERE vec_id < {_N_CENTROIDS}),
+        assign AS (
+            SELECT vec_id, embedding, cent_id AS cell
+            FROM (
+                SELECT e.vec_id, e.embedding, c.cent_id,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {_sql_cosine('e.embedding', 'c.cent_emb')} DESC,
+                                    c.cent_id
+                       ) AS crn
+                FROM embeddings e CROSS JOIN cents c
+            ) WHERE crn = 1
+        ),
+        probes AS (
+            SELECT q.vec_id AS query_id, q.embedding AS q_emb, c.cent_id AS cell
+            FROM (SELECT * FROM embeddings WHERE vec_id < {_N_QUERIES}) q
+            CROSS JOIN cents c
+            QUALIFY row_number() OVER (
+                PARTITION BY q.vec_id
+                ORDER BY {_sql_cosine('q.embedding', 'c.cent_emb')} DESC, c.cent_id
+            ) <= {_N_PROBE}
+        )
+"""
+
+
+@query(
+    "ann_topk_ivf",
+    oracle=f"""
+        WITH {_SQL_ASSIGN}
+        SELECT query_id, neighbor_id, rank, round(cos_sim, 6) AS cos_sim
+        FROM (
+            SELECT p.query_id, a.vec_id AS neighbor_id,
+                   {_sql_cosine('p.q_emb', 'a.embedding')} AS cos_sim,
+                   row_number() OVER (
+                       PARTITION BY p.query_id
+                       ORDER BY {_sql_cosine('p.q_emb', 'a.embedding')} DESC,
+                                a.vec_id
+                   ) AS rank
+            FROM probes p JOIN assign a ON a.cell = p.cell
+            WHERE a.vec_id <> p.query_id
+        )
+        WHERE rank <= {_TOP_K}
+        ORDER BY query_id, rank
+    """,
+)
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate top-k: coarse quantize → probe 2 cells →
+    exact rerank.
+
+    The inverted-file shape: every vector is assigned to its nearest
+    coarse centroid (here the first 16 corpus vectors — a production
+    system k-means these; the PLAN is identical), queries probe only
+    their nprobe=2 nearest cells, and the cell id is the equi-join
+    key. At 100 TB the corpus is partitioned BY cell, so a probe reads
+    ~nprobe/n_cells of the data — the complementary trade to the
+    sign-LSH variant (data-adaptive cells vs oblivious hashing).
+    """
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents = emb.filter(col("vec_id") < _N_CENTROIDS).select(
+        col("vec_id").alias("cent_id"), col("embedding").alias("cent_emb")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        col("cent_cos").desc(), col("cent_id")
+    )
+    assign = (
+        emb.join(broadcast(cents))
+        .withColumn("cent_cos", cosine(col("embedding"), col("cent_emb")))
+        .withColumn("crn", F.row_number().over(w_assign))
+        .filter(col("crn") == 1)
+        .select("vec_id", "embedding", col("cent_id").alias("cell"))
+    )
+    q = emb.filter(col("vec_id") < _N_QUERIES).select(
+        col("vec_id").alias("query_id"), col("embedding").alias("q_emb")
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        col("cent_cos").desc(), col("cent_id")
+    )
+    probes = (
+        q.join(broadcast(cents))
+        .withColumn("cent_cos", cosine(col("q_emb"), col("cent_emb")))
+        .withColumn("prn", F.row_number().over(w_probe))
+        .filter(col("prn") <= _N_PROBE)
+        .select("query_id", "q_emb", col("cent_id").alias("cell"))
+    )
+    scored = (
+        assign.join(broadcast(probes), "cell")
+        .filter(col("vec_id") != col("query_id"))
+        .select(
+            "query_id",
+            col("vec_id").alias("neighbor_id"),
+            cosine(col("q_emb"), col("embedding")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc(), col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(col("rank") <= _TOP_K)
+        .select("query_id", "neighbor_id", "rank", F.round("cos_sim", 6).alias("cos_sim"))
+        .orderBy("query_id", "rank")
+    )

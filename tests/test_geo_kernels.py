@@ -298,3 +298,30 @@ def test_delivery_refinement_parity(spark, geo_pdf):
             assert g[0] == w[0] and g[1] == w[1], f"delivery {d['event_id']}"
             assert g[2] == pytest.approx(w[2], abs=1e-9)
             assert g[3] == pytest.approx(w[3], abs=1e-9)
+
+
+class TestClusterScoreDuplicates:
+    def test_duplicate_coords_collapse_and_multiply(self):
+        # Reference maps are keyed by COORDINATE: duplicates collapse
+        # to one entry whose neighbor count accumulates once per ROW
+        # (multiplicity × differing neighbors within threshold).
+        pts = [BLR, BLR, _jitter(BLR, 50, 0), _jitter(BLR, 100, 0)]
+        lats = np.array([p[0] for p in pts])
+        lngs = np.array([p[1] for p in pts])
+        got = best_lat_lng_with_cluster_score(lats, lngs)
+        want = geo_oracle.cluster_score_oracle(list(zip(lats, lngs)))
+        assert got == want
+
+    def test_matches_oracle_with_random_duplicates(self):
+        rng = np.random.default_rng(11)
+        for _ in range(5):
+            n = int(rng.integers(4, 25))
+            # coarse grid → frequent exact-duplicate coordinates
+            lats = BLR[0] + rng.integers(-3, 4, n) * 9e-5
+            lngs = BLR[1] + rng.integers(-3, 4, n) * 9e-5
+            got = best_lat_lng_with_cluster_score(lats, lngs)
+            want = geo_oracle.cluster_score_oracle(list(zip(lats, lngs)))
+            assert got == want
+            got3 = cluster_best_lat_lng_with_score(lats, lngs)
+            want3 = geo_oracle.cluster_score_v3_oracle(list(zip(lats, lngs)))
+            assert got3 == want3

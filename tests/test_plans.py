@@ -84,7 +84,6 @@ def test_kernel_query_spreads_groups(spark):
     plan = plan_of(QUERIES["best_latlng_per_user"](spark, SF_DIR))
     # the explicit repartition must survive planning so AQE cannot
     # serialize the Python kernel stage into one partition
-    assert "REPARTITION_BY_NUM" in plan or "RoundRobinPartitioning" in plan or (
-        "hashpartitioning(user_id" in plan
-    )
-    assert "FlatMapGroupsInPandas" in plan
+    assert "REPARTITION_BY_NUM" in plan or "hashpartitioning(user_id" in plan
+    # partition-stream grouped map (mapInPandas), not per-group Arrow
+    assert "MapInPandas" in plan
