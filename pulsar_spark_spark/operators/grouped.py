@@ -10,14 +10,31 @@ group populations are large-N-small-groups, where per-group
 ``applyInPandas`` overhead (one Arrow batch + pandas frame + Python
 call per group, ~10 ms) would dominate the kernels themselves.
 
-Two scale rules are baked in:
+Scale rules baked in:
+
 - an EXPLICIT numPartitions repartition precedes the Python stage —
   Python work is invisible to AQE's size-based coalescing, which
   would otherwise collapse the small shuffle to one partition and
   serialize every kernel;
 - groups are bounded (the reference's own n ≤ 500 kernel guard;
   cap-100 history upstream), so skew cannot concentrate unbounded
-  Python work on one key.
+  Python work on one key;
+- **JVM pre-dispatch**: every kernel whose guard clause is
+  SQL-expressible routes guard-tripped groups through pure JVM
+  aggregation instead of Arrow+Python. The reference guards return
+  the LAST point of the time-sorted group
+  (BestLatLngCalculator.scala:37-39 n<4 / n>500; :76-78 n<3), which
+  is exactly ``max_by(struct(lat, lng), struct(ts_ms, event_id))``.
+  One hash aggregate computes count + last point per group; its
+  guard rows ARE the result rows, and the non-guard keys equi-join
+  back against the input to feed the Python stage. Guard groups
+  never cross the JVM↔Python boundary; at scales where most groups
+  trip (sf0.1: ~4 000 events/user, all > 500), the Python stage is
+  empty. The routing costs one partial-agg shuffle (tiny output)
+  plus re-reading the (cheap, columnar) source — it is applied only
+  where the input is a scan-shaped relation, NOT to the
+  delivery-refinement kernel whose input is an expensive join that
+  must not be evaluated twice.
 
 Determinism: no grouped map promises in-group order, so every kernel
 sorts its batch by (ts_ms, event_id) first — the reference's
@@ -27,7 +44,9 @@ time-sorted list order with a pinned tiebreak (SURVEY.md §7.3.2).
 from __future__ import annotations
 
 import pandas as pd
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
+from pyspark.sql.functions import col
 
 from pulsar_spark_spark.operators.shipping import ensure_package_on_executors
 from pulsar_spark_spark.operators.geo_kernels import (
@@ -41,12 +60,45 @@ from pulsar_spark_spark.operators.geo_kernels import (
 _SORT = ["ts_ms", "event_id"]
 
 
+def _spread(df: DataFrame, key: str) -> DataFrame:
+    """Explicit repartition ahead of Python work (AQE-proof)."""
+    n = df.sparkSession.sparkContext.defaultParallelism * 2
+    return df.repartition(n, key)
+
+
+def _last_point(lat_col: str = "lat", lng_col: str = "lng") -> F.Column:
+    """The reference guard's 'last point of the time-sorted list' as a
+    JVM aggregate: argmax by (ts_ms, event_id)."""
+    return F.max_by(F.struct(col(lat_col), col(lng_col)), F.struct("ts_ms", "event_id"))
+
+
 def apply_best_latlng(points: DataFrame) -> DataFrame:
     """G1 per group. Input columns: user_id, event_id, ts_ms, lat, lng.
 
     Output: user_id, best_lat, best_lng, n_points.
+
+    Pre-dispatch: n<4 / n>500 groups return the last time-sorted point
+    (BestLatLngCalculator.scala:37-39) — resolved entirely JVM-side.
+    One hash aggregate (map-side partial, tiny post-shuffle output)
+    computes per-group count + max_by; its guard rows ARE the result,
+    and its non-guard keys route the surviving rows into the Python
+    kernel via an equi-join (AQE broadcasts the small keyset; at real
+    scale with a huge keyset it degrades to the same user_id shuffle
+    the kernel needs anyway). At sf0.1 every group has ~4 000 points,
+    so the kernel side is empty and nothing crosses into Python.
     """
     ensure_package_on_executors(points.sparkSession)
+    agg = points.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("__n"), _last_point().alias("__last")
+    )
+    guard = (col("__n") < 4) | (col("__n") > 500)
+
+    jvm = agg.filter(guard).select(
+        "user_id",
+        col("__last.lat").alias("best_lat"),
+        col("__last.lng").alias("best_lng"),
+        col("__n").cast("int").alias("n_points"),
+    )
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(_SORT)
@@ -61,12 +113,31 @@ def apply_best_latlng(points: DataFrame) -> DataFrame:
         )
 
     schema = "user_id bigint, best_lat double, best_lng double, n_points int"
-    return grouped_map_in_pandas(points, "user_id", kernel, schema)
+    kernel_in = points.join(agg.filter(~guard).select("user_id"), "user_id")
+    py = grouped_map_in_pandas(kernel_in, "user_id", kernel, schema)
+    return py.unionByName(jvm)
 
 
 def apply_cluster_score(points: DataFrame) -> DataFrame:
-    """G2 per group. Output: user_id, lat, lng, cluster_score, n_points."""
+    """G2 per group. Output: user_id, lat, lng, cluster_score, n_points.
+
+    Pre-dispatch: n<3 groups return (last point, score 0.0)
+    (BestLatLngCalculator.scala:76-78) JVM-side, same routing shape as
+    :func:`apply_best_latlng`.
+    """
     ensure_package_on_executors(points.sparkSession)
+    agg = points.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("__n"), _last_point().alias("__last")
+    )
+    guard = col("__n") < 3
+
+    jvm = agg.filter(guard).select(
+        "user_id",
+        col("__last.lat").alias("lat"),
+        col("__last.lng").alias("lng"),
+        F.lit(0.0).alias("cluster_score"),
+        col("__n").cast("int").alias("n_points"),
+    )
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(_SORT)
@@ -84,13 +155,20 @@ def apply_cluster_score(points: DataFrame) -> DataFrame:
         )
 
     schema = "user_id bigint, lat double, lng double, cluster_score double, n_points int"
-    return grouped_map_in_pandas(points, "user_id", kernel, schema)
+    kernel_in = points.join(agg.filter(~guard).select("user_id"), "user_id")
+    py = grouped_map_in_pandas(kernel_in, "user_id", kernel, schema)
+    return py.unionByName(jvm)
 
 
 def apply_cluster_score_v3(points: DataFrame) -> DataFrame:
     """G3 per group (ping-cluster scoring with the real-ceil majority).
 
     Output: user_id, lat, lng, cluster_score, is_high_confidence.
+
+    No pre-dispatch: the reference's G3 has no size guard — even a
+    2-point group's winner is the argmax over per-coordinate neighbor
+    counts (BestLatLngCalculator.scala:123-163), which is not a plain
+    last-point and must run in the kernel.
     """
     ensure_package_on_executors(points.sparkSession)
 
@@ -121,8 +199,24 @@ def apply_trimmed_centroid(points: DataFrame) -> DataFrame:
 
     Output: user_id, centroid_lat, centroid_lng (null when fewer than
     4 accurate points), n_accurate.
+
+    Pre-dispatch: the kernel's trim loop never runs with ≤ 3 accurate
+    points (BestLatLngCalculator.scala:165-198 `while len > 3`) — those
+    groups yield a null centroid, resolved JVM-side from a conditional
+    count alone (same routing shape as :func:`apply_best_latlng`).
     """
     ensure_package_on_executors(points.sparkSession)
+    agg = points.groupBy("user_id").agg(
+        F.count(F.when(col("accuracy") <= 100.0, 1)).alias("__n_acc")
+    )
+    guard = col("__n_acc") < 4
+
+    jvm = agg.filter(guard).select(
+        "user_id",
+        F.lit(None).cast("double").alias("centroid_lat"),
+        F.lit(None).cast("double").alias("centroid_lng"),
+        col("__n_acc").cast("int").alias("n_accurate"),
+    )
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(_SORT)
@@ -140,7 +234,9 @@ def apply_trimmed_centroid(points: DataFrame) -> DataFrame:
         )
 
     schema = "user_id bigint, centroid_lat double, centroid_lng double, n_accurate int"
-    return grouped_map_in_pandas(points, "user_id", kernel, schema)
+    kernel_in = points.join(agg.filter(~guard).select("user_id"), "user_id")
+    py = grouped_map_in_pandas(kernel_in, "user_id", kernel, schema)
+    return py.unionByName(jvm)
 
 
 def apply_delivery_refinement(joined: DataFrame) -> DataFrame:
@@ -151,6 +247,14 @@ def apply_delivery_refinement(joined: DataFrame) -> DataFrame:
 
     Output: one row per refinement result (1-2 per delivery):
     delivery_id, user_id, is_refined, method, ref_lat, ref_lng.
+
+    No pre-dispatch here, deliberately: a < 3-ping delivery can never
+    form a cluster (DBSCAN min_count) and always resolves to the
+    ORIGINAL fallback, but the input is the T4 interval-join OUTPUT —
+    routing would evaluate that join twice (measured 12.1 s vs 7.1 s
+    at sf0.1), and the guard groups are ≤ 2 rows each, so their Arrow
+    cost inside the single-pass stream is already negligible. The
+    kernel handles them in-line.
     """
     ensure_package_on_executors(joined.sparkSession)
 
@@ -207,8 +311,7 @@ def grouped_map_in_pandas(df: DataFrame, key: str, process_group, schema: str) -
     pattern). ~10× faster at the 20k-group scale, identical results.
     """
     ensure_package_on_executors(df.sparkSession)
-    n = df.sparkSession.sparkContext.defaultParallelism * 2
-    parts = df.repartition(n, key).sortWithinPartitions(key)
+    parts = _spread(df, key).sortWithinPartitions(key)
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         outs = [

@@ -200,6 +200,121 @@ class TestMergeRefinedHistory:
 
 
 # ---------------------------------------------------------------------
+# JVM pre-dispatch routing: guard-tripped groups resolve JVM-side,
+# kernel groups in Python — both must match the oracle, and the union
+# must cover every group exactly once.
+# ---------------------------------------------------------------------
+class TestPreDispatchRouting:
+    SIZES = {1: 2, 2: 10, 3: 600, 4: 499}
+
+    @pytest.fixture(scope="class")
+    def routed(self, spark):
+        rng = np.random.default_rng(3)
+        rows = []
+        for uid, n in self.SIZES.items():
+            for i in range(n):
+                rows.append(
+                    (
+                        uid,
+                        i,
+                        1000 * i,
+                        BLR[0] + int(rng.integers(-30, 30)) * 9e-5,
+                        BLR[1] + int(rng.integers(-30, 30)) * 9e-5,
+                        float(int(rng.integers(0, 300))),
+                    )
+                )
+        pdf = pd.DataFrame(
+            rows, columns=["user_id", "event_id", "ts_ms", "lat", "lng", "accuracy"]
+        )
+        return pdf, spark.createDataFrame(pdf)
+
+    def test_best_latlng_mixed_routes(self, routed):
+        from pulsar_spark_spark.operators.grouped import apply_best_latlng
+
+        pdf, df = routed
+        got = {r["user_id"]: r for r in apply_best_latlng(df).collect()}
+        assert set(got) == set(self.SIZES)
+        for uid, n in self.SIZES.items():
+            g = pdf[pdf["user_id"] == uid].sort_values(["ts_ms", "event_id"])
+            want = geo_oracle.best_lat_lng_oracle(list(zip(g["lat"], g["lng"])))
+            assert (got[uid]["best_lat"], got[uid]["best_lng"]) == want, f"user {uid}"
+            assert got[uid]["n_points"] == n
+
+    def test_cluster_score_small_group_routes_jvm(self, routed):
+        from pulsar_spark_spark.operators.grouped import apply_cluster_score
+
+        pdf, df = routed
+        got = {r["user_id"]: r for r in apply_cluster_score(df).collect()}
+        assert set(got) == set(self.SIZES)
+        for uid in (1, 2):  # guard (n<3) and kernel routes
+            g = pdf[pdf["user_id"] == uid].sort_values(["ts_ms", "event_id"])
+            want = geo_oracle.cluster_score_oracle(list(zip(g["lat"], g["lng"])))
+            r = got[uid]
+            assert (r["lat"], r["lng"], r["cluster_score"]) == want, f"user {uid}"
+
+    def test_trimmed_centroid_sparse_group_routes_jvm(self, spark):
+        from pulsar_spark_spark.operators.grouped import apply_trimmed_centroid
+
+        rows = []
+        # user 1: 6 points but only 3 accurate → JVM null-centroid route
+        for i in range(6):
+            rows.append((1, i, 1000 * i, BLR[0] + i * 9e-6, BLR[1],
+                         10.0 if i < 3 else 500.0))
+        # user 2: 8 accurate points → kernel route
+        for i in range(8):
+            rows.append((2, i, 1000 * i, BLR[0] + i * 9e-6, BLR[1], 10.0))
+        pdf = pd.DataFrame(
+            rows, columns=["user_id", "event_id", "ts_ms", "lat", "lng", "accuracy"]
+        )
+        got = {r["user_id"]: r for r in apply_trimmed_centroid(
+            spark.createDataFrame(pdf)).collect()}
+        assert got[1]["centroid_lat"] is None and got[1]["n_accurate"] == 3
+        g2 = pdf[pdf["user_id"] == 2]
+        want = geo_oracle.trimmed_centroid_oracle(
+            list(zip(g2["lat"], g2["lng"], g2["accuracy"]))
+        )
+        assert want is not None
+        assert got[2]["centroid_lat"] == pytest.approx(want[0], abs=1e-9)
+        assert got[2]["n_accurate"] == 8
+
+    def test_delivery_under_min_count_routes_jvm(self, spark):
+        from pulsar_spark_spark.operators.grouped import apply_delivery_refinement
+
+        cols = ["delivery_id", "user_id", "del_ts_ms", "del_lat", "del_lng",
+                "del_accuracy", "p_ts_ms", "p_lat", "p_lng", "p_accuracy",
+                "p_event_id"]
+        rows = [
+            # delivery 1: pingless left-join row → ORIGINAL via JVM
+            (1, 7, 100_000, BLR[0], BLR[1], 50.0, None, None, None, None, None),
+            # delivery 2: 2 pings (< min_count 3) → ORIGINAL via JVM
+            (2, 7, 100_000, BLR[0], BLR[1], 50.0, 100_500.0,
+             BLR[0] + 1e-5, BLR[1], 10.0, 11.0),
+            (2, 7, 100_000, BLR[0], BLR[1], 50.0, 101_000.0,
+             BLR[0] + 2e-5, BLR[1], 10.0, 12.0),
+        ]
+        # delivery 3: 5 tight pings → kernel refinement route
+        for i in range(5):
+            rows.append((3, 7, 100_000, BLR[0], BLR[1], 50.0,
+                         float(100_000 + 1000 * i), BLR[0] + i * 9e-6, BLR[1],
+                         10.0, float(20 + i)))
+        pdf = pd.DataFrame(rows, columns=cols)
+        df = spark.createDataFrame(pdf)
+        got: dict = {}
+        for r in apply_delivery_refinement(df).collect():
+            got.setdefault(r["delivery_id"], []).append(r)
+        assert [r["method"] for r in got[1]] == ["ORIGINAL_DELIVERED_LOCATION"]
+        assert [r["method"] for r in got[2]] == ["ORIGINAL_DELIVERED_LOCATION"]
+        assert got[2][0]["is_refined"] is False
+        assert got[2][0]["ref_lat"] == BLR[0] and got[2][0]["ref_lng"] == BLR[1]
+        refined, results = geo_oracle.refine_oracle(
+            BLR[0], BLR[1], 100_000, 50.0,
+            [(100_000 + 1000 * i, BLR[0] + i * 9e-6, BLR[1], 10.0) for i in range(5)],
+        )
+        assert refined is True
+        assert sorted(r["method"] for r in got[3]) == sorted(r[2] for r in results)
+
+
+# ---------------------------------------------------------------------
 # Spark ↔ oracle parity on real data (sf0.001)
 # ---------------------------------------------------------------------
 @pytest.fixture(scope="module")
