@@ -204,18 +204,30 @@ def sample_frames(media: DataFrame) -> DataFrame:
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out: dict[str, list] = {
-                "media_id": [], "frame_idx": [], "frame_bytes": [],
-            }
-            for _, row in pdf.iterrows():
-                n = int(row["n_frames"])
-                payload = row["payload"]
-                for idx in range(0, n, 8):
-                    out["media_id"].append(row["media_id"])
-                    out["frame_idx"].append(idx)
-                    shift = idx % max(len(payload), 1)
-                    out["frame_bytes"].append(payload[shift:] + payload[:shift])
-            yield pd.DataFrame(out)
+            # vectorized expansion: ceil(n/8) frames per row, built with
+            # np.repeat + index arithmetic on the whole Arrow batch —
+            # only the variable-length byte rotation touches objects.
+            n = pdf["n_frames"].to_numpy(dtype=np.int64)
+            counts = np.maximum(n, 0)
+            counts = (counts + 7) // 8
+            total = int(counts.sum())
+            if total == 0:
+                continue
+            ends = np.cumsum(counts)
+            starts = ends - counts
+            frame_idx = (np.arange(total) - np.repeat(starts, counts)) * 8
+            payloads = np.repeat(pdf["payload"].to_numpy(dtype=object), counts)
+            lens = np.fromiter((len(p) for p in payloads), dtype=np.int64, count=total)
+            shifts = frame_idx % np.maximum(lens, 1)
+            yield pd.DataFrame(
+                {
+                    "media_id": np.repeat(pdf["media_id"].to_numpy(), counts),
+                    "frame_idx": frame_idx,
+                    "frame_bytes": [
+                        p[s:] + p[:s] for p, s in zip(payloads, shifts)
+                    ],
+                }
+            )
 
     schema = "media_id bigint, frame_idx int, frame_bytes binary"
     return media.mapInPandas(fn, schema)

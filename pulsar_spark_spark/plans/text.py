@@ -200,8 +200,13 @@ def doc_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # higher-order lambdas, so hashing inside each of the 16
     # permutations would cost 16×. X4: the hashed relation then feeds
     # three consumers (signature, left/right sides of the Jaccard
-    # rerank) — cache it; the Jaccard runs over the same int sets
-    # (bit-identical in the oracle, and cheaper than string arrays).
+    # rerank) — materialize it once via a LAZY localCheckpoint rather
+    # than .cache(): a catalog cache is pinned until someone calls
+    # unpersist (which a query that returns a lazy plan can never do),
+    # while checkpoint blocks are reclaimed by the ContextCleaner as
+    # soon as the plan is garbage-collected. Caveat at cluster scale:
+    # localCheckpoint blocks are not recomputable on executor loss —
+    # acceptable for a single-query scratch relation.
     n_spread = spark.sparkContext.defaultParallelism * 2
     sh = (
         docs.repartition(n_spread, col("doc_id"))
@@ -209,7 +214,7 @@ def doc_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             col("doc_id"),
             shingle_hashes(char_shingles(col("text"), _SHINGLE_K)).alias("hv"),
         )
-        .cache()
+        .localCheckpoint(eager=False)
     )
     sig = sh.select(
         "doc_id",
@@ -489,45 +494,42 @@ def doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------
 # document fingerprinting via rolling hash (word 3-gram Rabin-style)
 # ---------------------------------------------------------------------
-@query(
-    "doc_winnow_fingerprints",
-    oracle=f"""
-        SELECT doc_a, doc_b, n_shared
-        FROM (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                   count(*) AS n_shared
-            FROM (SELECT doc_id, unnest(grams) AS g FROM (
-                     SELECT doc_id, list_distinct(list_transform(
-                         range(1, greatest(len(toks) - 2, 0) + 1),
-                         i -> {_sql_md5_i64("toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]")}
-                     )) AS grams
-                     FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
-                 )) a
-            JOIN (SELECT doc_id, unnest(grams) AS g FROM (
-                     SELECT doc_id, list_distinct(list_transform(
-                         range(1, greatest(len(toks) - 2, 0) + 1),
-                         i -> {_sql_md5_i64("toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]")}
-                     )) AS grams
-                     FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
-                 )) b
-              ON a.g = b.g AND a.doc_id < b.doc_id
-            GROUP BY a.doc_id, b.doc_id
-        )
-        WHERE n_shared >= 20
-        ORDER BY doc_a, doc_b
-    """,
-)
-def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared word-3-gram fingerprint counts between document pairs
-    (MOSS/winnowing-style containment detection).
+# Hot-gram document-frequency cap (standard winnowing practice): a
+# gram shared by d documents produces ~d²/2 join rows, so one stock
+# phrase in 1% of a 100 TB corpus would turn the gram join into a
+# quadratic hot bucket. Any gram with df > cap is dropped from BOTH
+# sides before the self-join, bounding per-key fanout at cap²/2 rows.
+# 64 is far above the fixture's max df (7 at sf0.01, 25 at sf0.1), so
+# fixture results are unchanged; the oracle applies the same cap.
+_MAX_GRAM_DF = 64
 
-    Each doc emits its distinct hashed 3-grams; pairs sharing ≥20
-    grams are contained/overlapping candidates. The join key is the
-    gram hash — bucketed like the LSH join, never all-pairs. n-gram
-    Jaccard dedup (brief item) reduces to this same join with a
-    normalizing denominator.
+_SQL_GRAMS = f"""
+    SELECT doc_id, unnest(grams) AS g FROM (
+        SELECT doc_id, list_distinct(list_transform(
+            range(1, greatest(len(toks) - 2, 0) + 1),
+            i -> {_sql_md5_i64("toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]")}
+        )) AS grams
+        FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+    )
+"""
+
+
+def winnow_pairs(
+    docs: DataFrame,
+    min_shared: int = 20,
+    max_gram_df: int = _MAX_GRAM_DF,
+) -> DataFrame:
+    """Shared word-3-gram fingerprint counts between document pairs
+    (MOSS/winnowing-style containment detection) over a ``documents``
+    relation with (doc_id, text).
+
+    Each doc emits its distinct hashed 3-grams; grams hotter than
+    ``max_gram_df`` documents are discarded (they identify nothing and
+    explode the join); pairs sharing ≥ ``min_shared`` surviving grams
+    are contained/overlapping candidates. The join key is the gram
+    hash — bucketed like the LSH join, never all-pairs, and the df cap
+    bounds any single key's fanout.
     """
-    docs = load_table(spark, "documents", sf_dir)
     tok = tokens(col("text"))
     grams3 = F.transform(
         F.sequence(F.lit(0), F.size(col("toks")) - 3),
@@ -551,12 +553,53 @@ def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("g"),
         )
     )
-    a = exploded.alias("a")
-    b = exploded.alias("b")
+    # the hot set is tiny by construction (only pathological grams
+    # exceed the cap) → broadcast anti-join, no extra shuffle of the
+    # gram relation
+    hot = (
+        exploded.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(col("df") > max_gram_df)
+        .select("g")
+    )
+    pruned = exploded.join(F.broadcast(hot), "g", "left_anti")
+    a = pruned.alias("a")
+    b = pruned.alias("b")
     return (
         a.join(b, (col("a.g") == col("b.g")) & (col("a.doc_id") < col("b.doc_id")))
         .groupBy(col("a.doc_id").alias("doc_a"), col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_shared"))
-        .filter(col("n_shared") >= 20)
+        .filter(col("n_shared") >= min_shared)
         .orderBy("doc_a", "doc_b")
     )
+
+
+@query(
+    "doc_winnow_fingerprints",
+    oracle=f"""
+        WITH grams AS ({_SQL_GRAMS}),
+        hot AS (
+            SELECT g FROM grams GROUP BY g HAVING count(*) > {_MAX_GRAM_DF}
+        ),
+        pruned AS (
+            SELECT doc_id, g FROM grams WHERE g NOT IN (SELECT g FROM hot)
+        )
+        SELECT doc_a, doc_b, n_shared
+        FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   count(*) AS n_shared
+            FROM pruned a JOIN pruned b
+              ON a.g = b.g AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        WHERE n_shared >= 20
+        ORDER BY doc_a, doc_b
+    """,
+)
+def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style containment pairs over the documents table with
+    the hot-gram df cap (see :func:`winnow_pairs`). n-gram Jaccard
+    dedup (brief item) reduces to the same join with a normalizing
+    denominator.
+    """
+    return winnow_pairs(load_table(spark, "documents", sf_dir))

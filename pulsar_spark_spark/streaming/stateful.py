@@ -123,30 +123,43 @@ def geofence_alert_stream(
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         (user_id,) = key
         last_gf, n_seen = state.get if state.exists else (OUTER, 0)
-        rows: list[dict] = []
         batch = pd.concat(list(pdfs), ignore_index=True)
-        batch = batch.sort_values(["ts_ms", "event_id"])
-        for _, r in batch.iterrows():
-            n_seen += 1
-            cur = r["cur_gf"]
-            if cur != last_gf:
-                exit_alert, entry_alert = _alerts(last_gf, cur, src_gf, dest_gf)
-                rows.append(
-                    {
-                        "user_id": user_id,
-                        "event_id": r["event_id"],
-                        "prev_gf": last_gf,
-                        "cur_gf": cur,
-                        "exit_alert": exit_alert,
-                        "entry_alert": entry_alert,
-                        "n_events_seen": n_seen,
-                    }
-                )
-                last_gf = cur
-        state.update((last_gf, n_seen))
-        yield pd.DataFrame(rows, columns=[f.name for f in _OUTPUT_SCHEMA.fields])
+        batch = batch.sort_values(["ts_ms", "event_id"]).reset_index(drop=True)
+        # Vectorized change-point scan: a transition row is one whose
+        # geofence differs from its predecessor; only the first row's
+        # predecessor is procedural (the carried state — the stateful
+        # seam). After a transition, last_gf IS the previous row's
+        # cur_gf, so the shifted comparison reproduces the walk exactly.
+        cur = batch["cur_gf"]
+        prev = cur.shift(1)
+        if len(prev):
+            prev.iloc[0] = last_gf
+        idx = np.flatnonzero((cur != prev).to_numpy())
+        prev_t = prev.iloc[idx].to_numpy(dtype=object)
+        cur_t = cur.iloc[idx].to_numpy(dtype=object)
+        alerts = [_alerts(p, c, src_gf, dest_gf) for p, c in zip(prev_t, cur_t)]
+        out = pd.DataFrame(
+            {
+                "user_id": np.full(len(idx), user_id, dtype="int64"),
+                "event_id": batch["event_id"].iloc[idx].to_numpy(),
+                "prev_gf": prev_t,
+                "cur_gf": cur_t,
+                "exit_alert": np.array([a[0] for a in alerts], dtype=object),
+                "entry_alert": np.array([a[1] for a in alerts], dtype=object),
+                # the walk increments n_seen per event, so a transition
+                # at batch position i reports n_seen + i + 1
+                "n_events_seen": n_seen + idx + 1,
+            },
+            columns=[f.name for f in _OUTPUT_SCHEMA.fields],
+        )
+        if len(cur):
+            last_gf = cur.iloc[-1]
+        state.update((last_gf, n_seen + len(cur)))
+        yield out
 
     return located.groupBy("user_id").applyInPandasWithState(
         walk,
