@@ -25,7 +25,7 @@ residual), never a cross join.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql.functions import col
 
 from pulsar_spark_spark.operators.grouped import (
@@ -45,6 +45,32 @@ def _geo_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_id",
         F.unix_millis("ts").alias("ts_ms"),
+        "lat",
+        "lng",
+        "accuracy",
+    )
+
+
+# Fixture clock compression for the ping-refinement queries ONLY.
+# The reference's pings arrive seconds apart (its ±120 s / +300 s
+# window holds dozens), while the synthetic events table spreads ~67
+# events per user over 30 days (~10.7 h cadence) — on the raw clock
+# the DBSCAN min-count can never be met and G5-G7 would only ever
+# exercise their fallback. Dividing the epoch-ms clock by 1500 gives
+# a ~26 s per-user cadence (the reference's data shape) without
+# touching any kernel constant; integer DIV keeps it bit-exact and
+# oracle-portable. G1-G4 stay on the raw clock (they only order by
+# time).
+_PING_CLOCK_DIV = 1500
+
+
+def _scaled_geo_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ge = geo_events(spark, sf_dir)
+    return ge.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.expr(f"unix_millis(ts) div {_PING_CLOCK_DIV}").alias("ts_ms"),
         "lat",
         "lng",
         "accuracy",
@@ -84,14 +110,15 @@ def delivery_refinement(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same user in [delivery−120 s, +300 s] with accuracy ≤ 100
     (DeliveryLocationRefinementService.scala:99-106) — an equi-join on
     user_id with a range residual, one shuffle, and the kernel runs
-    per delivery group.
+    per delivery group. Runs on the compressed fixture clock (see
+    ``_PING_CLOCK_DIV``) so the window genuinely holds pings and the
+    G5→G6→G3/G4 chain executes, not just its fallback.
     """
-    pts = _geo_points(spark, sf_dir)
-    ge = geo_events(spark, sf_dir)
-    deliveries = ge.filter(col("event_type") == "purchase").select(
+    pts = _scaled_geo_points(spark, sf_dir)
+    deliveries = pts.filter(col("event_type") == "purchase").select(
         col("event_id").alias("delivery_id"),
         col("user_id"),
-        F.unix_millis("ts").alias("del_ts_ms"),
+        col("ts_ms").alias("del_ts_ms"),
         col("lat").alias("del_lat"),
         col("lng").alias("del_lng"),
         col("accuracy").alias("del_accuracy"),
@@ -112,3 +139,100 @@ def delivery_refinement(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left",
     ).drop("p_user_id")
     return apply_delivery_refinement(joined).orderBy("delivery_id", "method")
+
+
+def merge_refined_into_history(points: DataFrame, refined: DataFrame) -> DataFrame:
+    """G8 as declarative DataFrame ops: swap refined locations into the
+    per-user point history (DeliveryLocationRefinementService.scala:
+    257-284).
+
+    ``points``: (user_id, event_id, ts_ms, lat, lng, accuracy) — the
+    per-user history. ``refined``: (user_id, delivery_id, del_ts_ms,
+    del_lat, del_lng, method, ref_lat, ref_lng) — 1-2 refined result
+    rows for ONE delivery per user.
+
+    Reference semantics, re-expressed relationally:
+    - a history entry survives only if BOTH coordinates differ from
+      the delivered point (the reference's ``&&`` — an entry sharing
+      just one coordinate is dropped): an equi-join + conjunctive
+      filter, no Python;
+    - refined points are appended with the 198.0 accuracy sentinel at
+      the delivery timestamp;
+    - the cap keeps the newest 100 POSITIONALLY from the time-sorted
+      survivors ++ refined concatenation (takeRight), so refined rows
+      always survive and each user keeps at most 100 − n_refined
+      history rows — a row_number window against that per-user budget,
+      one user_id shuffle, no unbounded buffer.
+
+    Output: (user_id, event_id, ts_ms, lat, lng, accuracy, method)
+    with method NULL for surviving history rows.
+    """
+    n_ref = Window.partitionBy("user_id")
+    ref = refined.withColumn("__n_ref", F.count(F.lit(1)).over(n_ref))
+    dim = ref.select(
+        "user_id", "del_lat", "del_lng", "__n_ref"
+    ).distinct()
+    w_cap = Window.partitionBy("user_id").orderBy(
+        col("ts_ms").desc(), col("event_id").desc()
+    )
+    survivors = (
+        points.join(dim, "user_id")
+        .filter((col("lat") != col("del_lat")) & (col("lng") != col("del_lng")))
+        .withColumn("__rn", F.row_number().over(w_cap))
+        .filter(col("__rn") <= F.lit(100) - col("__n_ref"))
+        .select(
+            "user_id", "event_id", "ts_ms", "lat", "lng", "accuracy",
+            F.lit(None).cast("string").alias("method"),
+        )
+    )
+    refined_rows = ref.select(
+        "user_id",
+        col("delivery_id").alias("event_id"),
+        col("del_ts_ms").alias("ts_ms"),
+        col("ref_lat").alias("lat"),
+        col("ref_lng").alias("lng"),
+        F.lit(198.0).alias("accuracy"),
+        "method",
+    )
+    return survivors.unionByName(refined_rows)
+
+
+@query("delivery_refined_history")
+def delivery_refined_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G8: swap each user's LATEST refined delivery into their point
+    history (both-coords-differ survivor rule, 198.0 sentinel, cap 100)
+    — the last stage of the reference's flagship refinement flow
+    (DeliveryLocationRefinementService.scala:257-284).
+
+    Users whose latest-delivery refinement fell back to the original
+    location (is_refined = false) keep their history untouched and are
+    not re-emitted, mirroring the reference's refined-rows-only merge.
+    """
+    pts = _scaled_geo_points(spark, sf_dir).drop("event_type")
+    deliveries = _scaled_geo_points(spark, sf_dir).filter(
+        col("event_type") == "purchase"
+    ).select(
+        col("event_id").alias("delivery_id"),
+        col("ts_ms").alias("del_ts_ms"),
+        col("lat").alias("del_lat"),
+        col("lng").alias("del_lng"),
+    )
+    # latest refined delivery per user; dense_rank keeps BOTH result
+    # rows (score + centroid) of the winning delivery
+    w_latest = Window.partitionBy("user_id").orderBy(
+        col("del_ts_ms").desc(), col("delivery_id").desc()
+    )
+    chosen = (
+        delivery_refinement(spark, sf_dir)
+        .filter(col("is_refined"))
+        .join(deliveries, "delivery_id")
+        .withColumn("__rk", F.dense_rank().over(w_latest))
+        .filter(col("__rk") == 1)
+        .drop("__rk")
+        # two downstream consumers (refined rows + the survivor dim);
+        # materialize the Python refinement pipeline ONCE
+        .localCheckpoint(eager=False)
+    )
+    return merge_refined_into_history(pts, chosen).orderBy(
+        "user_id", "ts_ms", "event_id", "method"
+    )

@@ -147,6 +147,27 @@ def dbscan_oracle(
     return clusters
 
 
+def merge_refined_history_oracle(
+    history: list[tuple[int, int, float, float, float]],
+    del_lat: float,
+    del_lng: float,
+    refined: list[tuple[float, float, str]],
+    del_ts_ms: int,
+    delivery_id: int,
+) -> list[tuple]:
+    """G8 transliteration (DeliveryLocationRefinementService.scala:
+    257-284). ``history`` rows are (ts_ms, event_id, lat, lng,
+    accuracy), time-sorted. Survivors need BOTH coordinates to differ
+    from the delivered point; refined points append with the 198.0
+    sentinel; takeRight(100) keeps the newest positionally."""
+    final = [e + (None,) for e in history if e[2] != del_lat and e[3] != del_lng]
+    for lat, lng, label in refined:
+        final.append((del_ts_ms, delivery_id, lat, lng, 198.0, label))
+    if len(final) > 100:
+        final = final[-100:]
+    return final
+
+
 def refine_oracle(
     del_lat: float,
     del_lng: float,

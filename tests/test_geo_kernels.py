@@ -384,6 +384,14 @@ def test_trimmed_centroid_parity(spark, geo_pdf):
             assert got[uid][1] == pytest.approx(want[1], abs=1e-9), f"user {uid}"
 
 
+def _scaled(geo_pdf):
+    from pulsar_spark_spark.plans.kernels import _PING_CLOCK_DIV
+
+    return geo_pdf.assign(ts_ms=geo_pdf["ts_ms"] // _PING_CLOCK_DIV).sort_values(
+        ["ts_ms", "event_id"]
+    )
+
+
 def test_delivery_refinement_parity(spark, geo_pdf):
     rows = QUERIES["delivery_refinement"](spark, SF_DIR_SMALL).collect()
     got: dict = {}
@@ -391,14 +399,18 @@ def test_delivery_refinement_parity(spark, geo_pdf):
         got.setdefault(r["delivery_id"], []).append(
             (r["is_refined"], r["method"], r["ref_lat"], r["ref_lng"])
         )
-    deliveries = geo_pdf[geo_pdf["event_type"] == "purchase"]
+    gp = _scaled(geo_pdf)
+    deliveries = gp[gp["event_type"] == "purchase"]
     assert set(got) == set(deliveries["event_id"])
+    # the compressed clock must make the kernel chain actually run:
+    # at least one delivery refines instead of falling back
+    assert any(v[0][0] for v in got.values())
     for _, d in deliveries.iterrows():
-        cand = geo_pdf[
-            (geo_pdf["user_id"] == d["user_id"])
-            & (geo_pdf["accuracy"] <= 100.0)
-            & (geo_pdf["ts_ms"] >= d["ts_ms"] - 120_000)
-            & (geo_pdf["ts_ms"] <= d["ts_ms"] + 300_000)
+        cand = gp[
+            (gp["user_id"] == d["user_id"])
+            & (gp["accuracy"] <= 100.0)
+            & (gp["ts_ms"] >= d["ts_ms"] - 120_000)
+            & (gp["ts_ms"] <= d["ts_ms"] + 300_000)
         ].sort_values(["ts_ms", "event_id"])
         pings = list(zip(cand["ts_ms"], cand["lat"], cand["lng"], cand["accuracy"]))
         refined, results = geo_oracle.refine_oracle(
@@ -413,6 +425,103 @@ def test_delivery_refinement_parity(spark, geo_pdf):
             assert g[0] == w[0] and g[1] == w[1], f"delivery {d['event_id']}"
             assert g[2] == pytest.approx(w[2], abs=1e-9)
             assert g[3] == pytest.approx(w[3], abs=1e-9)
+
+
+def test_delivery_refined_history_parity(spark, geo_pdf):
+    got: dict = {}
+    for r in QUERIES["delivery_refined_history"](spark, SF_DIR_SMALL).collect():
+        got.setdefault(r["user_id"], []).append(
+            (r["ts_ms"], r["event_id"], r["lat"], r["lng"], r["accuracy"],
+             r["method"])
+        )
+    n_checked = 0
+    for uid, g in _scaled(geo_pdf).groupby("user_id"):
+        g = g.sort_values(["ts_ms", "event_id"])
+        deliveries = g[g["event_type"] == "purchase"]
+        if not len(deliveries):
+            assert uid not in got
+            continue
+        # the query merges the newest delivery whose refinement
+        # SUCCEEDED — walk purchases newest-first to find it
+        pings = list(zip(g["ts_ms"], g["lat"], g["lng"], g["accuracy"]))
+        d = results = None
+        for _, cand_d in deliveries[::-1].iterrows():
+            cand = [p for p in pings
+                    if cand_d["ts_ms"] - 120_000 <= p[0] <= cand_d["ts_ms"] + 300_000
+                    and p[3] <= 100.0]
+            refined, res = geo_oracle.refine_oracle(
+                cand_d["lat"], cand_d["lng"], int(cand_d["ts_ms"]),
+                cand_d["accuracy"], cand,
+            )
+            if refined:
+                d, results = cand_d, res
+                break
+        if d is None:
+            assert uid not in got, f"user {uid}: unrefined user emitted"
+            continue
+        history = [
+            (int(r[0]), int(r[1]), r[2], r[3], r[4])
+            for r in zip(g["ts_ms"], g["event_id"], g["lat"], g["lng"],
+                         g["accuracy"])
+        ]
+        want = geo_oracle.merge_refined_history_oracle(
+            history, d["lat"], d["lng"], results, int(d["ts_ms"]),
+            int(d["event_id"]),
+        )
+        got_u = sorted(got[uid], key=lambda e: (e[0], e[1], e[5] or ""))
+        want_s = sorted(want, key=lambda e: (e[0], e[1], e[5] or ""))
+        assert len(got_u) == len(want_s), f"user {uid}"
+        for gr, wr in zip(got_u, want_s):
+            assert gr[0] == wr[0] and gr[1] == wr[1] and gr[5] == wr[5], f"user {uid}"
+            assert gr[2] == pytest.approx(wr[2], abs=1e-9)
+            assert gr[3] == pytest.approx(wr[3], abs=1e-9)
+            assert gr[4] == wr[4]
+        n_checked += 1
+    assert n_checked > 0  # the fixture must actually exercise the merge
+
+
+def test_merge_refined_into_history_cap(spark):
+    """Positional cap: refined rows always survive; history keeps
+    100 − n_refined newest rows."""
+    from pulsar_spark_spark.plans.kernels import merge_refined_into_history
+
+    pts = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "user_id": [1] * 150,
+                "event_id": range(150),
+                "ts_ms": [1000 * i for i in range(150)],
+                "lat": [10.0 + i * 1e-4 for i in range(150)],
+                "lng": [70.0 + i * 1e-4 for i in range(150)],
+                "accuracy": [50.0] * 150,
+            }
+        )
+    )
+    refined = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "user_id": [1, 1],
+                "delivery_id": [900, 900],
+                "del_ts_ms": [200_000, 200_000],
+                # delivered point equals history row 10 → that row and
+                # ONLY rows sharing both coords are dropped
+                "del_lat": [10.0 + 10 * 1e-4] * 2,
+                "del_lng": [70.0 + 10 * 1e-4] * 2,
+                "method": ["CLUSTER_GEOCODE_SCORE_HIGH", "CLUSTER_CENTROID"],
+                "ref_lat": [11.5, 11.6],
+                "ref_lng": [71.5, 71.6],
+            }
+        )
+    )
+    rows = merge_refined_into_history(pts, refined).collect()
+    hist = [r for r in rows if r["method"] is None]
+    ref = [r for r in rows if r["method"] is not None]
+    assert len(ref) == 2 and all(r["accuracy"] == 198.0 for r in ref)
+    assert len(hist) == 98  # 100 − n_refined
+    # newest survivors kept (ids 52..149); the both-coords match (10)
+    # and everything older than the cap window are out
+    ids = {r["event_id"] for r in hist}
+    assert ids == set(range(52, 150))
 
 
 class TestClusterScoreDuplicates:
