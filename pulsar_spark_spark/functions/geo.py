@@ -233,6 +233,97 @@ def geohash_udf(lat: pd.Series, lng: pd.Series, precision: pd.Series) -> pd.Seri
     )
 
 
+def geohash_quantize(lat, lng, precision: int = 7):
+    """JVM-expression geohash quantization: (x, y) fixed-point cell
+    indices whose bits are exactly the encoder's subdivision decisions.
+
+    The per-bit binary subdivision of geohash_encode_py is equivalent
+    to quantizing each axis once: after n halvings the lng decisions
+    are the n MSBs of floor((lng+180)/360 · 2ⁿ). Doing it closed-form
+    keeps the whole encode inside whole-stage codegen (no Python) and
+    is reproducible verbatim in the DuckDB oracle.
+    """
+    import pyspark.sql.functions as F
+
+    n_lng = (5 * precision + 1) // 2
+    n_lat = 5 * precision // 2
+    x = F.least(
+        F.floor((lng + F.lit(180.0)) / F.lit(360.0) * F.lit(float(1 << n_lng))),
+        F.lit((1 << n_lng) - 1),
+    ).cast("bigint")
+    y = F.least(
+        F.floor((lat + F.lit(90.0)) / F.lit(180.0) * F.lit(float(1 << n_lat))),
+        F.lit((1 << n_lat) - 1),
+    ).cast("bigint")
+    return x, y
+
+
+def geohash_from_xy(x, y, precision: int = 7):
+    """Interleave quantized cell indices into the base-32 geohash
+    string — pure bigint shifts/masks + char lookups, codegen-friendly.
+    Pass the (x, y) from :func:`geohash_quantize`, ideally through a
+    projection boundary so the quantization is computed once."""
+    import pyspark.sql.functions as F
+
+    nbits = 5 * precision
+    n_lng = (nbits + 1) // 2
+    n_lat = nbits // 2
+    code = F.lit(0).cast("bigint")
+    for p in range(nbits):
+        if p % 2 == 0:
+            src, bit = x, n_lng - 1 - p // 2
+        else:
+            src, bit = y, n_lat - 1 - (p - 1) // 2
+        code = code + F.shiftright(src, bit).bitwiseAND(F.lit(1)) * F.lit(
+            1 << (nbits - 1 - p)
+        )
+    alphabet = F.array(*[F.lit(c) for c in _BASE32])
+    return F.concat(
+        *[
+            F.element_at(
+                alphabet,
+                (F.shiftright(code, nbits - 5 * (k + 1)).bitwiseAND(F.lit(31)) + 1)
+                .cast("int"),
+            )
+            for k in range(precision)
+        ]
+    )
+
+
+def sql_geohash_ctes(src: str, lat: str, lng: str, precision: int = 7) -> tuple[str, str]:
+    """DuckDB twin of geohash_quantize + geohash_from_xy: returns
+    (cte_sql, final_relation_name); the final relation carries every
+    ``src`` column plus ``gh``. Bit-identical to the Spark expressions
+    (same IEEE ops in the same order, integer shifts thereafter)."""
+    nbits = 5 * precision
+    n_lng = (nbits + 1) // 2
+    n_lat = nbits // 2
+    terms = []
+    for p in range(nbits):
+        if p % 2 == 0:
+            src_c, bit = "x", n_lng - 1 - p // 2
+        else:
+            src_c, bit = "y", n_lat - 1 - (p - 1) // 2
+        terms.append(f"(({src_c} >> {bit}) & 1) * {1 << (nbits - 1 - p)}")
+    chars = " || ".join(
+        f"substr('{_BASE32}', CAST(((code >> {nbits - 5 * (k + 1)}) & 31) AS INTEGER) + 1, 1)"
+        for k in range(precision)
+    )
+    cte = f"""
+        __gh_xy AS (
+            SELECT *,
+                   least(CAST(floor((({lng}) + 180.0) / 360.0 * {float(1 << n_lng)}) AS BIGINT),
+                         {(1 << n_lng) - 1}) AS x,
+                   least(CAST(floor((({lat}) + 90.0) / 180.0 * {float(1 << n_lat)}) AS BIGINT),
+                         {(1 << n_lat) - 1}) AS y
+            FROM {src}
+        ),
+        __gh_code AS (SELECT *, ({' + '.join(terms)}) AS code FROM __gh_xy),
+        __gh AS (SELECT *, ({chars}) AS gh FROM __gh_code)
+    """
+    return cte, "__gh"
+
+
 def vincenty_py(lat1: float, lng1: float, lat2: float, lng2: float) -> float:
     """Scalar Vincenty, arithmetic-identical to :func:`vincenty_np`.
 

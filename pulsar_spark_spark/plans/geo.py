@@ -38,7 +38,12 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql.functions import broadcast, col
 
-from pulsar_spark_spark.functions.geo import haversine_m
+from pulsar_spark_spark.functions.geo import (
+    geohash_from_xy,
+    geohash_quantize,
+    haversine_m,
+    sql_geohash_ctes,
+)
 from pulsar_spark_spark.functions.text import md5_i64
 from pulsar_spark_spark.plans.registry import query
 from pulsar_spark_spark.sources.tables import load_table
@@ -332,6 +337,72 @@ def trip_geofence_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             entry_alert.alias("entry_alert"),
         )
         .orderBy("user_id", "event_id")
+    )
+
+
+# ---------------------------------------------------------------------
+# F3: geohash-7 spatial bucketing
+# ---------------------------------------------------------------------
+_GH_CTE, _GH_REL = sql_geohash_ctes("ge", "lat", "lng", 7)
+
+
+@query(
+    "geohash_bucket_rollup",
+    oracle=f"""
+        WITH ge AS ({_SQL_GEO_EVENTS}),
+        {_GH_CTE}
+        SELECT gh                        AS gh7,
+               count(*)                  AS n_events,
+               count(DISTINCT user_id)   AS n_users,
+               round(avg(accuracy), 4)   AS avg_accuracy,
+               round(min(lat), 6)        AS min_lat,
+               round(min(lng), 6)        AS min_lng
+        FROM {_GH_REL}
+        GROUP BY gh
+        HAVING count(*) > 1
+        ORDER BY gh7
+    """,
+)
+def geohash_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3: geohash-7 spatial bucket aggregation over geo events.
+
+    The reference uses geohash-7 (~150 m cells) as the spatial bucket
+    key of the smart-address build
+    (service/SmartAddressBuildService.scala:210, utils/Geohash.scala:
+    40-70); this is the bucket-key rollup — the same key that turns a
+    theta range join into an equi-join at 100 TB (the generalization
+    the geofence-containment docstring promises).
+
+    The encode runs as pure bigint quantize/interleave expressions
+    inside whole-stage codegen (functions/geo.py geohash_quantize /
+    geohash_from_xy — no Python UDF on the hot path), staged through a
+    projection so the per-axis quantization happens once. Bit-exact
+    DuckDB twin via sql_geohash_ctes; avg(accuracy) is
+    order-independent because the fixture accuracies are integral.
+    """
+    ge = geo_events(spark, sf_dir)
+    x, y = geohash_quantize(col("lat"), col("lng"), 7)
+    staged = ge.select(
+        "user_id", "accuracy", "lat", "lng", x.alias("__x"), y.alias("__y")
+    )
+    bucketed = staged.select(
+        "user_id",
+        "accuracy",
+        "lat",
+        "lng",
+        geohash_from_xy(col("__x"), col("__y"), 7).alias("gh7"),
+    )
+    return (
+        bucketed.groupBy("gh7")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.avg("accuracy"), 4).alias("avg_accuracy"),
+            F.round(F.min("lat"), 6).alias("min_lat"),
+            F.round(F.min("lng"), 6).alias("min_lng"),
+        )
+        .filter(col("n_events") > 1)
+        .orderBy("gh7")
     )
 
 

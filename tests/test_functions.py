@@ -98,6 +98,34 @@ class TestGeohash:
         for p in (4, 7, 9):
             assert geohash_encode_py(*BLR, p) == full[:p]
 
+    def test_expression_port_matches_py(self, spark):
+        """The quantize/interleave expression port (the JVM hot path of
+        geohash_bucket_rollup) must agree with the bit-subdivision
+        encoder on arbitrary coordinates and precisions."""
+        import random
+
+        import pandas as pd
+
+        from pulsar_spark_spark.functions.geo import (
+            geohash_from_xy,
+            geohash_quantize,
+        )
+
+        random.seed(5)
+        pts = [(random.uniform(-90, 90), random.uniform(-180, 180))
+               for _ in range(200)]
+        pts += [(42.6, -5.6), (0.0, 0.0), (-33.865, 151.21), (12.9716, 77.5946)]
+        df = spark.createDataFrame(pd.DataFrame(pts, columns=["lat", "lng"]))
+        for precision in (5, 7, 9):
+            x, y = geohash_quantize(F.col("lat"), F.col("lng"), precision)
+            staged = df.select("lat", "lng", x.alias("x"), y.alias("y"))
+            rows = staged.select(
+                "lat", "lng",
+                geohash_from_xy(F.col("x"), F.col("y"), precision).alias("gh"),
+            ).collect()
+            for r in rows:
+                assert r["gh"] == geohash_encode_py(r["lat"], r["lng"], precision)
+
 
 class TestTextPrimitives:
     @pytest.fixture(scope="class")
