@@ -35,6 +35,12 @@ from pyspark.sql.types import DoubleType, StringType
 # fix") — BestLatLngCalculator.scala:17-18.
 NO_FIX_DISTANCE_M = 1.0e7
 
+
+def _atan2(y: float, x: float) -> float:
+    """numpy's scalar arctan2 (ufunc path), for batch↔scalar parity in
+    vincenty_py — see the note there."""
+    return float(np.arctan2(y, x))
+
 # WGS-84 ellipsoid.
 _WGS84_A = 6378137.0
 _WGS84_B = 6356752.314245
@@ -74,6 +80,13 @@ def vincenty_np(
     Standard published iteration; antipodal non-convergence falls back
     to haversine (the reference's Lucene impl throws there — the data
     domain never hits it). Applies the reference's lat==0 sentinel.
+
+    Convergence is tracked PER ELEMENT: once an element's |Δλ| drops
+    below ``tol`` its λ and derived quantities freeze, so every
+    element sees exactly the iteration history the scalar
+    :func:`vincenty_py` gives it — batch and scalar paths are
+    bit-identical (kernels mix both; threshold comparisons like the
+    300 m / 50 m cuts must never flip between them).
     """
     lat1 = np.asarray(lat1, dtype=np.float64)
     lng1 = np.asarray(lng1, dtype=np.float64)
@@ -81,8 +94,12 @@ def vincenty_np(
     lng2 = np.asarray(lng2, dtype=np.float64)
 
     phi1, phi2 = np.radians(lat1), np.radians(lat2)
-    U1 = np.arctan((1 - _WGS84_F) * np.tan(phi1))
-    U2 = np.arctan((1 - _WGS84_F) * np.tan(phi2))
+    # atan2((1-f)·sin, cos) ≡ atan((1-f)·tan) for |φ|<90°, but uses
+    # only primitives whose numpy SIMD array paths are bit-identical
+    # to scalar libm (sin/cos/atan2 are; tan/arctan are NOT — ~40% of
+    # inputs differ by 1 ulp, which broke batch↔scalar parity)
+    U1 = np.arctan2((1 - _WGS84_F) * np.sin(phi1), np.cos(phi1))
+    U2 = np.arctan2((1 - _WGS84_F) * np.sin(phi2), np.cos(phi2))
     L = np.radians(lng2 - lng1)
     lam = L.copy()
 
@@ -94,33 +111,50 @@ def vincenty_np(
     sigma = np.zeros_like(lam)
     cos_sq_alpha = np.ones_like(lam)
     cos2sm = np.zeros_like(lam)
+    active = np.ones_like(lam, dtype=bool)
 
     for _ in range(max_iter):
         sin_lam, cos_lam = np.sin(lam), np.cos(lam)
-        sin_sigma = np.sqrt(
+        new_sin_sigma = np.sqrt(
             (cosU2 * sin_lam) ** 2 + (cosU1 * sinU2 - sinU1 * cosU2 * cos_lam) ** 2
         )
-        cos_sigma = sinU1 * sinU2 + cosU1 * cosU2 * cos_lam
-        sigma = np.arctan2(sin_sigma, cos_sigma)
+        new_cos_sigma = sinU1 * sinU2 + cosU1 * cosU2 * cos_lam
+        new_sigma = np.arctan2(new_sin_sigma, new_cos_sigma)
         with np.errstate(divide="ignore", invalid="ignore"):
             sin_alpha = np.where(
-                sin_sigma != 0, cosU1 * cosU2 * sin_lam / np.maximum(sin_sigma, 1e-300), 0.0
-            )
-        cos_sq_alpha = 1.0 - sin_alpha**2
-        with np.errstate(divide="ignore", invalid="ignore"):
-            cos2sm = np.where(
-                cos_sq_alpha != 0,
-                cos_sigma - 2.0 * sinU1 * sinU2 / np.maximum(cos_sq_alpha, 1e-300),
+                new_sin_sigma != 0,
+                cosU1 * cosU2 * sin_lam / np.maximum(new_sin_sigma, 1e-300),
                 0.0,
             )
-        C = _WGS84_F / 16.0 * cos_sq_alpha * (4 + _WGS84_F * (4 - 3 * cos_sq_alpha))
-        lam_new = L + (1 - C) * _WGS84_F * sin_alpha * (
-            sigma + C * sin_sigma * (cos2sm + C * cos_sigma * (-1 + 2 * cos2sm**2))
+        new_cos_sq_alpha = 1.0 - sin_alpha**2
+        with np.errstate(divide="ignore", invalid="ignore"):
+            new_cos2sm = np.where(
+                new_cos_sq_alpha != 0,
+                new_cos_sigma
+                - 2.0 * sinU1 * sinU2 / np.maximum(new_cos_sq_alpha, 1e-300),
+                0.0,
+            )
+        C = _WGS84_F / 16.0 * new_cos_sq_alpha * (
+            4 + _WGS84_F * (4 - 3 * new_cos_sq_alpha)
         )
-        if np.all(np.abs(lam_new - lam) < tol):
-            lam = lam_new
+        lam_new = L + (1 - C) * _WGS84_F * sin_alpha * (
+            new_sigma
+            + C
+            * new_sin_sigma
+            * (new_cos2sm + C * new_cos_sigma * (-1 + 2 * new_cos2sm**2))
+        )
+        # freeze converged elements: update only while active, exactly
+        # like the scalar loop's per-element stopping rule
+        sin_sigma = np.where(active, new_sin_sigma, sin_sigma)
+        cos_sigma = np.where(active, new_cos_sigma, cos_sigma)
+        sigma = np.where(active, new_sigma, sigma)
+        cos_sq_alpha = np.where(active, new_cos_sq_alpha, cos_sq_alpha)
+        cos2sm = np.where(active, new_cos2sm, cos2sm)
+        converged = np.abs(lam_new - lam) < tol
+        lam = np.where(active, lam_new, lam)
+        active = active & ~converged
+        if not active.any():
             break
-        lam = lam_new
 
     u_sq = cos_sq_alpha * (_WGS84_A**2 - _WGS84_B**2) / _WGS84_B**2
     A = 1 + u_sq / 16384 * (4096 + u_sq * (-768 + u_sq * (320 - 175 * u_sq)))
@@ -330,17 +364,25 @@ def vincenty_py(lat1: float, lng1: float, lat2: float, lng2: float) -> float:
     Pure-``math`` fast path (~100× less overhead than a 1-element
     numpy call) for the sequential kernels (DBSCAN walk, best-cluster
     probe) where distances are inherently one-at-a-time. Mirrors the
-    numpy version's operation order exactly so batch and scalar paths
-    agree bit-for-bit (the lambda iteration reaches a float fixed
-    point, so extra batch iterations don't perturb converged values).
+    numpy version's operation order exactly, and the batch version
+    freezes each element at ITS first |Δλ| < tol iteration — the same
+    stopping rule as this loop — so batch and scalar paths agree
+    bit-for-bit by construction (gated in tests/test_functions.py).
     """
     if lat1 == 0.0 or lat2 == 0.0:
         return NO_FIX_DISTANCE_M
     if lat1 == lat2 and lng1 == lng2:
         return 0.0
     phi1, phi2 = math.radians(lat1), math.radians(lat2)
-    U1 = math.atan((1 - _WGS84_F) * math.tan(phi1))
-    U2 = math.atan((1 - _WGS84_F) * math.tan(phi2))
+    # same atan2(sin, cos) formulation as vincenty_np — see the
+    # SIMD-parity note there. atan2 itself goes through numpy's scalar
+    # ufunc: np.arctan2 is self-consistent between its scalar and SIMD
+    # array paths (0/8192 sampled mismatches) but differs from libm's
+    # atan2 by 1 ulp on ~30% of inputs, so math.atan2 would break
+    # batch↔scalar parity. sin/cos/sqrt match libm everywhere sampled
+    # and stay on the fast math.* path.
+    U1 = _atan2((1 - _WGS84_F) * math.sin(phi1), math.cos(phi1))
+    U2 = _atan2((1 - _WGS84_F) * math.sin(phi2), math.cos(phi2))
     L = math.radians(lng2 - lng1)
     lam = L
     sinU1, cosU1 = math.sin(U1), math.cos(U1)
@@ -350,19 +392,23 @@ def vincenty_py(lat1: float, lng1: float, lat2: float, lng2: float) -> float:
     sigma = 0.0
     cos_sq_alpha = 1.0
     cos2sm = 0.0
+    # NB: squares are written x*x, never x**2 — CPython's float ** 2
+    # goes through C pow() and disagrees with IEEE multiplication by
+    # 1 ulp on ~0.2% of inputs, while numpy's array ** 2 lowers to a
+    # multiply; x*x keeps both paths bit-identical.
     for _ in range(200):
         sin_lam, cos_lam = math.sin(lam), math.cos(lam)
-        sin_sigma = math.sqrt(
-            (cosU2 * sin_lam) ** 2 + (cosU1 * sinU2 - sinU1 * cosU2 * cos_lam) ** 2
-        )
+        t1 = cosU2 * sin_lam
+        t2 = cosU1 * sinU2 - sinU1 * cosU2 * cos_lam
+        sin_sigma = math.sqrt(t1 * t1 + t2 * t2)
         cos_sigma = sinU1 * sinU2 + cosU1 * cosU2 * cos_lam
-        sigma = math.atan2(sin_sigma, cos_sigma)
+        sigma = _atan2(sin_sigma, cos_sigma)
         sin_alpha = (
             cosU1 * cosU2 * sin_lam / max(sin_sigma, 1e-300)
             if sin_sigma != 0
             else 0.0
         )
-        cos_sq_alpha = 1.0 - sin_alpha**2
+        cos_sq_alpha = 1.0 - sin_alpha * sin_alpha
         cos2sm = (
             cos_sigma - 2.0 * sinU1 * sinU2 / max(cos_sq_alpha, 1e-300)
             if cos_sq_alpha != 0
@@ -370,7 +416,8 @@ def vincenty_py(lat1: float, lng1: float, lat2: float, lng2: float) -> float:
         )
         C = _WGS84_F / 16.0 * cos_sq_alpha * (4 + _WGS84_F * (4 - 3 * cos_sq_alpha))
         lam_new = L + (1 - C) * _WGS84_F * sin_alpha * (
-            sigma + C * sin_sigma * (cos2sm + C * cos_sigma * (-1 + 2 * cos2sm**2))
+            sigma
+            + C * sin_sigma * (cos2sm + C * cos_sigma * (-1 + 2 * (cos2sm * cos2sm)))
         )
         if abs(lam_new - lam) < 1e-12:
             lam = lam_new
@@ -387,8 +434,12 @@ def vincenty_py(lat1: float, lng1: float, lat2: float, lng2: float) -> float:
             + B
             / 4
             * (
-                cos_sigma * (-1 + 2 * cos2sm**2)
-                - B / 6 * cos2sm * (-3 + 4 * sin_sigma**2) * (-3 + 4 * cos2sm**2)
+                cos_sigma * (-1 + 2 * (cos2sm * cos2sm))
+                - B
+                / 6
+                * cos2sm
+                * (-3 + 4 * (sin_sigma * sin_sigma))
+                * (-3 + 4 * (cos2sm * cos2sm))
             )
         )
     )

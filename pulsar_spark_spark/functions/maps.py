@@ -16,9 +16,24 @@ from pyspark.sql import Column
 
 
 def _entries(kv: Column) -> Column:
+    _pin_last_win_policy()
     return F.transform(
         kv, lambda e: F.struct(e["key"].alias("key"), e["value"].alias("value"))
     )
+
+
+def _pin_last_win_policy() -> None:
+    """Both map builders require spark.sql.mapKeyDedupPolicy=LAST_WIN
+    (the default EXCEPTION policy throws DUPLICATED_MAP_KEY on the
+    duplicate-keyed KV lists these functions exist to normalize). The
+    table loader pins it, but callers building maps on a session that
+    never loaded a catalog table must not depend on that side effect —
+    pin it at expression-build time too."""
+    from pyspark.sql import SparkSession
+
+    s = SparkSession.getActiveSession()
+    if s is not None:
+        s.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
 
 
 def kv_list_to_map_last_wins(kv: Column) -> Column:

@@ -51,11 +51,12 @@ def validate_for_sink(
 ) -> tuple[DataFrame, DataFrame]:
     """P8: split a frame into (valid, rejected) on non-null required
     columns — the reference's checkNullUDTValues guard before its
-    Cassandra write, kept relational so both sides stay queryable."""
-    cond = None
+    Cassandra write, kept relational so both sides stay queryable.
+    With no required columns every row is valid (degenerate input,
+    not an error)."""
+    cond = F.lit(True)
     for c in required_cols:
-        this = F.col(c).isNotNull()
-        cond = this if cond is None else (cond & this)
+        cond = cond & F.col(c).isNotNull()
     return df.filter(cond), df.filter(~cond)
 
 

@@ -30,24 +30,53 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql.functions import col
 
 
+_POINTER = "__current"
+
+
+def _current_version(path: str) -> str | None:
+    """Version-dir name the pointer file designates, or None."""
+    ptr = os.path.join(path, _POINTER)
+    if not os.path.exists(ptr):
+        return None
+    with open(ptr, encoding="utf-8") as f:
+        name = f.read().strip()
+    return name or None
+
+
 def upsert_parquet(
     new_rows: DataFrame,
     path: str,
     key_cols: list[str],
     version_col: str,
 ) -> None:
-    """Keyed upsert into a parquet directory (K1 analog).
+    """Keyed upsert into a versioned parquet directory (K1 analog).
 
     Merge discipline: per key keep the single row with the highest
     (version_col, is_new) — new rows win ties, so replaying the same
     micro-batch is idempotent (T3's commit-after-write guarantee
     becomes "replay is harmless").
+
+    Crash safety: state lives in ``<path>/v_<uuid>/`` subdirectories
+    selected by a ``__current`` pointer file, committed with an atomic
+    ``os.replace``. A crash at ANY point leaves the pointer naming a
+    complete version: before the replace the old state stays current
+    (the interrupted batch replays from the checkpoint); after it the
+    new state is current and a replay is a no-op merge. There is no
+    window where the table is missing — unlike a directory-rename
+    swap, which loses ALL accumulated state if it dies between its
+    two renames. Superseded versions are pruned on the next upsert,
+    keeping one grace version for in-flight readers. Single writer
+    per state path (foreachBatch is serial; a real deployment swaps
+    this file for Delta/Iceberg MERGE with the same call contract).
     """
     spark = new_rows.sparkSession
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    os.makedirs(path, exist_ok=True)
+    current = _current_version(path)
+
     new_tagged = new_rows.withColumn("__is_new", F.lit(1))
-    if os.path.exists(path):
-        existing = spark.read.parquet(path)
+    if current is not None:
+        existing = spark.read.parquet(os.path.join(path, current))
         merged = existing.withColumn("__is_new", F.lit(0)).unionByName(new_tagged)
     else:
         merged = new_tagged
@@ -59,20 +88,36 @@ def upsert_parquet(
         .filter(col("__rn") == 1)
         .drop("__rn", "__is_new")
     )
-    tmp = f"{path}.__tmp_{uuid.uuid4().hex}"
-    winner.write.mode("overwrite").parquet(tmp)
-    # Atomic-ish swap: the reader never sees a half-written directory.
-    old = f"{path}.__old_{uuid.uuid4().hex}"
-    if os.path.exists(path):
-        os.rename(path, old)
-    os.rename(tmp, path)
-    if os.path.exists(old):
-        shutil.rmtree(old)
+    new_version = f"v_{uuid.uuid4().hex}"
+    winner.write.mode("overwrite").parquet(os.path.join(path, new_version))
+
+    # atomic commit: write-then-replace the pointer file
+    ptr_tmp = os.path.join(path, f".{_POINTER}.{uuid.uuid4().hex}")
+    with open(ptr_tmp, "w", encoding="utf-8") as f:
+        f.write(new_version)
+    os.replace(ptr_tmp, os.path.join(path, _POINTER))
+
+    # prune: drop everything except the new version and its immediate
+    # predecessor (grace for readers that resolved the old pointer);
+    # orphaned version dirs / pointer temps from crashed writes get
+    # collected here too
+    keep = {new_version, current, _POINTER}
+    for entry in os.listdir(path):
+        if entry in keep:
+            continue
+        full = os.path.join(path, entry)
+        if os.path.isdir(full):
+            shutil.rmtree(full, ignore_errors=True)
+        else:
+            os.remove(full)
 
 
 def read_upsert_table(spark: SparkSession, path: str) -> DataFrame:
-    """Read back a keyed upsert table."""
-    return spark.read.parquet(path)
+    """Read back a keyed upsert table (resolves the version pointer)."""
+    current = _current_version(path)
+    if current is None:
+        raise FileNotFoundError(f"no committed state under {path}")
+    return spark.read.parquet(os.path.join(path, current))
 
 
 def write_csv_report(df: DataFrame, path: str, header: bool = True) -> str:

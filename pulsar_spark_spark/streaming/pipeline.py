@@ -48,6 +48,109 @@ def stream_events(
     )
 
 
+def kafka_reader_options(
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "latest",
+    ending_offsets: str | None = None,
+    max_offsets_per_trigger: int | None = None,
+) -> dict[str, str]:
+    """Option map for the Kafka source (S4/S6), unit-testable without
+    a broker.
+
+    Contract mapping from the reference:
+    - stored-offsets-else-largest (KafkaPipeline.scala:26-43): in
+      Structured Streaming the CHECKPOINT owns the resume position;
+      ``startingOffsets`` applies only to a fresh query — identical
+      precedence to the reference's ZK-lookup-else-``largest``.
+      Explicit per-partition resume = a JSON offsets string, e.g.
+      '{"topic":{"0":42,"1":-1}}'.
+    - per-partition rate clamp (maxRatePerPartition,
+      StreamingAppNew.scala:31): ``maxOffsetsPerTrigger`` is the
+      total-per-batch form (Spark splits it across partitions ∝
+      backlog, the same proportional policy as rate.py).
+    - bounded batch read over [start, end) (S6,
+      KafkaCassandraConsistencyChecker.scala:134-135): pass
+      ``ending_offsets`` and use ``spark.read`` instead of
+      ``readStream``.
+    """
+    opts = {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+        # the reference's consistency checker tolerates retention gaps
+        # rather than failing the app (it reports them)
+        "failOnDataLoss": "false",
+    }
+    if ending_offsets is not None:
+        opts["endingOffsets"] = ending_offsets
+    if max_offsets_per_trigger is not None:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    return opts
+
+
+def parse_kafka_events(records: DataFrame, schema) -> DataFrame:
+    """Kafka record envelope → typed event rows (P1 over the S4 path).
+
+    ``records`` has the Kafka source's fixed shape (key/value BINARY,
+    topic, partition, offset, timestamp). JSON-decodes ``value``
+    against ``schema`` and keeps the envelope columns the reference
+    carries through its (topic, json) tuples. Works identically on a
+    batch DataFrame, which is how it is tested without a broker.
+    """
+    return records.select(
+        col("topic"),
+        col("partition"),
+        col("offset"),
+        col("timestamp").alias("ingest_ts"),
+        F.from_json(col("value").cast("string"), schema).alias("j"),
+    ).select("topic", "partition", "offset", "ingest_ts", "j.*")
+
+
+def stream_events_kafka(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    schema,
+    starting_offsets: str = "latest",
+    max_offsets_per_trigger: int | None = None,
+) -> DataFrame:
+    """Kafka-format twin of :func:`stream_events` (S4).
+
+    Same downstream contract (typed event rows; checkpoint owns the
+    resume position; rate bounded per trigger) with the broker as the
+    source instead of files. No broker exists in this sandbox, so the
+    reader construction is exercised via :func:`kafka_reader_options`
+    and the parse via :func:`parse_kafka_events` in pytest.
+    """
+    reader = spark.readStream.format("kafka")
+    for k, v in kafka_reader_options(
+        bootstrap_servers,
+        topic,
+        starting_offsets,
+        max_offsets_per_trigger=max_offsets_per_trigger,
+    ).items():
+        reader = reader.option(k, v)
+    return parse_kafka_events(reader.load(), schema)
+
+
+def read_events_kafka_batch(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    schema,
+    starting_offsets: str,
+    ending_offsets: str,
+) -> DataFrame:
+    """S6: bounded batch read over an explicit offset range."""
+    reader = spark.read.format("kafka")
+    for k, v in kafka_reader_options(
+        bootstrap_servers, topic, starting_offsets, ending_offsets
+    ).items():
+        reader = reader.option(k, v)
+    return parse_kafka_events(reader.load(), schema)
+
+
 def run_dedup_upsert_stream(
     events: DataFrame,
     state_path: str,

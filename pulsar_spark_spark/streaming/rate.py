@@ -52,11 +52,14 @@ def compute_max_entries_per_partition(
     backpressure share is backlog/total_backlog × rate; the share is
     clamped to [min_rate, max_rate/avg_msgs] (the max clamp only when
     positive); entries = ceil(share × batch_seconds) capped by the
-    partition's backlog.
+    partition's backlog. A positive estimate with ZERO total backlog
+    (nothing to split proportionally) falls back to the no-estimate
+    defaults — every budget is then backlog-capped to 0 anyway,
+    instead of dividing by zero.
     """
     effective: dict[str, float] = {}
-    if estimated_rate is not None and estimated_rate > 0:
-        total_lag = sum(backlogs.values())
+    total_lag = sum(backlogs.values())
+    if estimated_rate is not None and estimated_rate > 0 and total_lag > 0:
         for tp, backlog in backlogs.items():
             max_limit = cfg.max_rate_per_partition / cfg.avg_msgs_per_entry
             backpressure = backlog / float(total_lag) * estimated_rate

@@ -50,6 +50,43 @@ def test_validate_for_sink_splits(spark):
     assert sorted(r["k"] for r in rejected.collect()) == [2, 3]
 
 
+def test_validate_for_sink_no_required_cols_is_all_valid(spark):
+    df = spark.createDataFrame([(1,), (2,)], "k bigint")
+    valid, rejected = validate_for_sink(df, [])
+    assert valid.count() == 2 and rejected.count() == 0
+
+
+def test_rate_planner_zero_backlog_with_estimate():
+    from pulsar_spark_spark.streaming.rate import (
+        RateConfig,
+        compute_max_entries_per_partition,
+    )
+
+    got = compute_max_entries_per_partition(
+        25, {"p0": 0, "p1": 0}, 5000, RateConfig(max_rate_per_partition=20.0)
+    )
+    assert got == {"p0": 0, "p1": 0}  # no division by zero, budgets 0
+
+
+def test_kv_map_builders_pin_dedup_policy(spark):
+    """Map builders must work on a session that never loaded a catalog
+    table (the conf is pinned at expression-build time, not only as a
+    load_table side effect)."""
+    import pyspark.sql.functions as F
+
+    from pulsar_spark_spark.functions.maps import kv_list_to_map_last_wins
+
+    spark.conf.set("spark.sql.mapKeyDedupPolicy", "EXCEPTION")
+    df = spark.createDataFrame(
+        [([("a", "1"), ("a", "2")],)],
+        "kv array<struct<key string, value string>>",
+    )
+    row = df.select(
+        F.element_at(kv_list_to_map_last_wins(F.col("kv")), "a").alias("v")
+    ).first()
+    assert row["v"] == "2"  # last wins, no DUPLICATED_MAP_KEY error
+
+
 def test_push_partitions_batches(spark, tmp_path):
     out = str(tmp_path / "pushed")
     os.makedirs(out, exist_ok=True)

@@ -41,6 +41,26 @@ class TestVincenty:
     def test_same_point_zero(self):
         assert vincenty_py(*BLR, *BLR) == 0.0
 
+    def test_batch_scalar_bit_identical(self):
+        """Kernels mix vincenty_np (pairwise matrices) and vincenty_py
+        (sequential walks); threshold cuts (300 m / 200 m / 50 m) must
+        never flip between them, so the paths must agree EXACTLY —
+        the batch loop freezes each element at its own convergence
+        point to guarantee it."""
+        from pulsar_spark_spark.functions.geo import vincenty_np
+
+        rng = np.random.default_rng(9)
+        n = 400
+        lat1 = rng.uniform(-80, 80, n)
+        lng1 = rng.uniform(-179, 179, n)
+        # mix: tight jitters (kernel regime), km-scale, and far pairs
+        scale = np.repeat([1e-4, 1e-2, 5.0, 30.0], n // 4)
+        lat2 = np.clip(lat1 + rng.uniform(-1, 1, n) * scale, -89.9, 89.9)
+        lng2 = lng1 + rng.uniform(-1, 1, n) * scale
+        batch = vincenty_np(lat1, lng1, lat2, lng2)
+        for i in range(n):
+            assert batch[i] == vincenty_py(lat1[i], lng1[i], lat2[i], lng2[i]), i
+
     def test_known_distance_blr_chennai(self):
         # WGS-84 geodesic BLR→Chennai ≈ 290.2 km (published geodesic
         # calculators agree within meters)

@@ -47,6 +47,40 @@ def test_upsert_stale_version_loses(spark, tmp_path):
     assert len(got) == 1 and got[0]["v"] == "new" and got[0]["version"] == 9
 
 
+def test_upsert_survives_interrupted_write(spark, tmp_path):
+    """A writer that died mid-upsert (version dir written, pointer not
+    committed — or pointer temp left behind) must not lose or corrupt
+    the committed state; the next upsert collects the orphans."""
+    path = str(tmp_path / "state")
+    upsert_parquet(_df(spark, [(1, "a", 1)]), path, ["k"], "version")
+    # simulate a crash: orphan version dir + orphan pointer temp
+    os.makedirs(os.path.join(path, "v_deadbeef"))
+    with open(os.path.join(path, ".__current.deadbeef"), "w") as f:
+        f.write("v_deadbeef")
+    got = {r["k"]: r["v"] for r in read_upsert_table(spark, path).collect()}
+    assert got == {1: "a"}  # committed state intact
+    upsert_parquet(_df(spark, [(2, "b", 2)]), path, ["k"], "version")
+    got = {r["k"]: r["v"] for r in read_upsert_table(spark, path).collect()}
+    assert got == {1: "a", 2: "b"}
+    leftovers = set(os.listdir(path))
+    assert "v_deadbeef" not in leftovers
+    assert ".__current.deadbeef" not in leftovers
+
+
+def test_upsert_keeps_grace_version_for_readers(spark, tmp_path):
+    path = str(tmp_path / "state")
+    upsert_parquet(_df(spark, [(1, "a", 1)]), path, ["k"], "version")
+    v1 = open(os.path.join(path, "__current")).read().strip()
+    upsert_parquet(_df(spark, [(1, "a2", 2)]), path, ["k"], "version")
+    v2 = open(os.path.join(path, "__current")).read().strip()
+    entries = set(os.listdir(path))
+    # predecessor kept (grace for in-flight readers), then pruned on
+    # the NEXT upsert
+    assert v1 in entries and v2 in entries
+    upsert_parquet(_df(spark, [(1, "a3", 3)]), path, ["k"], "version")
+    assert v1 not in set(os.listdir(path))
+
+
 def test_csv_report_roundtrip(spark, tmp_path):
     path = str(tmp_path / "report.csv")
     df = (

@@ -15,6 +15,7 @@ import pyspark.sql.functions as F
 import pytest
 
 from pulsar_spark_spark.sources.tables import load_table
+from pulsar_spark_spark.sources.sinks import read_upsert_table
 from pulsar_spark_spark.streaming.pipeline import (
     run_dedup_upsert_stream,
     stream_events,
@@ -57,6 +58,59 @@ def test_rate_split_zero_estimate_treated_as_absent():
 
 def test_default_entries():
     assert default_entries_per_partition(RateConfig(), 5000) == 5000
+
+
+# ---------------------------------------------------------------------
+# S4/S6: Kafka-format source — option contract + envelope parse,
+# exercised without a broker (none exists in this sandbox)
+# ---------------------------------------------------------------------
+def test_kafka_reader_option_contract():
+    from pulsar_spark_spark.streaming.pipeline import kafka_reader_options
+
+    opts = kafka_reader_options(
+        "broker1:9092,broker2:9092",
+        "geotags",
+        starting_offsets='{"geotags":{"0":42,"1":-1}}',
+        max_offsets_per_trigger=5000,
+    )
+    assert opts["kafka.bootstrap.servers"] == "broker1:9092,broker2:9092"
+    assert opts["subscribe"] == "geotags"
+    # explicit per-partition resume (the ZK-stored-offsets analog);
+    # the checkpoint overrides this on restart, exactly like the
+    # reference's stored-offsets-else-largest precedence
+    assert opts["startingOffsets"] == '{"geotags":{"0":42,"1":-1}}'
+    assert opts["maxOffsetsPerTrigger"] == "5000"
+    assert opts["failOnDataLoss"] == "false"
+    assert "endingOffsets" not in opts
+
+    batch = kafka_reader_options(
+        "b:9092", "t", '{"t":{"0":0}}', ending_offsets='{"t":{"0":100}}'
+    )
+    assert batch["endingOffsets"] == '{"t":{"0":100}}'
+
+
+def test_kafka_envelope_parse_on_batch_frame(spark):
+    from pulsar_spark_spark.streaming.pipeline import parse_kafka_events
+
+    rows = [
+        ("geotags", 0, 7, b'{"user_id": 3, "event_type": "click", "value": 1.5}'),
+        ("geotags", 1, 9, b'{"user_id": 4, "event_type": "view", "value": 2.0}'),
+        ("geotags", 1, 10, b"not json"),
+    ]
+    records = spark.createDataFrame(
+        [(t, p, o, None, v, None) for (t, p, o, v) in rows],
+        "topic string, partition int, offset long, key binary, value binary, "
+        "timestamp timestamp",
+    )
+    out = parse_kafka_events(
+        records, "user_id bigint, event_type string, value double"
+    ).collect()
+    by_off = {(r["partition"], r["offset"]): r for r in out}
+    assert by_off[(0, 7)]["user_id"] == 3 and by_off[(0, 7)]["event_type"] == "click"
+    assert by_off[(1, 9)]["value"] == 2.0
+    # malformed payloads keep the envelope with null fields (the
+    # P8 guard downstream quarantines them), matching from_json
+    assert by_off[(1, 10)]["user_id"] is None
 
 
 # ---------------------------------------------------------------------
@@ -130,7 +184,7 @@ def test_stream_dedup_upsert_with_restart(spark, tmp_path, event_chunks):
 
     got = {
         (r["user_id"], r["event_type"]): (r["ts"], r["event_id"])
-        for r in spark.read.parquet(state).collect()
+        for r in read_upsert_table(spark, state).collect()
     }
     assert got == _expected_latest(all_events)
 
@@ -150,7 +204,7 @@ def test_stream_replay_is_idempotent(spark, tmp_path, event_chunks):
         q.awaitTermination(120)
         assert not q.isActive
     chunk0 = spark.read.parquet(chunks[0])
-    assert spark.read.parquet(state).count() == (
+    assert read_upsert_table(spark, state).count() == (
         chunk0.select("user_id", "event_type").distinct().count()
     )
 
