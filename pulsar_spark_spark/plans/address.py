@@ -1,0 +1,171 @@
+"""Smart-address candidate lookup — the reference's composed flow.
+
+``SmartAddressBuildService.scala`` builds a lookup table from verified
+geotagged addresses and probes it with new addresses:
+
+1. tokenize + word 2-/3-grams of the address text (:135-153, F5);
+2. validity-gate the candidate side — India bbox, accuracy ceiling,
+   non-invalid verification code (:274-305, P4);
+3. lookup build: n-gram → address-key postings (:271-305);
+4. candidate match: probe addresses joined to the postings on the
+   n-gram key, ranked by shared-gram count.
+
+Re-expressed here over ``documents`` as the address corpus with a
+deterministic md5-projected geotag per doc (same salted-hash scheme as
+plans/geo.py, so the whole flow has a bit-exact DuckDB oracle). The
+plan is the bucketed candidate-generation shape used everywhere else
+in this engine: the ONLY join key is the gram hash, a document-
+frequency cap bounds any single posting list (a token pair like
+"main road" appears in a large fraction of real addresses), and the
+quadratic term is sharded by gram. Probe side is every 10th doc (the
+arriving batch); candidate side is the validity-gated remainder.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.functions import col
+
+from pulsar_spark_spark.functions.text import md5_i64, tokens, word_ngrams
+from pulsar_spark_spark.plans.geo import _salted_mod, _sql_salted_mod
+from pulsar_spark_spark.plans.registry import query
+from pulsar_spark_spark.plans.text import _SQL_TOKS, _sql_md5_i64
+from pulsar_spark_spark.sources.tables import load_table
+
+# ≥20 shared grams cleanly separates genuine address matches from the
+# small-vocab background: on the sf0.01 fixture true matches share
+# 68-180 grams while the noise tail ends at 18 (bimodal by ~4×)
+_MIN_SHARED = 20
+_MAX_GRAM_DF = 64
+# P4 constants (SmartAddressBuildService.scala:274-305)
+_BBOX = (6.75, 68.03, 36.26, 97.40)
+_ACCURACY_CEILING = 300.0
+
+
+def _addr_geo(docs: DataFrame) -> DataFrame:
+    """documents + deterministic (lat, lng, accuracy, is_verified):
+    lat ∈ [5, 38), lng ∈ [66, 99) — straddling the India bbox so the
+    P4 gate actually prunes; ~10% carry the invalid verification code."""
+    return docs.select(
+        "doc_id",
+        "text",
+        (5.0 + _salted_mod("alat:", col("doc_id"), 3300) * 0.01).alias("lat"),
+        (66.0 + _salted_mod("alng:", col("doc_id"), 3300) * 0.01).alias("lng"),
+        _salted_mod("aacc:", col("doc_id"), 400).cast("double").alias("accuracy"),
+        (_salted_mod("aver:", col("doc_id"), 10) != 0).alias("is_verified"),
+    )
+
+
+_SQL_ADDR_GEO = f"""
+    SELECT doc_id, text,
+           5.0 + {_sql_salted_mod('alat:', 'doc_id', 3300)} * 0.01::DOUBLE AS lat,
+           66.0 + {_sql_salted_mod('alng:', 'doc_id', 3300)} * 0.01::DOUBLE AS lng,
+           CAST({_sql_salted_mod('aacc:', 'doc_id', 400)} AS DOUBLE) AS accuracy,
+           {_sql_salted_mod('aver:', 'doc_id', 10)} <> 0 AS is_verified
+    FROM documents
+"""
+
+
+def _grams_hashed() -> F.Column:
+    """Distinct hashed word 2- and 3-grams of ``toks`` (F5)."""
+    t = col("toks")
+    return F.transform(
+        F.array_union(word_ngrams(t, 2), word_ngrams(t, 3)), md5_i64
+    )
+
+
+def _sql_ngrams(n: int) -> str:
+    joined = " || ' ' || ".join(f"toks[i+{j}]" for j in range(n))
+    return (
+        f"list_transform(range(1, greatest(len(toks) - {n - 1}, 0) + 1), "
+        f"i -> {joined})"
+    )
+
+
+_SQL_GRAMS = (
+    "list_transform(list_distinct(list_concat("
+    f"{_sql_ngrams(2)}, {_sql_ngrams(3)})), s -> {_sql_md5_i64('s')})"
+)
+
+
+@query(
+    "smart_address_candidates",
+    oracle=f"""
+        WITH addr AS ({_SQL_ADDR_GEO}),
+        grams AS (
+            SELECT doc_id, lat, lng, accuracy, is_verified, unnest(g) AS g
+            FROM (SELECT *, {_SQL_GRAMS} AS g
+                  FROM (SELECT *, {_SQL_TOKS} AS toks FROM addr))
+        ),
+        lookup AS (
+            SELECT doc_id, lat, lng, g FROM grams
+            WHERE doc_id % 10 <> 0
+              AND lat BETWEEN {_BBOX[0]} AND {_BBOX[2]}
+              AND lng BETWEEN {_BBOX[1]} AND {_BBOX[3]}
+              AND accuracy < {_ACCURACY_CEILING}
+              AND is_verified
+        ),
+        hot AS (SELECT g FROM lookup GROUP BY g HAVING count(*) > {_MAX_GRAM_DF}),
+        probe AS (
+            SELECT doc_id, g FROM grams WHERE doc_id % 10 = 0
+              AND g NOT IN (SELECT g FROM hot)
+        ),
+        pruned AS (
+            SELECT * FROM lookup WHERE g NOT IN (SELECT g FROM hot)
+        )
+        SELECT p.doc_id                 AS query_doc,
+               l.doc_id                 AS cand_doc,
+               count(*)                 AS n_shared,
+               round(min(l.lat), 6)     AS cand_lat,
+               round(min(l.lng), 6)     AS cand_lng
+        FROM probe p JOIN pruned l ON p.g = l.g
+        GROUP BY p.doc_id, l.doc_id
+        HAVING count(*) >= {_MIN_SHARED}
+        ORDER BY query_doc, cand_doc
+    """,
+)
+def smart_address_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed smart-address flow: F5 n-grams → P4 validity gate →
+    posting-list build → shared-gram candidate match.
+
+    Plan shape at 100 TB: the lookup build and the probe both shuffle
+    only on the gram hash; the df cap (broadcast anti-join against the
+    tiny hot set) bounds every posting list, so no single stock phrase
+    can go quadratic; the pair aggregate is the only other shuffle.
+    """
+    addr = _addr_geo(load_table(spark, "documents", sf_dir))
+    grams = addr.withColumn("toks", tokens(col("text"))).select(
+        "doc_id", "lat", "lng", "accuracy", "is_verified",
+        F.explode(_grams_hashed()).alias("g"),
+    )
+    lookup = grams.filter(
+        (col("doc_id") % 10 != 0)
+        & col("lat").between(_BBOX[0], _BBOX[2])
+        & col("lng").between(_BBOX[1], _BBOX[3])
+        & (col("accuracy") < _ACCURACY_CEILING)
+        & col("is_verified")
+    ).select("doc_id", "lat", "lng", "g")
+    hot = (
+        lookup.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(col("df") > _MAX_GRAM_DF)
+        .select("g")
+    )
+    pruned = lookup.join(F.broadcast(hot), "g", "left_anti")
+    probe = (
+        grams.filter(col("doc_id") % 10 == 0)
+        .select(col("doc_id").alias("query_doc"), "g")
+        .join(F.broadcast(hot), "g", "left_anti")
+    )
+    return (
+        probe.join(pruned, "g")
+        .groupBy("query_doc", col("doc_id").alias("cand_doc"))
+        .agg(
+            F.count(F.lit(1)).alias("n_shared"),
+            F.round(F.min("lat"), 6).alias("cand_lat"),
+            F.round(F.min("lng"), 6).alias("cand_lng"),
+        )
+        .filter(col("n_shared") >= _MIN_SHARED)
+        .orderBy("query_doc", "cand_doc")
+    )
