@@ -46,10 +46,15 @@ HEADLINE = [
     "geofence_containment",
     "trip_geofence_transitions",
     "geotag_history_merge",
+    "geohash_bucket_rollup",
     "event_attrs_quality",
     "best_latlng_per_user",
     "delivery_refinement",
+    "delivery_refined_history",
     "media_feature_extract",
+    "doc_winnow_fingerprints",
+    "ann_topk_ivf",
+    "smart_address_candidates",
 ]
 
 

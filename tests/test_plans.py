@@ -87,3 +87,33 @@ def test_kernel_query_spreads_groups(spark):
     assert "REPARTITION_BY_NUM" in plan or "hashpartitioning(user_id" in plan
     # partition-stream grouped map (mapInPandas), not per-group Arrow
     assert "MapInPandas" in plan
+
+
+def test_kernel_query_pre_dispatches_guard_groups(spark):
+    # the guard route must be pure JVM: a max_by aggregate exists and
+    # feeds the union WITHOUT a Python stage on its branch
+    plan = plan_of(QUERIES["best_latlng_per_user"](spark, SF_DIR), "extended")
+    assert "max_by" in plan
+    assert "Union" in plan
+
+
+def test_geohash_rollup_stays_jvm_side(spark):
+    # the geohash encode must compile to expressions (whole-stage
+    # codegen), never a Python UDF
+    plan = plan_of(QUERIES["geohash_bucket_rollup"](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "MapInPandas" not in plan
+
+
+def test_smart_address_hot_set_is_broadcast_anti_join(spark):
+    plan = plan_of(QUERIES["smart_address_candidates"](spark, SF_DIR))
+    # the df-cap prune must be a broadcast LeftAnti, and the candidate
+    # generator an equi-join on the gram hash — never a cartesian
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+def test_winnow_prunes_hot_grams_before_self_join(spark):
+    plan = plan_of(QUERIES["doc_winnow_fingerprints"](spark, SF_DIR))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
