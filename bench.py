@@ -53,6 +53,7 @@ HEADLINE = [
     "delivery_refined_history",
     "media_feature_extract",
     "doc_winnow_fingerprints",
+    "doc_ngram_jaccard",
     "ann_topk_ivf",
     "smart_address_candidates",
 ]

@@ -233,11 +233,55 @@ def sample_frames(media: DataFrame) -> DataFrame:
     return media.mapInPandas(fn, schema)
 
 
-@query("media_feature_extract")
+@query(
+    "media_feature_extract",
+    # The fake decode is byte arithmetic over 64 md5-derived bytes, and
+    # every step is EXACT in float64 (integer sums need <=34 bits, the
+    # mean's /64 is a power of two, squared deviations keep <=40
+    # significand bits), so numpy's pairwise summation and DuckDB's
+    # sequential fold produce bit-identical doubles and a full value
+    # oracle is honest — the Python mapInPandas path is hash-checked,
+    # not just row-counted.
+    oracle="""
+        WITH m AS (
+            SELECT doc_id AS media_id,
+                   ['image','audio','video'][
+                       CAST(('0x' || substr(md5(text || ':t'), 1, 4))::BIGINT % 3
+                            AS INTEGER) + 1] AS media_type,
+                   md5(text) || md5(text || ':1')
+                       || md5(text || ':2') || md5(text || ':3') AS hexstr
+            FROM documents
+        ), b AS (
+            SELECT media_id, media_type,
+                   ('0x' || substr(hexstr, 2 * k - 1, 2))::BIGINT AS byte
+            FROM m, generate_series(1, 64) AS g(k)
+        ), s AS (
+            SELECT media_id,
+                   any_value(media_type)            AS media_type,
+                   CAST(64 AS INTEGER)              AS n_bytes,
+                   CAST(sum(byte) AS DOUBLE) / 64   AS mean_b,
+                   CAST(sum(CASE WHEN byte < 64 THEN 1 ELSE 0 END) AS DOUBLE)
+                       / 64                         AS hist1
+            FROM b GROUP BY media_id
+        ), v AS (
+            SELECT b.media_id,
+                   sqrt(sum((b.byte - s.mean_b) * (b.byte - s.mean_b)) / 64)
+                       AS std_b
+            FROM b JOIN s USING (media_id)
+            GROUP BY b.media_id
+        )
+        SELECT s.media_id, s.media_type, s.n_bytes,
+               round(s.mean_b, 6) AS byte_mean,
+               round(v.std_b, 6)  AS byte_std,
+               round(s.hist1, 6)  AS hist_bin1
+        FROM s JOIN v USING (media_id)
+        ORDER BY s.media_id
+    """,
+)
 def media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode-and-featurize pipeline over binary media (rows-only
-    driver check; exact values pinned in pytest against a local numpy
-    recomputation)."""
+    """Decode-and-featurize pipeline over binary media; the DuckDB
+    oracle recomputes the byte statistics in SQL (exact float ops, see
+    decorator) and exact values are additionally pinned in pytest."""
     m = media_table(spark, sf_dir)
     feats = extract_features(m)
     return feats.select(
@@ -250,10 +294,35 @@ def media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
-@query("media_frame_sample")
+@query(
+    "media_frame_sample",
+    # The expansion arithmetic (ceil(n_frames/8) frames at stride 8,
+    # constant 64-byte payload length preserved by rotation) is pure
+    # integer math, so the row-expanding mapInPandas stage gets a full
+    # value oracle via unnest(generate_series).
+    oracle="""
+        WITH m AS (
+            SELECT doc_id AS media_id,
+                   CAST(('0x' || substr(md5(text || ':t'), 1, 4))::BIGINT % 3
+                        AS INTEGER) AS t3,
+                   1 + CAST(('0x' || substr(md5(text || ':f'), 1, 4))::BIGINT
+                            AS INTEGER) % 32 AS n_frames
+            FROM documents
+        ), f AS (
+            SELECT media_id,
+                   unnest(generate_series(0, (n_frames + 7) // 8 - 1)) AS k
+            FROM m WHERE t3 = 2
+        )
+        SELECT media_id,
+               CAST(k * 8 AS INTEGER) AS frame_idx,
+               CAST(64 AS INTEGER)    AS frame_len
+        FROM f
+        ORDER BY media_id, frame_idx
+    """,
+)
 def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-sampling pipeline for video rows (rows-only driver check;
-    expansion arithmetic pinned in pytest)."""
+    """Frame-sampling pipeline for video rows; the integer expansion
+    arithmetic has a full DuckDB oracle and is pinned in pytest."""
     m = media_table(spark, sf_dir).filter(col("media_type") == "video")
     frames = sample_frames(
         m.select("media_id", "payload", col("meta.n_frames").alias("n_frames"))

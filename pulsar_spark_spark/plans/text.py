@@ -514,21 +514,14 @@ _SQL_GRAMS = f"""
 """
 
 
-def winnow_pairs(
-    docs: DataFrame,
-    min_shared: int = 20,
-    max_gram_df: int = _MAX_GRAM_DF,
-) -> DataFrame:
-    """Shared word-3-gram fingerprint counts between document pairs
-    (MOSS/winnowing-style containment detection) over a ``documents``
-    relation with (doc_id, text).
+def pruned_grams(docs: DataFrame, max_gram_df: int = _MAX_GRAM_DF) -> DataFrame:
+    """(doc_id, g) — distinct hashed word-3-grams per document, with
+    grams hotter than ``max_gram_df`` documents discarded (they
+    identify nothing and explode any downstream gram-keyed join).
 
-    Each doc emits its distinct hashed 3-grams; grams hotter than
-    ``max_gram_df`` documents are discarded (they identify nothing and
-    explode the join); pairs sharing ≥ ``min_shared`` surviving grams
-    are contained/overlapping candidates. The join key is the gram
-    hash — bucketed like the LSH join, never all-pairs, and the df cap
-    bounds any single key's fanout.
+    The hot set is tiny by construction (only pathological grams
+    exceed the cap) → broadcast anti-join, no extra shuffle of the
+    gram relation.
     """
     tok = tokens(col("text"))
     grams3 = F.transform(
@@ -553,16 +546,30 @@ def winnow_pairs(
             ).alias("g"),
         )
     )
-    # the hot set is tiny by construction (only pathological grams
-    # exceed the cap) → broadcast anti-join, no extra shuffle of the
-    # gram relation
     hot = (
         exploded.groupBy("g")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(col("df") > max_gram_df)
         .select("g")
     )
-    pruned = exploded.join(F.broadcast(hot), "g", "left_anti")
+    return exploded.join(F.broadcast(hot), "g", "left_anti")
+
+
+def winnow_pairs(
+    docs: DataFrame,
+    min_shared: int = 20,
+    max_gram_df: int = _MAX_GRAM_DF,
+) -> DataFrame:
+    """Shared word-3-gram fingerprint counts between document pairs
+    (MOSS/winnowing-style containment detection) over a ``documents``
+    relation with (doc_id, text).
+
+    Pairs sharing ≥ ``min_shared`` surviving grams are
+    contained/overlapping candidates. The join key is the gram
+    hash — bucketed like the LSH join, never all-pairs, and the df cap
+    bounds any single key's fanout.
+    """
+    pruned = pruned_grams(docs, max_gram_df)
     a = pruned.alias("a")
     b = pruned.alias("b")
     return (
@@ -598,8 +605,89 @@ def winnow_pairs(
 )
 def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style containment pairs over the documents table with
-    the hot-gram df cap (see :func:`winnow_pairs`). n-gram Jaccard
-    dedup (brief item) reduces to the same join with a normalizing
-    denominator.
-    """
+    the hot-gram df cap (see :func:`winnow_pairs`)."""
     return winnow_pairs(load_table(spark, "documents", sf_dir))
+
+
+# ---------------------------------------------------------------------
+# n-gram Jaccard dedup: the set-similarity member of the dedup family
+# ---------------------------------------------------------------------
+_NGRAM_JACCARD_MIN = 0.5
+
+
+@query(
+    "doc_ngram_jaccard",
+    oracle=f"""
+        WITH grams AS ({_SQL_GRAMS}),
+        hot AS (
+            SELECT g FROM grams GROUP BY g HAVING count(*) > {_MAX_GRAM_DF}
+        ),
+        pruned AS (
+            SELECT doc_id, g FROM grams WHERE g NOT IN (SELECT g FROM hot)
+        ),
+        sizes AS (
+            SELECT doc_id, count(*) AS n FROM pruned GROUP BY doc_id
+        ),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   count(*) AS n_shared
+            FROM pruned a JOIN pruned b
+              ON a.g = b.g AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT doc_a, doc_b, n_shared,
+               round(CAST(n_shared AS DOUBLE) / (na.n + nb.n - n_shared), 4)
+                   AS jaccard
+        FROM pairs
+        JOIN sizes na ON na.doc_id = doc_a
+        JOIN sizes nb ON nb.doc_id = doc_b
+        WHERE CAST(n_shared AS DOUBLE) / (na.n + nb.n - n_shared)
+              >= {_NGRAM_JACCARD_MIN}
+        ORDER BY doc_a, doc_b
+    """,
+)
+def doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs (the brief's "n-gram
+    Jaccard" dedup family member).
+
+    Candidates come from the same gram-hash equi-join as winnowing
+    (never all-pairs; the df cap bounds per-key fanout), then the exact
+    Jaccard ``|∩| / (|A| + |B| - |∩|)`` is computed from the shared
+    count and per-doc set sizes — all JVM-side integer/double
+    arithmetic, bit-identical in the oracle. Jaccard is taken over the
+    df-capped gram vocabulary: grams present in > ``_MAX_GRAM_DF`` docs
+    carry no identifying signal (standard stop-gram removal), and
+    dropping them on BOTH the numerator and denominator keeps the
+    measure a true Jaccard of the pruned sets.
+
+    Scale shape: one shuffle on the gram hash for candidates, one tiny
+    join of the candidate pairs against per-doc sizes. The pruned-gram
+    relation feeds three consumers (both join sides + sizes), so it is
+    materialized once via a lazy localCheckpoint, same rationale as
+    :func:`doc_near_dup_pairs`.
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    n_spread = spark.sparkContext.defaultParallelism * 2
+    pruned = (
+        pruned_grams(docs.repartition(n_spread, col("doc_id")))
+        .localCheckpoint(eager=False)
+    )
+    sizes = pruned.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = pruned.alias("a")
+    b = pruned.alias("b")
+    pairs = (
+        a.join(b, (col("a.g") == col("b.g")) & (col("a.doc_id") < col("b.doc_id")))
+        .groupBy(col("a.doc_id").alias("doc_a"), col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    na = sizes.select(col("doc_id").alias("doc_a"), col("n").alias("n_a"))
+    nb = sizes.select(col("doc_id").alias("doc_b"), col("n").alias("n_b"))
+    jac = col("n_shared").cast("double") / (col("n_a") + col("n_b") - col("n_shared"))
+    return (
+        pairs.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .withColumn("jaccard", jac)
+        .filter(col("jaccard") >= _NGRAM_JACCARD_MIN)
+        .select("doc_a", "doc_b", "n_shared", F.round("jaccard", 4).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
