@@ -545,6 +545,11 @@ def pruned_grams(docs: DataFrame, max_gram_df: int = _MAX_GRAM_DF) -> DataFrame:
                 )
             ).alias("g"),
         )
+        # every downstream shape reads this at least twice (the hot-set
+        # agg + each join side), and Spark re-evaluates the tokenize +
+        # md5-per-gram projection per consumer (ReuseExchange doesn't
+        # fire across differently-pruned branches) — pay it once.
+        .localCheckpoint(eager=False)
     )
     hot = (
         exploded.groupBy("g")
