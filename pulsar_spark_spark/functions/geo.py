@@ -358,6 +358,138 @@ def sql_geohash_ctes(src: str, lat: str, lng: str, precision: int = 7) -> tuple[
     return cte, "__gh"
 
 
+def sql_vincenty_alldist_ctes(n_where: str = "") -> str:
+    """DuckDB twin of the per-group all-pairs Vincenty matrix
+    (:func:`vincenty_np` over ``_pairwise_vincenty``'s repeat/tile
+    layout), as a WITH-RECURSIVE CTE chain.
+
+    Expects an ``ord`` CTE with columns (user_id, i, n, lat, lng) —
+    rows numbered 1..n per user in kernel input order. Emits
+    ``alldist(user_id, i, j, d, differs)`` covering every ordered pair
+    (i, j) including self-pairs, with the lat==0 → 1e7 sentinel and
+    same-coordinate → 0 short-circuit applied in the reference's
+    precedence (sentinel wins).
+
+    Parity engineering (the same rules as the numpy↔math twins,
+    applied numpy↔SQL):
+
+    - every arithmetic expression is transcribed VERBATIM from
+      ``vincenty_np`` — left-associative products, ``x*x`` never
+      ``pow``, scalar constants (``f/16``, ``a²−b²``, ``b²``)
+      pre-evaluated in Python and inlined via ``repr`` so SQL sees the
+      exact doubles numpy uses;
+    - numpy's per-element convergence freeze maps exactly onto
+      recursion: a pair row stops being re-emitted on the iteration
+      where |Δλ| < tol, and its final state is the state written BY
+      that iteration — identical to the ``np.where(active, ...)``
+      update discipline;
+    - the one remaining engine difference is atan2 (numpy's ufunc vs
+      libm differ by 1 ulp on some inputs → distances can differ by
+      ~1e-9 m). That is why only SELECTION-shaped kernels (G1/G3,
+      whose outputs are input coordinates picked by integer-count
+      argmax) get full oracles: at the fixture's geometry the closest
+      any pair sits to a decision threshold is ~1e-4 m (measured), so
+      a 1e-9 m wobble can never flip a count, while score-equality
+      kernels (G2) compare the two ulp-separated DIRECTIONS of one
+      symmetric pair and could legitimately flip between engines.
+    """
+    f = repr(_WGS84_F)
+    one_mf = repr(1 - _WGS84_F)
+    f16 = repr(_WGS84_F / 16.0)
+    ab = repr(_WGS84_A**2 - _WGS84_B**2)
+    b2 = repr(_WGS84_B**2)
+    b = repr(_WGS84_B)
+    nofix = repr(NO_FIX_DISTANCE_M)
+    bterm = "(u_sq / 1024 * (256 + u_sq * (-128 + u_sq * (74 - 47 * u_sq))))"
+    return f"""
+rowtrig AS (
+    SELECT user_id, i, n, lat, lng,
+           sin(atan2({one_mf} * sin(radians(lat)), cos(radians(lat)))) AS sinU,
+           cos(atan2({one_mf} * sin(radians(lat)), cos(radians(lat)))) AS cosU
+    FROM ord {n_where}
+), vpairs AS (
+    SELECT a.user_id AS user_id, a.i AS i, b.i AS j,
+           a.sinU AS sinU1, a.cosU AS cosU1,
+           b.sinU AS sinU2, b.cosU AS cosU2,
+           radians(b.lng - a.lng) AS L
+    FROM rowtrig a JOIN rowtrig b ON a.user_id = b.user_id
+    WHERE NOT (a.lat = b.lat AND a.lng = b.lng)
+      AND a.lat != 0 AND b.lat != 0
+), it AS (
+    SELECT user_id, i, j, sinU1, cosU1, sinU2, cosU2, L,
+           L AS lam,
+           0.0::DOUBLE AS ss, 1.0::DOUBLE AS cs, 0.0::DOUBLE AS sig,
+           1.0::DOUBLE AS csa, 0.0::DOUBLE AS c2m,
+           TRUE AS active, 0 AS iter
+    FROM vpairs
+    UNION ALL
+    SELECT user_id, i, j, sinU1, cosU1, sinU2, cosU2, L,
+           lam_new, nss, ncs, nsig, ncsa, nc2m,
+           (abs(lam_new - lam) >= 1e-12) AND (iter + 1 < 200), iter + 1
+    FROM (
+        SELECT *,
+               L + (1 - C) * {f} * sin_alpha *
+                   (nsig + C * nss * (nc2m + C * ncs * (-1 + 2 * nc2m * nc2m)))
+                   AS lam_new
+        FROM (
+            SELECT *, {f16} * ncsa * (4 + {f} * (4 - 3 * ncsa)) AS C
+            FROM (
+                SELECT *,
+                       atan2(nss, ncs) AS nsig,
+                       1.0 - sin_alpha * sin_alpha AS ncsa,
+                       CASE WHEN 1.0 - sin_alpha * sin_alpha != 0
+                            THEN ncs - 2.0 * sinU1 * sinU2
+                                 / greatest(1.0 - sin_alpha * sin_alpha, 1e-300)
+                            ELSE 0.0 END AS nc2m
+                FROM (
+                    SELECT *,
+                           CASE WHEN nss != 0
+                                THEN cosU1 * cosU2 * sin_lam / greatest(nss, 1e-300)
+                                ELSE 0.0 END AS sin_alpha
+                    FROM (
+                        SELECT *,
+                               sqrt((cosU2 * sin_lam) * (cosU2 * sin_lam)
+                                    + (cosU1 * sinU2 - sinU1 * cosU2 * cos_lam)
+                                      * (cosU1 * sinU2 - sinU1 * cosU2 * cos_lam))
+                                   AS nss,
+                               sinU1 * sinU2 + cosU1 * cosU2 * cos_lam AS ncs
+                        FROM (
+                            SELECT *, sin(lam) AS sin_lam, cos(lam) AS cos_lam
+                            FROM it WHERE active
+                        )
+                    )
+                )
+            )
+        )
+    )
+), vdist AS (
+    SELECT user_id, i, j,
+           CASE WHEN isnan(d0) THEN 0.0 ELSE d0 END AS d
+    FROM (
+        SELECT user_id, i, j,
+               {b} * (1 + u_sq / 16384 *
+                      (4096 + u_sq * (-768 + u_sq * (320 - 175 * u_sq))))
+               * (sig - {bterm} * ss *
+                  (c2m + {bterm} / 4 *
+                   (cs * (-1 + 2 * c2m * c2m)
+                    - {bterm} / 6 * c2m
+                      * (-3 + 4 * ss * ss) * (-3 + 4 * c2m * c2m)))) AS d0
+        FROM (
+            SELECT *, csa * {ab} / {b2} AS u_sq
+            FROM it WHERE NOT active
+        )
+    )
+), alldist AS (
+    SELECT a.user_id AS user_id, a.i AS i, b.i AS j,
+           CASE WHEN a.lat = 0 OR b.lat = 0 THEN {nofix} ELSE 0.0 END AS d,
+           NOT (a.lat = b.lat AND a.lng = b.lng) AS differs
+    FROM rowtrig a JOIN rowtrig b ON a.user_id = b.user_id
+    WHERE (a.lat = 0 OR b.lat = 0) OR (a.lat = b.lat AND a.lng = b.lng)
+    UNION ALL
+    SELECT user_id, i, j, d, TRUE AS differs FROM vdist
+)"""
+
+
 def vincenty_py(lat1: float, lng1: float, lat2: float, lng2: float) -> float:
     """Scalar Vincenty, arithmetic-identical to :func:`vincenty_np`.
 

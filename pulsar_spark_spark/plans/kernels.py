@@ -8,12 +8,32 @@ projection of ``events`` (plans/geo.py) with ``user_id`` standing in
 for addr_hash/agent_id.
 
 The kernels are procedural (O(n²) scoring, iterative trimming, a
-stateful single-pass clusterer) and NOT SQL-expressible, so these
-queries register WITHOUT oracle SQL — the driver applies its weaker
-rows-only check, and exact semantics are enforced in pytest against an
-independent pure-Python transliteration of the reference algorithms
-(tests/geo_oracle.py, mirroring the reference's own service-test
-strategy, CompassSparkServiceTest.scala:113-136).
+stateful single-pass clusterer). Exact semantics for ALL of them are
+enforced in pytest against an independent pure-Python transliteration
+of the reference algorithms (tests/geo_oracle.py, mirroring the
+reference's own service-test strategy,
+CompassSparkServiceTest.scala:113-136). On top of that, the
+SELECTION-shaped kernels (G1, G3 — whose outputs are input
+coordinates picked by integer neighbor-count argmax) carry full DuckDB
+value oracles built on a recursive-CTE Vincenty
+(functions/geo.py::sql_vincenty_alldist_ctes): engine-level distance
+wobble is ~1e-9 m (numpy-vs-libm atan2 ulps) while the fixture's
+closest threshold margin is ~1e-4 m (measured), so no count can flip.
+
+The rest stay rows-only DELIBERATELY, each for a numeric-robustness
+reason, not expressibility laziness:
+
+- G2: the reference's overwrite-by-last-neighbor scoring makes the
+  top-two scores frequently the two DIRECTIONS of one symmetric pair
+  (score(c_{n-1}) = 1/(1+d(n-1,n-2)) vs score(c_{n-2}) =
+  1/(1+d(n-2,n-1))), which differ only in final ulps — an independent
+  engine can legitimately flip that float-equality argmax.
+- G4: the centroid is an order-sensitive float SUM (numpy pairwise vs
+  any SQL fold differ in last ulps) re-fed into the trim loop — the
+  output is a computed double, not a selected input.
+- G5-G7: the DBSCAN walk's state (prepend-order head/tail probes, the
+  silent drop) depends on every intermediate comparison; fallback
+  routing amplifies any ulp into a different METHOD label.
 
 Plan shape at 100 TB: one shuffle on the group key into
 ``applyInPandas``; groups are bounded (kernel guards + upstream
@@ -28,6 +48,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql.functions import col
 
+from pulsar_spark_spark.functions.geo import sql_vincenty_alldist_ctes
 from pulsar_spark_spark.operators.grouped import (
     apply_best_latlng,
     apply_cluster_score,
@@ -35,8 +56,80 @@ from pulsar_spark_spark.operators.grouped import (
     apply_delivery_refinement,
     apply_trimmed_centroid,
 )
-from pulsar_spark_spark.plans.geo import geo_events
+from pulsar_spark_spark.plans.geo import _SQL_GEO_EVENTS, geo_events
 from pulsar_spark_spark.plans.registry import query
+
+# kernel input rows, numbered 1..n per user in kernel sort order —
+# the SQL twin of _geo_points + the wrappers' sort_values(ts_ms,
+# event_id). epoch_ns//1000//1000 reproduces Spark's ns→µs truncation
+# followed by unix_millis.
+_SQL_ORD = f"""
+pts AS (
+    SELECT user_id, event_id,
+           (epoch_ns(ts) // 1000) // 1000 AS ts_ms,
+           lat, lng
+    FROM ({_SQL_GEO_EVENTS})
+), ord AS (
+    SELECT user_id, event_id, lat, lng,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS i,
+           count(*)     OVER (PARTITION BY user_id)                          AS n
+    FROM pts
+)"""
+
+
+def _g1_oracle() -> str:
+    """G1: all-pairs neighbor counts (d < 300, self included), first-max
+    argmax in input order; n<4 / n>500 guard returns the last point —
+    the same routing the Spark side's JVM pre-dispatch performs."""
+    return f"""
+WITH RECURSIVE {_SQL_ORD},
+{sql_vincenty_alldist_ctes('WHERE n >= 4 AND n <= 500')},
+counts AS (
+    SELECT user_id, i, sum(CASE WHEN d < 300.0 THEN 1 ELSE 0 END) AS c
+    FROM alldist GROUP BY user_id, i
+), best AS (
+    SELECT user_id, i FROM counts
+    QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY c DESC, i ASC) = 1
+)
+SELECT o.user_id AS user_id, o.lat AS best_lat, o.lng AS best_lng,
+       CAST(o.n AS INTEGER) AS n_points
+FROM best b JOIN ord o ON o.user_id = b.user_id AND o.i = b.i
+UNION ALL
+SELECT user_id, lat, lng, CAST(n AS INTEGER) AS n_points
+FROM ord WHERE (n < 4 OR n > 500) AND i = n
+ORDER BY user_id
+"""
+
+
+def _g3_oracle() -> str:
+    """G3: per-ROW neighbor counts (differing coords, d ≤ 200) summed
+    per COORDINATE, argmax in first-occurrence order, real-ceil
+    majority bar at min-points 3 — no size guard, like the kernel."""
+    return f"""
+WITH RECURSIVE {_SQL_ORD},
+{sql_vincenty_alldist_ctes()},
+cnt_row AS (
+    SELECT user_id, i,
+           sum(CASE WHEN differs AND d <= 200.0 THEN 1 ELSE 0 END) AS c
+    FROM alldist GROUP BY user_id, i
+), coords AS (
+    SELECT o.user_id AS user_id, o.lat AS lat, o.lng AS lng,
+           min(o.i) AS first_i, min(o.n) AS n, sum(r.c) AS cnt
+    FROM ord o JOIN cnt_row r ON r.user_id = o.user_id AND r.i = o.i
+    GROUP BY o.user_id, o.lat, o.lng
+), best AS (
+    SELECT user_id, lat, lng, n, cnt
+    FROM coords
+    QUALIFY row_number() OVER (PARTITION BY user_id
+                               ORDER BY cnt DESC, first_i ASC) = 1
+)
+SELECT user_id, lat, lng,
+       CASE WHEN n >= 3 AND cnt >= CAST(ceil(0.5 * n) AS BIGINT)
+            THEN 1.0 ELSE 0.0 END AS cluster_score,
+       (n >= 3 AND cnt >= CAST(ceil(0.5 * n) AS BIGINT)) AS is_high_confidence
+FROM best
+ORDER BY user_id
+"""
 
 
 def _geo_points(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -77,7 +170,7 @@ def _scaled_geo_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("best_latlng_per_user")
+@query("best_latlng_per_user", oracle=_g1_oracle())
 def best_latlng_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G1: per-user best location by 300 m Vincenty neighbor count."""
     return apply_best_latlng(_geo_points(spark, sf_dir)).orderBy("user_id")
@@ -89,7 +182,7 @@ def cluster_score_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     return apply_cluster_score(_geo_points(spark, sf_dir)).orderBy("user_id")
 
 
-@query("ping_cluster_score_per_user")
+@query("ping_cluster_score_per_user", oracle=_g3_oracle())
 def ping_cluster_score_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G3: ping-cluster scoring variant (argmax neighbors, real ceil)."""
     return apply_cluster_score_v3(_geo_points(spark, sf_dir)).orderBy("user_id")
