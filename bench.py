@@ -56,6 +56,7 @@ HEADLINE = [
     "doc_ngram_jaccard",
     "ann_topk_ivf",
     "smart_address_candidates",
+    "skewed_type_revenue_salted",
 ]
 
 

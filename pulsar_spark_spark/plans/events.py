@@ -475,3 +475,70 @@ def purchase_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("purchase_id")
     )
+
+
+# ---------------------------------------------------------------------
+# skew-salted join demo (operators/skew.py)
+# ---------------------------------------------------------------------
+@query(
+    "skewed_type_revenue_salted",
+    oracle="""
+        WITH dim AS (
+            SELECT event_type,
+                   CAST(1 + ('0x' || substr(md5('tw:' || event_type), 1, 15))::BIGINT
+                            % 100 AS INTEGER) AS weight
+            FROM (SELECT DISTINCT event_type FROM events)
+        )
+        SELECT e.event_type AS event_type,
+               any_value(d.weight)                 AS weight,
+               count(*)                            AS n_events,
+               round(sum(e.value * d.weight), 2)   AS weighted_value
+        FROM events e JOIN dim d ON e.event_type = d.event_type
+        GROUP BY e.event_type
+        ORDER BY e.event_type
+    """,
+)
+def skewed_type_revenue_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted per-type revenue through a SALTED equi-join
+    (operators/skew.py::salted_equi_join).
+
+    ``event_type`` has ~5 distinct values over the whole fact table —
+    the textbook hot-key join: un-salted, each type is one shuffle
+    partition and the 5 straggler tasks ARE the job. The salt spreads
+    every type over 16 (event_id-hashed, deterministic) buckets; the
+    dim side is replicated ×16. Results are row-identical to the plain
+    join — the oracle is the plain join. (At this dim size a broadcast
+    would of course win; the query exists to pin the salted PLAN shape
+    — tests assert no single-key concentration — for the dims that
+    are too big to broadcast at 100 TB.) The post-join per-type SUM
+    re-concentrates harmlessly: partial aggregation reduces each
+    bucket to one row before the final 5-row shuffle.
+    """
+    from pulsar_spark_spark.functions.text import md5_i64
+    from pulsar_spark_spark.operators.skew import salted_equi_join
+
+    ev = load_table(spark, "events", sf_dir)
+    dim = (
+        ev.select("event_type")
+        .distinct()
+        .withColumn(
+            "weight",
+            (1 + md5_i64(F.concat(F.lit("tw:"), col("event_type"))) % 100).cast("int"),
+        )
+    )
+    joined = salted_equi_join(
+        ev.select("event_type", "event_id", "value"),
+        dim,
+        "event_type",
+        salt_src=F.abs(md5_i64(col("event_id").cast("string"))),
+        n_salt=16,
+    )
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.max("weight").alias("weight"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(col("value") * col("weight")), 2).alias("weighted_value"),
+        )
+        .orderBy("event_type")
+    )

@@ -117,3 +117,10 @@ def test_winnow_prunes_hot_grams_before_self_join(spark):
     plan = plan_of(QUERIES["doc_winnow_fingerprints"](spark, SF_DIR))
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_salted_join_spreads_hot_keys(spark):
+    plan = plan_of(QUERIES["skewed_type_revenue_salted"](spark, SF_DIR), "extended")
+    # join key must be (event_type, __salt), dim exploded, no cartesian
+    assert "__salt" in plan and "explode" in plan.lower()
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
