@@ -124,3 +124,59 @@ def test_salted_join_spreads_hot_keys(spark):
     # join key must be (event_type, __salt), dim exploded, no cartesian
     assert "__salt" in plan and "explode" in plan.lower()
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
+# Queries whose plans legitimately contain an Arrow-batched Python
+# stage (procedural kernels, multimodal decode). Everything else must
+# stay entirely JVM-side. delivery_refined_history's kernel stage is
+# NOT visible in explain — it sits behind the lazy localCheckpoint
+# that materializes the refinement once for its two consumers.
+_PYTHON_STAGE_OK = {
+    "best_latlng_per_user",
+    "cluster_score_per_user",
+    "ping_cluster_score_per_user",
+    "trimmed_centroid_per_user",
+    "delivery_refinement",
+    "media_feature_extract",
+    "media_frame_sample",
+}
+_PYTHON_STAGE_HIDDEN = {"delivery_refined_history"}
+
+# Designed bounded-side broadcast nested-loop / cross joins: the
+# brute-force ANN baseline (queries × corpus IS the semantics), the
+# IVF query-to-centroid assignment (× 16 centroids), the geofence
+# range joins (× 25-row dim, bbox prefilter inside the join
+# condition), and single-row scalar-count crosses. Anything NOT on
+# this list acquiring a cartesian is a regression.
+_BOUNDED_CROSS_OK = {
+    "ann_topk_bruteforce",
+    "ann_topk_ivf",
+    "distinct_event_entities",
+    "geofence_containment",
+    "trip_geofence_transitions",
+}
+
+
+def test_registry_wide_plan_hygiene(spark):
+    """Every registered query: cartesian/nested-loop joins only where
+    a bounded broadcast side is the designed plan, no row-at-a-time
+    Python UDF anywhere, Arrow Python stages only in the known
+    kernel/multimodal set."""
+    offenders = []
+    for name, fn in sorted(QUERIES.items()):
+        plan = plan_of(fn(spark, SF_DIR))
+        cross = "CartesianProduct" in plan or "BroadcastNestedLoop" in plan
+        if cross and name not in _BOUNDED_CROSS_OK:
+            offenders.append(f"{name}: cartesian/nested-loop join")
+        if "BatchEvalPython" in plan:
+            offenders.append(f"{name}: row-at-a-time Python UDF")
+        has_py = (
+            "MapInPandas" in plan
+            or "ArrowEvalPython" in plan
+            or "FlatMapGroupsInPandas" in plan
+        )
+        if has_py and name not in _PYTHON_STAGE_OK | _PYTHON_STAGE_HIDDEN:
+            offenders.append(f"{name}: unexpected Python stage")
+        if not has_py and name in _PYTHON_STAGE_OK:
+            offenders.append(f"{name}: expected Arrow kernel stage missing")
+    assert not offenders, "; ".join(offenders)
