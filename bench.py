@@ -52,6 +52,7 @@ HEADLINE = [
     "delivery_refinement",
     "delivery_refined_history",
     "media_feature_extract",
+    "media_resize",
     "doc_winnow_fingerprints",
     "doc_ngram_jaccard",
     "ann_topk_ivf",

@@ -330,3 +330,76 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select(
         "media_id", "frame_idx", F.octet_length("frame_bytes").alias("frame_len")
     ).orderBy("media_id", "frame_idx")
+
+
+def resize_pool2(media: DataFrame) -> DataFrame:
+    """mapInPandas 'resize': interpret each 64-byte payload as an 8×8
+    single-channel image and 2×2 mean-pool it to 4×4 (the stand-in for
+    a real resampling kernel; the batching/schema/partitioning story is
+    identical with real codecs). Pure map stage — no shuffle; pooled
+    values are exact in float64 (integer sums / 4)."""
+    ensure_package_on_executors(media.sparkSession)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mats = np.stack(
+                [np.frombuffer(p, dtype=np.uint8) for p in pdf["payload"]]
+            ).astype(np.float64).reshape(-1, 8, 8)
+            pooled = (
+                mats.reshape(-1, 4, 2, 4, 2).sum(axis=(2, 4)) / 4.0
+            )  # (n, 4, 4)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "r00": pooled[:, 0, 0],
+                    "r03": pooled[:, 0, 3],
+                    "r30": pooled[:, 3, 0],
+                    "r33": pooled[:, 3, 3],
+                    "pool_sum": pooled.sum(axis=(1, 2)),
+                }
+            )
+
+    schema = (
+        "media_id bigint, r00 double, r03 double, r30 double, r33 double, "
+        "pool_sum double"
+    )
+    return media.select("media_id", "payload").mapInPandas(fn, schema)
+
+
+@query(
+    "media_resize",
+    # byte(r, c) = hex pair at position r*8 + c; a 2x2 pool cell is an
+    # integer sum / 4 — exact float64 on both engines, full oracle.
+    oracle="""
+        WITH m AS (
+            SELECT doc_id AS media_id,
+                   md5(text) || md5(text || ':1')
+                       || md5(text || ':2') || md5(text || ':3') AS hexstr
+            FROM documents
+        ), b AS (
+            SELECT media_id,
+                   (k - 1) // 8 AS r, (k - 1) % 8 AS c,
+                   ('0x' || substr(hexstr, 2 * k - 1, 2))::BIGINT AS byte
+            FROM m, generate_series(1, 64) AS g(k)
+        ), pooled AS (
+            SELECT media_id, r // 2 AS pr, c // 2 AS pc,
+                   CAST(sum(byte) AS DOUBLE) / 4 AS v
+            FROM b GROUP BY media_id, r // 2, c // 2
+        )
+        SELECT media_id,
+               sum(CASE WHEN pr = 0 AND pc = 0 THEN v END) AS r00,
+               sum(CASE WHEN pr = 0 AND pc = 3 THEN v END) AS r03,
+               sum(CASE WHEN pr = 3 AND pc = 0 THEN v END) AS r30,
+               sum(CASE WHEN pr = 3 AND pc = 3 THEN v END) AS r33,
+               sum(v) AS pool_sum
+        FROM pooled
+        GROUP BY media_id
+        ORDER BY media_id
+    """,
+)
+def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize (2×2 mean-pool 8×8 → 4×4) over binary media payloads —
+    the brief's multimodal resize stage, with a bit-exact value oracle
+    (integer pools / 4 are exact doubles)."""
+    m = media_table(spark, sf_dir)
+    return resize_pool2(m).orderBy("media_id")

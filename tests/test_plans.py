@@ -139,6 +139,7 @@ _PYTHON_STAGE_OK = {
     "delivery_refinement",
     "media_feature_extract",
     "media_frame_sample",
+    "media_resize",
 }
 _PYTHON_STAGE_HIDDEN = {"delivery_refined_history"}
 
