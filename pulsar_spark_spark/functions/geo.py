@@ -480,8 +480,13 @@ rowtrig AS (
         )
     )
 ), alldist AS (
+    -- literals MUST be cast: DuckDB types bare `10000000.0` as
+    -- DECIMAL(9,1) and the UNION would coerce every Vincenty double
+    -- to one decimal place (silently surviving thresholds with
+    -- metre-scale margins, corrupting anything finer)
     SELECT a.user_id AS user_id, a.i AS i, b.i AS j,
-           CASE WHEN a.lat = 0 OR b.lat = 0 THEN {nofix} ELSE 0.0 END AS d,
+           CASE WHEN a.lat = 0 OR b.lat = 0
+                THEN {nofix}::DOUBLE ELSE 0.0::DOUBLE END AS d,
            NOT (a.lat = b.lat AND a.lng = b.lng) AS differs
     FROM rowtrig a JOIN rowtrig b ON a.user_id = b.user_id
     WHERE (a.lat = 0 OR b.lat = 0) OR (a.lat = b.lat AND a.lng = b.lng)

@@ -181,3 +181,12 @@ def test_registry_wide_plan_hygiene(spark):
         if not has_py and name in _PYTHON_STAGE_OK:
             offenders.append(f"{name}: expected Arrow kernel stage missing")
     assert not offenders, "; ".join(offenders)
+
+
+def test_ngram_jaccard_joins_candidates_not_all_pairs(spark):
+    # the hot-gram LeftAnti prune itself is hidden behind the lazy
+    # localCheckpoint (asserted via winnow, which shares pruned_grams);
+    # here pin what IS visible: hash-key joins only, no cartesian
+    plan = plan_of(QUERIES["doc_ngram_jaccard"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
