@@ -55,6 +55,7 @@ HEADLINE = [
     "media_resize",
     "doc_winnow_fingerprints",
     "doc_ngram_jaccard",
+    "doc_dedup_clusters",
     "ann_topk_ivf",
     "smart_address_candidates",
     "skewed_type_revenue_salted",

@@ -696,3 +696,106 @@ def doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "n_shared", F.round("jaccard", 4).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------
+# dedup clusters: connected components over the near-dup pair graph
+# (the iterative-algorithm operator class — min-label propagation)
+# ---------------------------------------------------------------------
+def connected_components_min_label(
+    edges: DataFrame, a: str = "doc_a", b: str = "doc_b", max_iter: int = 20
+) -> DataFrame:
+    """(node, component) via min-label propagation over an edge list.
+
+    Each iteration: every node takes the min of its own label and its
+    neighbors' labels — one join + one aggregate, O(component diameter)
+    iterations, with a lazy localCheckpoint per round so the lineage
+    (and Catalyst plan) does not grow with the iteration count — the
+    standard Spark discipline for iterative algorithms. Near-dup
+    components are shallow (pairs/triangles), so this converges in 1-2
+    rounds; for web-scale graphs swap in the large-star/small-star
+    variant (same per-round plan shape, fewer rounds).
+
+    Convergence is detected by an aggregate over the changed flags (a
+    driver-side scalar read per round, never a collect of the data).
+    """
+    spark = edges.sparkSession
+    sym = edges.select(col(a).alias("src"), col(b).alias("dst")).unionByName(
+        edges.select(col(b).alias("src"), col(a).alias("dst"))
+    )
+    labels = (
+        sym.select(col("src").alias("node"))
+        .distinct()
+        .withColumn("label", col("node"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    col("label"), F.coalesce(col("nbr_label"), col("label"))
+                ).alias("label"),
+                (col("nbr_label") < col("label")).alias("changed"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        changed = new_labels.agg(
+            F.sum(F.when(col("changed"), 1).otherwise(0))
+        ).first()[0]
+        labels = new_labels.drop("changed")
+        if not changed:
+            break
+    return labels.select("node", col("label").alias("component"))
+
+
+@query(
+    "doc_dedup_clusters",
+    oracle=f"""
+        WITH RECURSIVE pairs AS (
+            {_near_dup_oracle().replace("ORDER BY doc_a, doc_b", "")}
+        ), sym AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION ALL
+            SELECT doc_b AS src, doc_a AS dst FROM pairs
+        ), closure AS (
+            SELECT src AS node, src AS reach FROM sym
+            UNION
+            SELECT c.node, s.dst AS reach
+            FROM closure c JOIN sym s ON c.reach = s.src
+        ), labels AS (
+            SELECT node, min(reach) AS component
+            FROM closure GROUP BY node
+        )
+        SELECT component                                   AS cluster_id,
+               count(*)                                    AS n_docs,
+               string_agg(node::VARCHAR, ',' ORDER BY node) AS doc_ids
+        FROM labels
+        GROUP BY component
+        ORDER BY cluster_id
+    """,
+)
+def doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the MinHash
+    near-dup pair graph, one row per component (keep-one-per-cluster is
+    then a trivial filter). The iterative Spark side (min-label
+    propagation with per-round checkpoints) is hash-checked against a
+    DuckDB recursive-CTE transitive closure — both converge to
+    component = min(doc_id)."""
+    pairs = doc_near_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    comp = connected_components_min_label(pairs)
+    ids_str = F.array_join(
+        F.transform(F.sort_array(F.collect_list("node")), lambda x: x.cast("string")),
+        ",",
+    )
+    return (
+        comp.groupBy(col("component").alias("cluster_id"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), ids_str.alias("doc_ids"))
+        .orderBy("cluster_id")
+    )
