@@ -16,5 +16,7 @@ from pulsar_spark_spark.plans import kernels  # noqa: E402,F401
 from pulsar_spark_spark.plans import attrs  # noqa: E402,F401
 from pulsar_spark_spark.plans import multimodal  # noqa: E402,F401
 from pulsar_spark_spark.plans import address  # noqa: E402,F401
+from pulsar_spark_spark.plans import timeseries  # noqa: E402,F401
+from pulsar_spark_spark.plans import curation  # noqa: E402,F401
 
 __all__ = ["QUERIES", "ORACLES", "query"]
