@@ -59,6 +59,10 @@ HEADLINE = [
     "ann_topk_ivf",
     "smart_address_candidates",
     "skewed_type_revenue_salted",
+    "events_asof_join",
+    "event_rollup_multires",
+    "doc_decontamination",
+    "doc_stratified_sample",
 ]
 
 

@@ -62,8 +62,8 @@ def asof_backward_join(
     Output: all ``left`` columns plus ``right_cols`` (null when no
     prior right row exists).
     """
-    lt = left.withColumn("__is_r", F.lit(0 if strict else 1))
-    rt = right.withColumn("__is_r", F.lit(1 if strict else 0))
+    lt = left.withColumn("__is_r", F.lit(0))
+    rt = right.withColumn("__is_r", F.lit(1))
     l_cols = [c for c in left.columns]
     payload = F.struct(*[col(c) for c in right_cols])
     tagged = lt.select(
