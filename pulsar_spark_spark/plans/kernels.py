@@ -157,6 +157,17 @@ def _geo_points(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PING_CLOCK_DIV = 1500
 
 
+def _sorted_out(df: DataFrame, *cols: str) -> DataFrame:
+    """Deterministic output order WITHOUT re-running the kernel: a
+    global orderBy range-partitions, and RangePartitioning runs a
+    separate boundary-SAMPLING job over its child — executing the
+    whole Arrow+Python pipeline TWICE (measured +50% on every kernel
+    query at sf0.1). The lazy localCheckpoint materializes the small
+    kernel output once; the sampling job then reads the checkpoint
+    blocks instead of re-running the kernel."""
+    return df.localCheckpoint(eager=False).orderBy(*cols)
+
+
 def _scaled_geo_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     ge = geo_events(spark, sf_dir)
     return ge.select(
@@ -173,25 +184,25 @@ def _scaled_geo_points(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("best_latlng_per_user", oracle=_g1_oracle())
 def best_latlng_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G1: per-user best location by 300 m Vincenty neighbor count."""
-    return apply_best_latlng(_geo_points(spark, sf_dir)).orderBy("user_id")
+    return _sorted_out(apply_best_latlng(_geo_points(spark, sf_dir)), "user_id")
 
 
 @query("cluster_score_per_user")
 def cluster_score_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G2: per-user best location + 0/1 cluster confidence score."""
-    return apply_cluster_score(_geo_points(spark, sf_dir)).orderBy("user_id")
+    return _sorted_out(apply_cluster_score(_geo_points(spark, sf_dir)), "user_id")
 
 
 @query("ping_cluster_score_per_user", oracle=_g3_oracle())
 def ping_cluster_score_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G3: ping-cluster scoring variant (argmax neighbors, real ceil)."""
-    return apply_cluster_score_v3(_geo_points(spark, sf_dir)).orderBy("user_id")
+    return _sorted_out(apply_cluster_score_v3(_geo_points(spark, sf_dir)), "user_id")
 
 
 @query("trimmed_centroid_per_user")
 def trimmed_centroid_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G4: per-user outlier-trimmed centroid over accurate points."""
-    return apply_trimmed_centroid(_geo_points(spark, sf_dir)).orderBy("user_id")
+    return _sorted_out(apply_trimmed_centroid(_geo_points(spark, sf_dir)), "user_id")
 
 
 @query("delivery_refinement")
@@ -231,7 +242,7 @@ def delivery_refinement(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (col("p_ts_ms") <= col("del_ts_ms") + 300_000),
         "left",
     ).drop("p_user_id")
-    return apply_delivery_refinement(joined).orderBy("delivery_id", "method")
+    return _sorted_out(apply_delivery_refinement(joined), "delivery_id", "method")
 
 
 def merge_refined_into_history(points: DataFrame, refined: DataFrame) -> DataFrame:
@@ -326,6 +337,10 @@ def delivery_refined_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         # materialize the Python refinement pipeline ONCE
         .localCheckpoint(eager=False)
     )
+    # plain orderBy here, NOT _sorted_out: the expensive Python stage
+    # already sits behind ``chosen``'s checkpoint, so the sort's
+    # sampling pass re-runs only the cheap JVM merge — cheaper than
+    # checkpointing the full merged history (measured at sf0.1).
     return merge_refined_into_history(pts, chosen).orderBy(
         "user_id", "ts_ms", "event_id", "method"
     )

@@ -33,6 +33,7 @@ from pyspark.sql.functions import col
 
 from pulsar_spark_spark.operators.shipping import ensure_package_on_executors
 from pulsar_spark_spark.plans.registry import query
+from pulsar_spark_spark.plans.kernels import _sorted_out
 from pulsar_spark_spark.sources.tables import load_table
 
 _TYPES = ("image", "audio", "video")
@@ -284,14 +285,15 @@ def media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     decorator) and exact values are additionally pinned in pytest."""
     m = media_table(spark, sf_dir)
     feats = extract_features(m)
-    return feats.select(
+    out = feats.select(
         "media_id",
         "media_type",
         "n_bytes",
         F.round("byte_mean", 6).alias("byte_mean"),
         F.round("byte_std", 6).alias("byte_std"),
         F.round(F.element_at("hist4", 1), 6).alias("hist_bin1"),
-    ).orderBy("media_id")
+    )
+    return _sorted_out(out, "media_id")
 
 
 @query(
@@ -327,9 +329,10 @@ def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames = sample_frames(
         m.select("media_id", "payload", col("meta.n_frames").alias("n_frames"))
     )
-    return frames.select(
+    out = frames.select(
         "media_id", "frame_idx", F.octet_length("frame_bytes").alias("frame_len")
-    ).orderBy("media_id", "frame_idx")
+    )
+    return _sorted_out(out, "media_id", "frame_idx")
 
 
 def resize_pool2(media: DataFrame) -> DataFrame:
@@ -402,4 +405,4 @@ def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     the brief's multimodal resize stage, with a bit-exact value oracle
     (integer pools / 4 are exact doubles)."""
     m = media_table(spark, sf_dir)
-    return resize_pool2(m).orderBy("media_id")
+    return _sorted_out(resize_pool2(m), "media_id")

@@ -81,7 +81,12 @@ def test_whole_stage_codegen_covers_relational_spine(spark):
 
 
 def test_kernel_query_spreads_groups(spark):
-    plan = plan_of(QUERIES["best_latlng_per_user"](spark, SF_DIR))
+    # the registered query hides the kernel behind the pre-sort
+    # localCheckpoint (see kernels._sorted_out), so audit the operator
+    from pulsar_spark_spark.operators.grouped import apply_best_latlng
+    from pulsar_spark_spark.plans.kernels import _geo_points
+
+    plan = plan_of(apply_best_latlng(_geo_points(spark, SF_DIR)))
     # the explicit repartition must survive planning so AQE cannot
     # serialize the Python kernel stage into one partition
     assert "REPARTITION_BY_NUM" in plan or "hashpartitioning(user_id" in plan
@@ -92,7 +97,10 @@ def test_kernel_query_spreads_groups(spark):
 def test_kernel_query_pre_dispatches_guard_groups(spark):
     # the guard route must be pure JVM: a max_by aggregate exists and
     # feeds the union WITHOUT a Python stage on its branch
-    plan = plan_of(QUERIES["best_latlng_per_user"](spark, SF_DIR), "extended")
+    from pulsar_spark_spark.operators.grouped import apply_best_latlng
+    from pulsar_spark_spark.plans.kernels import _geo_points
+
+    plan = plan_of(apply_best_latlng(_geo_points(spark, SF_DIR)), "extended")
     assert "max_by" in plan
     assert "Union" in plan
 
@@ -131,17 +139,23 @@ def test_salted_join_spreads_hot_keys(spark):
 # stay entirely JVM-side. delivery_refined_history's kernel stage is
 # NOT visible in explain — it sits behind the lazy localCheckpoint
 # that materializes the refinement once for its two consumers.
-_PYTHON_STAGE_OK = {
+_PYTHON_STAGE_OK = set()
+_PYTHON_STAGE_HIDDEN = {
+    # every kernel/multimodal query materializes its Python stage
+    # behind the pre-sort localCheckpoint (kernels._sorted_out), so
+    # explain shows Scan ExistingRDD instead of MapInPandas; the
+    # operator-level plan shape is asserted in
+    # test_kernel_query_spreads_groups / the multimodal tests
     "best_latlng_per_user",
     "cluster_score_per_user",
     "ping_cluster_score_per_user",
     "trimmed_centroid_per_user",
     "delivery_refinement",
+    "delivery_refined_history",
     "media_feature_extract",
     "media_frame_sample",
     "media_resize",
 }
-_PYTHON_STAGE_HIDDEN = {"delivery_refined_history"}
 
 # Designed bounded-side broadcast nested-loop / cross joins: the
 # brute-force ANN baseline (queries × corpus IS the semantics), the
