@@ -205,19 +205,10 @@ def trimmed_centroid_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sorted_out(apply_trimmed_centroid(_geo_points(spark, sf_dir)), "user_id")
 
 
-@query("delivery_refinement")
-def delivery_refinement(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """G5-G7: refine each 'purchase' (delivery analog) from the user's
-    surrounding pings via DBSCAN → best-cluster → score/centroid.
-
-    The candidate set is the reference's T4 interval join: pings of
-    the same user in [delivery−120 s, +300 s] with accuracy ≤ 100
-    (DeliveryLocationRefinementService.scala:99-106) — an equi-join on
-    user_id with a range residual, one shuffle, and the kernel runs
-    per delivery group. Runs on the compressed fixture clock (see
-    ``_PING_CLOCK_DIV``) so the window genuinely holds pings and the
-    G5→G6→G3/G4 chain executes, not just its fallback.
-    """
+def _refinement_results(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unsorted G5-G7 refinement pipeline (shared by the registered
+    query and the G8 history merge, which must not inherit the
+    registered form's output sort/checkpoint mid-pipeline)."""
     pts = _scaled_geo_points(spark, sf_dir)
     deliveries = pts.filter(col("event_type") == "purchase").select(
         col("event_id").alias("delivery_id"),
@@ -242,7 +233,25 @@ def delivery_refinement(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (col("p_ts_ms") <= col("del_ts_ms") + 300_000),
         "left",
     ).drop("p_user_id")
-    return _sorted_out(apply_delivery_refinement(joined), "delivery_id", "method")
+    return apply_delivery_refinement(joined)
+
+
+@query("delivery_refinement")
+def delivery_refinement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G5-G7: refine each 'purchase' (delivery analog) from the user's
+    surrounding pings via DBSCAN → best-cluster → score/centroid.
+
+    The candidate set is the reference's T4 interval join: pings of
+    the same user in [delivery−120 s, +300 s] with accuracy ≤ 100
+    (DeliveryLocationRefinementService.scala:99-106) — an equi-join on
+    user_id with a range residual, one shuffle, and the kernel runs
+    per delivery group. Runs on the compressed fixture clock (see
+    ``_PING_CLOCK_DIV``) so the window genuinely holds pings and the
+    G5→G6→G3/G4 chain executes, not just its fallback.
+    """
+    return _sorted_out(
+        _refinement_results(spark, sf_dir), "delivery_id", "method"
+    )
 
 
 def merge_refined_into_history(points: DataFrame, refined: DataFrame) -> DataFrame:
@@ -327,7 +336,7 @@ def delivery_refined_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         col("del_ts_ms").desc(), col("delivery_id").desc()
     )
     chosen = (
-        delivery_refinement(spark, sf_dir)
+        _refinement_results(spark, sf_dir)
         .filter(col("is_refined"))
         .join(deliveries, "delivery_id")
         .withColumn("__rk", F.dense_rank().over(w_latest))

@@ -181,8 +181,7 @@ def _near_dup_oracle() -> str:
     """
 
 
-@query("doc_near_dup_pairs", oracle=_near_dup_oracle())
-def doc_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def near_dup_pairs(docs: DataFrame) -> DataFrame:
     """Near-duplicate pairs: MinHash → LSH bands → exact-Jaccard verify.
 
     The 100 TB shape: the ONLY join key is the band hash (4 bands × 4
@@ -192,7 +191,7 @@ def doc_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     rerank runs only on candidate pairs. Both the signature scheme and
     the banding are md5-based, hence bit-identical in the oracle.
     """
-    docs = load_table(spark, "documents", sf_dir)
+    spark = docs.sparkSession
     # The corpus arrives as few parquet splits, so without an explicit
     # spread the md5-per-shingle map work runs in one task; repartition
     # by doc_id before the expensive projection. The md5 is paid ONCE
@@ -246,7 +245,16 @@ def doc_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("jaccard", jac)
         .filter(col("jaccard") >= _JACCARD_MIN)
         .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
-        .orderBy("doc_a", "doc_b")
+    )
+
+
+@query("doc_near_dup_pairs", oracle=_near_dup_oracle())
+def doc_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered form of :func:`near_dup_pairs` with deterministic
+    output order (the sort's sampling pass re-reads only the tiny
+    verified-pair relation, so no _sorted_out is needed here)."""
+    return near_dup_pairs(load_table(spark, "documents", sf_dir)).orderBy(
+        "doc_a", "doc_b"
     )
 
 
@@ -720,8 +728,13 @@ def connected_components_min_label(
     driver-side scalar read per round, never a collect of the data).
     """
     spark = edges.sparkSession
-    sym = edges.select(col(a).alias("src"), col(b).alias("dst")).unionByName(
-        edges.select(col(b).alias("src"), col(a).alias("dst"))
+    # the edge relation is read in EVERY round's join plus the label
+    # init — materialize it once, or an expensive upstream (the LSH
+    # near-dup pipeline) re-executes per iteration
+    sym = (
+        edges.select(col(a).alias("src"), col(b).alias("dst"))
+        .unionByName(edges.select(col(b).alias("src"), col(a).alias("dst")))
+        .localCheckpoint(eager=False)
     )
     labels = (
         sym.select(col("src").alias("node"))
@@ -788,7 +801,9 @@ def doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     propagation with per-round checkpoints) is hash-checked against a
     DuckDB recursive-CTE transitive closure — both converge to
     component = min(doc_id)."""
-    pairs = doc_near_dup_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = near_dup_pairs(load_table(spark, "documents", sf_dir)).select(
+        "doc_a", "doc_b"
+    )
     comp = connected_components_min_label(pairs)
     ids_str = F.array_join(
         F.transform(F.sort_array(F.collect_list("node")), lambda x: x.cast("string")),
