@@ -36,12 +36,36 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def _normalize_timestamps(df: DataFrame) -> DataFrame:
+    """Coerce every timestamp-ish column to session-zone ``timestamp``.
+
+    Parquet testdata has shipped three encodings of ``events.ts``
+    across driver regenerations, and the loader owns absorbing all of
+    them so downstream plans see ONE dtype:
+
+    - TIMESTAMP(NANOS): Spark reads it as a nanosecond ``bigint``
+      (``spark.sql.legacy.parquet.nanosAsLong``); truncate to µs —
+      bit-identical to DuckDB's reader.
+    - TIMESTAMP(isAdjustedToUTC=false, µs/ms): Spark 4.x infers
+      ``timestamp_ntz``; cast to ``timestamp``. The session zone is
+      pinned UTC below, so wall-clock == instant and the DuckDB hash
+      contract is preserved exactly.
+    - TIMESTAMP(isAdjustedToUTC=true): already ``timestamp``; no-op.
+    """
+    for field, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(field, F.col(field).cast("timestamp"))
+        elif field == "ts" and dtype == "bigint":
+            df = df.withColumn(field, F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     """Load one catalog table as a DataFrame.
 
-    ``events.ts`` is TIMESTAMP(NANOS) in parquet; Spark reads it as a
-    nanosecond long (``spark.sql.legacy.parquet.nanosAsLong``) and we
-    truncate to microseconds — bit-identical to DuckDB's reader.
+    Timestamp columns are normalized to session-zone ``timestamp``
+    regardless of the parquet encoding — see
+    :func:`_normalize_timestamps`.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; catalog: {TABLES}")
@@ -55,9 +79,7 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+    return _normalize_timestamps(df)
 
 
 def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
