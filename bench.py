@@ -51,8 +51,7 @@ HEADLINE = [
     "best_latlng_per_user",
     "delivery_refinement",
     "delivery_refined_history",
-    "media_feature_extract",
-    "media_resize",
+    "media_feature_extract",  # fused: also carries the 2x2 mean-pool resize
     "doc_winnow_fingerprints",
     "doc_ngram_jaccard",
     "doc_dedup_clusters",

@@ -189,8 +189,19 @@ def best_latlng_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("cluster_score_per_user")
 def cluster_score_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """G2: per-user best location + 0/1 cluster confidence score."""
-    return _sorted_out(apply_cluster_score(_geo_points(spark, sf_dir)), "user_id")
+    """G2 + G4: per-user best location + 0/1 cluster confidence score,
+    joined with the outlier-trimmed centroid.
+
+    Round 5: absorbs the former ``trimmed_centroid_per_user`` query
+    (registry consolidated to fit the driver's 50-row correctness
+    gate). Both kernels keep their own JVM guard pre-dispatch and both
+    stay rows-only for the documented float-robustness reasons (module
+    docstring: G2 argmax ulp flips, G4 order-sensitive float sum); the
+    150-row outputs equi-join on user_id for free under AQE broadcast.
+    """
+    pts = _geo_points(spark, sf_dir)
+    merged = apply_cluster_score(pts).join(apply_trimmed_centroid(pts), "user_id")
+    return _sorted_out(merged, "user_id")
 
 
 @query("ping_cluster_score_per_user", oracle=_g3_oracle())
@@ -199,10 +210,6 @@ def ping_cluster_score_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sorted_out(apply_cluster_score_v3(_geo_points(spark, sf_dir)), "user_id")
 
 
-@query("trimmed_centroid_per_user")
-def trimmed_centroid_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """G4: per-user outlier-trimmed centroid over accurate points."""
-    return _sorted_out(apply_trimmed_centroid(_geo_points(spark, sf_dir)), "user_id")
 
 
 def _refinement_results(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -17,10 +17,10 @@ The four brief components as registered, oracle-checked queries:
 - **Language ID** (``doc_language_id``): marker-lexicon hit counts,
   argmax with a fixed tie order — confusion counts vs the labeled
   ``lang`` column.
-- **Quality scoring** (``doc_quality_stats``): per-source aggregate
-  of length/stopword/punctuation/uppercase features.
-- **Token counting** (``doc_token_counts``): whitespace tokens + a
-  BPE-ish regex token count (letter runs / digits / punctuation).
+- **Quality scoring + token counting** (``doc_quality_stats``):
+  per-source aggregate of length/stopword/punctuation/uppercase
+  features plus the corpus token budget (whitespace tokens + a BPE-ish
+  regex count — letter runs / digits / punctuation) in one pass.
 
 Every hash uses the md5 scheme from ``functions/text.py`` so DuckDB
 reproduces Spark bit-for-bit (no dependence on Spark-internal murmur
@@ -373,10 +373,18 @@ def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------
-# quality scoring (per-source aggregate)
+# quality scoring + token counting (per-source aggregate)
 # ---------------------------------------------------------------------
+# BPE-ish pre-tokenizer regex: letter runs, single digits, single
+# punctuation — the GPT-2-style shape. Runs JVM-side inside codegen.
+_BPE_RE = "[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]"
+
+
 @query(
     "doc_quality_stats",
+    # Round 5: absorbs the former doc_token_counts query (registry
+    # consolidated to fit the driver's 50-row correctness gate) — the
+    # token-budget columns ride the same scan + 20-group aggregate.
     oracle=f"""
         SELECT
             source,
@@ -386,12 +394,17 @@ def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             round(avg(avg_token_len), 4)    AS avg_token_len,
             round(avg(stopword_ratio), 4)   AS avg_stopword_ratio,
             round(avg(punct_ratio), 4)      AS avg_punct_ratio,
-            round(avg(upper_ratio), 4)      AS avg_upper_ratio
+            round(avg(upper_ratio), 4)      AS avg_upper_ratio,
+            CAST(sum(n_tokens) AS BIGINT)   AS total_ws_tokens,
+            CAST(sum(n_bpe) AS BIGINT)      AS total_bpe_tokens,
+            round(avg(n_bpe), 4)            AS avg_bpe_tokens,
+            max(n_bpe)                      AS max_bpe_tokens
         FROM (
             SELECT
                 source,
                 length(text) AS n_chars,
                 len(ws) AS n_tokens,
+                len(regexp_extract_all(text, '{_BPE_RE}')) AS n_bpe,
                 length(array_to_string(ws, ''))
                     / greatest(len(ws), 1)::DOUBLE AS avg_token_len,
                 len(list_filter(ws, t -> lower(t) IN
@@ -413,12 +426,15 @@ def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def doc_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source document-quality profile (the filter-threshold input
-    of a training-data pipeline).
+    """Per-source document-quality profile + corpus token budget (the
+    filter-threshold and token-accounting inputs of a training-data
+    pipeline): length/punct/stopword/upper ratios, whitespace tokens,
+    and a BPE-ish regex count per source.
 
     All features are single-pass column expressions
-    (functions/text.py quality_features) — the whole query is one scan
-    + one 20-group aggregate regardless of corpus size.
+    (functions/text.py quality_features + one JVM-side regex) — the
+    whole query is one scan + one 20-group aggregate regardless of
+    corpus size.
     """
     docs = load_table(spark, "documents", sf_dir)
     feats = quality_features(col("text"))
@@ -426,6 +442,7 @@ def doc_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         feats["n_chars"].alias("n_chars"),
         feats["n_tokens"].alias("n_tokens"),
+        F.size(F.regexp_extract_all(col("text"), F.lit(_BPE_RE), 0)).alias("n_bpe"),
         feats["avg_token_len"].alias("avg_token_len"),
         feats["stopword_ratio"].alias("stopword_ratio"),
         feats["punct_ratio"].alias("punct_ratio"),
@@ -441,56 +458,7 @@ def doc_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("stopword_ratio"), 4).alias("avg_stopword_ratio"),
             F.round(F.avg("punct_ratio"), 4).alias("avg_punct_ratio"),
             F.round(F.avg("upper_ratio"), 4).alias("avg_upper_ratio"),
-        )
-        .orderBy("source")
-    )
-
-
-# ---------------------------------------------------------------------
-# token counting (whitespace + BPE-ish regex)
-# ---------------------------------------------------------------------
-_BPE_RE = "[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]"
-
-
-@query(
-    "doc_token_counts",
-    oracle=f"""
-        SELECT
-            source,
-            CAST(sum(n_ws) AS BIGINT)       AS total_ws_tokens,
-            CAST(sum(n_bpe) AS BIGINT)      AS total_bpe_tokens,
-            round(avg(n_bpe), 4)            AS avg_bpe_tokens,
-            max(n_bpe)                      AS max_bpe_tokens
-        FROM (
-            SELECT source,
-                   len(list_filter(string_split_regex(trim(text), '\\s+'),
-                                   x -> x != '')) AS n_ws,
-                   len(regexp_extract_all(text, '{_BPE_RE}')) AS n_bpe
-            FROM documents
-        )
-        GROUP BY source
-        ORDER BY source
-    """,
-)
-def doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus token budget: whitespace tokens and a BPE-ish regex count
-    (letter runs, single digits, single punctuation — the GPT-2-style
-    pre-tokenizer shape) per source.
-
-    Pure map + 20-group aggregate; the regex runs JVM-side inside
-    codegen, no UDF.
-    """
-    docs = load_table(spark, "documents", sf_dir)
-    ws = F.filter(F.split(F.trim(col("text")), "\\s+"), lambda x: x != "")
-    per_doc = docs.select(
-        "source",
-        F.size(ws).alias("n_ws"),
-        F.size(F.regexp_extract_all(col("text"), F.lit(_BPE_RE), 0)).alias("n_bpe"),
-    )
-    return (
-        per_doc.groupBy("source")
-        .agg(
-            F.sum("n_ws").alias("total_ws_tokens"),
+            F.sum("n_tokens").alias("total_ws_tokens"),
             F.sum("n_bpe").alias("total_bpe_tokens"),
             F.round(F.avg("n_bpe"), 4).alias("avg_bpe_tokens"),
             F.max("n_bpe").alias("max_bpe_tokens"),

@@ -358,20 +358,13 @@ def test_cluster_score_parity(spark, geo_pdf):
         assert got[uid] == want, f"user {uid}"
 
 
-def test_ping_cluster_score_parity(spark, geo_pdf):
-    got = {
-        r["user_id"]: (r["lat"], r["lng"], r["cluster_score"], r["is_high_confidence"])
-        for r in QUERIES["ping_cluster_score_per_user"](spark, SF_DIR_SMALL).collect()
-    }
-    for uid, g in _groups(geo_pdf):
-        want = geo_oracle.cluster_score_v3_oracle(list(zip(g["lat"], g["lng"])))
-        assert got[uid] == want, f"user {uid}"
-
-
-def test_trimmed_centroid_parity(spark, geo_pdf):
+def test_trimmed_centroid_parity_in_merged_query(spark, geo_pdf):
+    """G4 rides the merged cluster_score_per_user query (round-5
+    registry consolidation): centroid columns must still match the
+    pure-Python transliteration exactly."""
     got = {
         r["user_id"]: (r["centroid_lat"], r["centroid_lng"])
-        for r in QUERIES["trimmed_centroid_per_user"](spark, SF_DIR_SMALL).collect()
+        for r in QUERIES["cluster_score_per_user"](spark, SF_DIR_SMALL).collect()
     }
     for uid, g in _groups(geo_pdf):
         want = geo_oracle.trimmed_centroid_oracle(
@@ -382,6 +375,16 @@ def test_trimmed_centroid_parity(spark, geo_pdf):
         else:
             assert got[uid][0] == pytest.approx(want[0], abs=1e-9), f"user {uid}"
             assert got[uid][1] == pytest.approx(want[1], abs=1e-9), f"user {uid}"
+
+
+def test_ping_cluster_score_parity(spark, geo_pdf):
+    got = {
+        r["user_id"]: (r["lat"], r["lng"], r["cluster_score"], r["is_high_confidence"])
+        for r in QUERIES["ping_cluster_score_per_user"](spark, SF_DIR_SMALL).collect()
+    }
+    for uid, g in _groups(geo_pdf):
+        want = geo_oracle.cluster_score_v3_oracle(list(zip(g["lat"], g["lng"])))
+        assert got[uid] == want, f"user {uid}"
 
 
 def _scaled(geo_pdf):

@@ -39,6 +39,11 @@ def test_metadata_stats_oracle(spark, duck):
     assert (spdf["n_b64_ok"] == spdf["n_media"]).all()
 
 
+def _pool2(payload: bytes) -> np.ndarray:
+    mat = np.frombuffer(payload, dtype=np.uint8).astype(np.float64).reshape(8, 8)
+    return mat.reshape(4, 2, 4, 2).sum(axis=(1, 3)) / 4.0
+
+
 def test_feature_extract_matches_local_numpy(spark):
     m = media_table(spark, SF_DIR_SMALL)
     payloads = {
@@ -55,6 +60,27 @@ def test_feature_extract_matches_local_numpy(spark):
         assert got[mid]["byte_mean"] == pytest.approx(round(mean, 6))
         assert got[mid]["byte_std"] == pytest.approx(round(std, 6))
         assert got[mid]["hist_bin1"] == pytest.approx(round(hist[0], 6))
+        # fused resize columns (the former media_resize query)
+        pooled = _pool2(payload)
+        assert got[mid]["r00"] == pooled[0, 0] and got[mid]["r33"] == pooled[3, 3]
+        assert got[mid]["r03"] == pooled[0, 3] and got[mid]["r30"] == pooled[3, 0]
+        assert got[mid]["pool_sum"] == pytest.approx(pooled.sum())
+
+
+def test_standalone_resize_matches_fused_columns(spark):
+    """resize_pool2 (no longer its own registered query) must agree
+    bit-for-bit with the pooled columns of the fused pipeline."""
+    from pulsar_spark_spark.plans.multimodal import media_resize
+
+    fused = {
+        r["media_id"]: r
+        for r in QUERIES["media_feature_extract"](spark, SF_DIR_SMALL).collect()
+    }
+    for r in media_resize(spark, SF_DIR_SMALL).collect():
+        f = fused[r["media_id"]]
+        assert (r["r00"], r["r03"], r["r30"], r["r33"], r["pool_sum"]) == (
+            f["r00"], f["r03"], f["r30"], f["r33"], f["pool_sum"]
+        )
 
 
 def test_frame_sample_expansion(spark):

@@ -149,12 +149,10 @@ _PYTHON_STAGE_HIDDEN = {
     "best_latlng_per_user",
     "cluster_score_per_user",
     "ping_cluster_score_per_user",
-    "trimmed_centroid_per_user",
     "delivery_refinement",
     "delivery_refined_history",
     "media_feature_extract",
     "media_frame_sample",
-    "media_resize",
 }
 
 # Designed bounded-side broadcast nested-loop / cross joins: the

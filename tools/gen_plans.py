@@ -26,12 +26,10 @@ _CHECKPOINTED = {
     "best_latlng_per_user",
     "cluster_score_per_user",
     "ping_cluster_score_per_user",
-    "trimmed_centroid_per_user",
     "delivery_refinement",
     "delivery_refined_history",
     "media_feature_extract",
     "media_frame_sample",
-    "media_resize",
     "doc_near_dup_pairs",
     "doc_ngram_jaccard",
     "doc_dedup_clusters",
