@@ -20,6 +20,12 @@ import os
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+try:  # footer-schema probe; loader degrades to dtype-only checks without it
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+except ImportError:  # pragma: no cover - pyarrow is baked into this env
+    pa = pq = None
+
 TABLES = (
     "region",
     "nation",
@@ -36,7 +42,38 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def _normalize_timestamps(df: DataFrame) -> DataFrame:
+def _nanos_columns(path: str) -> set[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS), read from the file
+    footer (pyarrow), so NANOS detection follows the actual encoding
+    instead of a hardcoded column name — if a regenerated dataset ships
+    NANOS for o_orderdate/l_shipdate tomorrow, they normalize too.
+
+    ``path`` may be a single parquet file or a directory of part files
+    (all parts share one schema; the first footer is authoritative).
+    """
+    if pq is None:
+        return set()
+    probe = path
+    if os.path.isdir(path):
+        parts = sorted(
+            f for f in os.listdir(path)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        )
+        if not parts:
+            return set()
+        probe = os.path.join(path, parts[0])
+    try:
+        schema = pq.read_schema(probe)
+    except Exception:
+        return set()
+    return {
+        f.name
+        for f in schema
+        if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+    }
+
+
+def _normalize_timestamps(df: DataFrame, nanos_cols: set[str] = frozenset()) -> DataFrame:
     """Coerce every timestamp-ish column to session-zone ``timestamp``.
 
     Parquet testdata has shipped three encodings of ``events.ts``
@@ -45,7 +82,8 @@ def _normalize_timestamps(df: DataFrame) -> DataFrame:
 
     - TIMESTAMP(NANOS): Spark reads it as a nanosecond ``bigint``
       (``spark.sql.legacy.parquet.nanosAsLong``); truncate to µs —
-      bit-identical to DuckDB's reader.
+      bit-identical to DuckDB's reader. Which columns are NANOS comes
+      from the parquet footer (:func:`_nanos_columns`), not the name.
     - TIMESTAMP(isAdjustedToUTC=false, µs/ms): Spark 4.x infers
       ``timestamp_ntz``; cast to ``timestamp``. The session zone is
       pinned UTC below, so wall-clock == instant and the DuckDB hash
@@ -55,8 +93,10 @@ def _normalize_timestamps(df: DataFrame) -> DataFrame:
     for field, dtype in df.dtypes:
         if dtype == "timestamp_ntz":
             df = df.withColumn(field, F.col(field).cast("timestamp"))
-        elif field == "ts" and dtype == "bigint":
-            df = df.withColumn(field, F.timestamp_micros(F.expr("ts div 1000")))
+        elif field in nanos_cols and dtype == "bigint":
+            df = df.withColumn(
+                field, F.timestamp_micros(F.expr(f"`{field}` div 1000"))
+            )
     return df
 
 
@@ -76,10 +116,13 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     # duplicate-keyed lists in one pass (functions/maps.py).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
-    if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    return _normalize_timestamps(df)
+    # Unconditional: harmless for non-NANOS files, and any table may
+    # ship TIMESTAMP(NANOS) after a driver data regeneration — without
+    # it the read fails outright under a plain driver-built session.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    return _normalize_timestamps(df, _nanos_columns(path))
 
 
 def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
