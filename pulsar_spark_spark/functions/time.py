@@ -22,6 +22,42 @@ from pyspark.sql import Column
 WIRE_TS_PATTERN = "yyyy-MM-dd HH:mm:ssZ"  # e.g. "2016-04-04 14:14:49+0530"
 
 
+# ---------------------------------------------------------------------
+# Engine-wide epoch contract over loader-normalized `timestamp` columns
+# (sources/tables.py::_normalize_timestamps). Every plan that needs
+# epoch arithmetic goes through these two helpers so the next parquet
+# dtype drift is a one-file fix — round 3 was zeroed by exactly this
+# class of drift spread across five modules.
+# ---------------------------------------------------------------------
+def ts_seconds(ts: Column | str) -> Column:
+    """Epoch as FRACTIONAL seconds (double) — the seconds contract.
+
+    ``cast(double)`` keeps µs fractions and matches DuckDB's
+    ``epoch(ts)`` bit-for-bit (both are the correctly-rounded µs/1e6);
+    ``unix_timestamp`` would TRUNCATE to whole seconds and can flip
+    boundary comparisons against the oracle.
+    """
+    c = F.col(ts) if isinstance(ts, str) else ts
+    return c.cast("double")
+
+
+def ts_millis(ts: Column | str, clock_div: int = 1) -> Column:
+    """Epoch milliseconds (bigint) — the ms contract (truncating µs→ms,
+    = DuckDB ``epoch_ns(ts) // 1000 // 1000``).
+
+    ``clock_div`` applies integer clock compression (see
+    plans/kernels.py::_PING_CLOCK_DIV) bit-exactly: floor(m / d) over
+    doubles is exact here because epoch-ms m < 2^53 is exactly
+    representable and any non-integral quotient sits ≥ 1/d from the
+    nearest integer — far outside double rounding error — while exact
+    multiples divide without error.
+    """
+    c = F.unix_millis(F.col(ts) if isinstance(ts, str) else ts)
+    if clock_div != 1:
+        c = F.floor(c / F.lit(clock_div))
+    return c
+
+
 def parse_wire_ts(col: Column, pattern: str = WIRE_TS_PATTERN) -> Column:
     """Parse the reference's fixed-offset wire timestamp string."""
     return F.to_timestamp(col, pattern)

@@ -1,0 +1,74 @@
+"""Mid-plan materialization with a local/reliable checkpoint switch.
+
+Several pipelines materialize an expensive scratch relation that feeds
+multiple consumers (kernel outputs before a global sort, the MinHash /
+pruned-gram relations, connected-components iteration state). The
+default vehicle is ``localCheckpoint(eager=False)``: blocks live on
+executors, the ContextCleaner reclaims them when the plan is
+garbage-collected, and there is no filesystem round-trip.
+
+The 100×-scale caveat: localCheckpoint blocks are NOT recomputable on
+executor loss — on a real cluster a lost executor kills the query
+mid-flight. For cluster runs, switch the same call sites to RELIABLE
+checkpoints (written to a fault-tolerant checkpoint dir, HDFS/S3):
+
+    configure_reliable_checkpoints(spark, "hdfs://.../ckpt")
+    ... run queries ...
+    configure_reliable_checkpoints(spark, None)   # back to local
+
+or set ``SPARK_GRAFT_CHECKPOINT_DIR`` before building the session
+(session.py wires it through automatically).
+
+The switch is process-global deliberately: it is an environment
+property (what kind of cluster am I on?), not a per-query decision.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+_STATE: dict[str, bool] = {"reliable": False}
+
+ENV_CHECKPOINT_DIR = "SPARK_GRAFT_CHECKPOINT_DIR"
+
+
+def configure_reliable_checkpoints(
+    spark: SparkSession, checkpoint_dir: str | None
+) -> None:
+    """Route subsequent :func:`materialize` calls through RELIABLE
+    checkpoints rooted at ``checkpoint_dir`` (fault-tolerant storage on
+    a real cluster; any path in local mode). ``None`` switches back to
+    executor-local checkpoints."""
+    if checkpoint_dir:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+        _STATE["reliable"] = True
+    else:
+        _STATE["reliable"] = False
+
+
+def configure_from_env(spark: SparkSession) -> None:
+    """Apply ``SPARK_GRAFT_CHECKPOINT_DIR`` if set (session bootstrap)."""
+    d = os.environ.get(ENV_CHECKPOINT_DIR)
+    if d:
+        configure_reliable_checkpoints(spark, d)
+
+
+def reliable_enabled() -> bool:
+    return _STATE["reliable"]
+
+
+def materialize(df: DataFrame, eager: bool = False) -> DataFrame:
+    """Checkpoint ``df`` so downstream consumers reuse its result
+    instead of recomputing lineage.
+
+    Local mode (default): ``localCheckpoint`` — fastest, reclaimed by
+    the ContextCleaner, not recomputable on executor loss.
+    Reliable mode (:func:`configure_reliable_checkpoints`): a true
+    ``checkpoint`` to the configured directory — survives executor
+    loss; the extra filesystem write is the price of fault tolerance.
+    """
+    if _STATE["reliable"]:
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)

@@ -32,6 +32,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql.functions import col
 
+from pulsar_spark_spark.functions.time import ts_seconds
 from pulsar_spark_spark.plans.registry import query
 from pulsar_spark_spark.sources.tables import load_table
 
@@ -276,10 +277,9 @@ def rapid_consecutive_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load_table(spark, "events", sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # Full-precision gap (fractional seconds), matching the oracle's
-    # epoch(); unix_timestamp truncates to whole seconds and can flip
-    # boundary decisions on sub-second data.
-    ts_s = col("ts").cast("double")
+    # Full-precision gap via the engine-wide seconds contract
+    # (functions/time.py::ts_seconds = oracle epoch()).
+    ts_s = ts_seconds("ts")
     gap = ts_s - F.lag(ts_s).over(w)
     prev_type = F.lag("event_type").over(w)
     return (
@@ -337,7 +337,7 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    ts_s = col("ts").cast("double")  # fractional seconds, = oracle epoch()
+    ts_s = ts_seconds("ts")  # fractional seconds, = oracle epoch()
     gap = ts_s - F.lag(ts_s).over(w)
     flagged = ev.select(
         "user_id",

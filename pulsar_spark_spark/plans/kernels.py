@@ -49,6 +49,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql.functions import col
 
 from pulsar_spark_spark.functions.geo import sql_vincenty_alldist_ctes
+from pulsar_spark_spark.functions.time import ts_millis
+from pulsar_spark_spark.operators.checkpoint import materialize
 from pulsar_spark_spark.operators.grouped import (
     apply_best_latlng,
     apply_cluster_score,
@@ -137,7 +139,7 @@ def _geo_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ge.select(
         "user_id",
         "event_id",
-        F.unix_millis("ts").alias("ts_ms"),
+        ts_millis("ts").alias("ts_ms"),
         "lat",
         "lng",
         "accuracy",
@@ -162,10 +164,12 @@ def _sorted_out(df: DataFrame, *cols: str) -> DataFrame:
     global orderBy range-partitions, and RangePartitioning runs a
     separate boundary-SAMPLING job over its child — executing the
     whole Arrow+Python pipeline TWICE (measured +50% on every kernel
-    query at sf0.1). The lazy localCheckpoint materializes the small
-    kernel output once; the sampling job then reads the checkpoint
-    blocks instead of re-running the kernel."""
-    return df.localCheckpoint(eager=False).orderBy(*cols)
+    query at sf0.1). The lazy checkpoint (operators/checkpoint.py
+    materialize: executor-local by default, RELIABLE on clusters via
+    configure_reliable_checkpoints / SPARK_GRAFT_CHECKPOINT_DIR)
+    materializes the small kernel output once; the sampling job then
+    reads the checkpoint blocks instead of re-running the kernel."""
+    return df.transform(materialize).orderBy(*cols)
 
 
 def _scaled_geo_points(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -174,7 +178,7 @@ def _scaled_geo_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_id",
         "event_type",
-        F.expr(f"unix_millis(ts) div {_PING_CLOCK_DIV}").alias("ts_ms"),
+        ts_millis("ts", clock_div=_PING_CLOCK_DIV).alias("ts_ms"),
         "lat",
         "lng",
         "accuracy",
@@ -351,7 +355,7 @@ def delivery_refined_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("__rk")
         # two downstream consumers (refined rows + the survivor dim);
         # materialize the Python refinement pipeline ONCE
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     # plain orderBy here, NOT _sorted_out: the expensive Python stage
     # already sits behind ``chosen``'s checkpoint, so the sort's

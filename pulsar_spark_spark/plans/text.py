@@ -51,6 +51,7 @@ from pulsar_spark_spark.functions.text import (
     simhash16,
     tokens,
 )
+from pulsar_spark_spark.operators.checkpoint import materialize
 from pulsar_spark_spark.plans.registry import query
 from pulsar_spark_spark.sources.tables import load_table
 
@@ -213,7 +214,7 @@ def near_dup_pairs(docs: DataFrame) -> DataFrame:
             col("doc_id"),
             shingle_hashes(char_shingles(col("text"), _SHINGLE_K)).alias("hv"),
         )
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     sig = sh.select(
         "doc_id",
@@ -525,7 +526,7 @@ def pruned_grams(docs: DataFrame, max_gram_df: int = _MAX_GRAM_DF) -> DataFrame:
         # agg + each join side), and Spark re-evaluates the tokenize +
         # md5-per-gram projection per consumer (ReuseExchange doesn't
         # fire across differently-pruned branches) — pay it once.
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     hot = (
         exploded.groupBy("g")
@@ -651,7 +652,7 @@ def doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_spread = spark.sparkContext.defaultParallelism * 2
     pruned = (
         pruned_grams(docs.repartition(n_spread, col("doc_id")))
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     sizes = pruned.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = pruned.alias("a")
@@ -702,13 +703,13 @@ def connected_components_min_label(
     sym = (
         edges.select(col(a).alias("src"), col(b).alias("dst"))
         .unionByName(edges.select(col(b).alias("src"), col(a).alias("dst")))
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     labels = (
         sym.select(col("src").alias("node"))
         .distinct()
         .withColumn("label", col("node"))
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     for _ in range(max_iter):
         neighbor_min = (
@@ -725,7 +726,7 @@ def connected_components_min_label(
                 ).alias("label"),
                 (col("nbr_label") < col("label")).alias("changed"),
             )
-            .localCheckpoint(eager=False)
+            .transform(materialize)
         )
         changed = new_labels.agg(
             F.sum(F.when(col("changed"), 1).otherwise(0))

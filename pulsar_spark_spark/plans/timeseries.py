@@ -36,6 +36,8 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql.functions import col
 
+from pulsar_spark_spark.functions.time import ts_millis
+from pulsar_spark_spark.operators.checkpoint import materialize
 from pulsar_spark_spark.plans.registry import query
 from pulsar_spark_spark.sources.tables import load_table
 
@@ -171,7 +173,7 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_id",
         "click_ts",
         F.round("click_value", 2).alias("click_value"),
-        (F.unix_millis("purchase_ts") - F.unix_millis("click_ts")).alias("gap_ms"),
+        (ts_millis("purchase_ts") - ts_millis("click_ts")).alias("gap_ms"),
     ).orderBy("purchase_id")
 
 
@@ -238,7 +240,7 @@ def event_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.floor(F.sum("value") * 100 + F.lit(0.5)).alias("sc"),
         )
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     daily = hourly.groupBy(
         "event_type", F.date_trunc("day", col("bucket_start")).alias("bucket_start")

@@ -56,4 +56,12 @@ def get_session(
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # Cluster runs set SPARK_GRAFT_CHECKPOINT_DIR to flip mid-plan
+    # materializations from executor-local to reliable checkpoints
+    # (operators/checkpoint.py) — localCheckpoint blocks are not
+    # recomputable on executor loss.
+    from pulsar_spark_spark.operators.checkpoint import configure_from_env
+
+    configure_from_env(spark)
+    return spark

@@ -16,6 +16,7 @@ partition pruning comes from the filter expressions.
 from __future__ import annotations
 
 import os
+from functools import lru_cache
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -42,7 +43,8 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def _nanos_columns(path: str) -> set[str]:
+@lru_cache(maxsize=256)
+def _nanos_columns(path: str) -> frozenset[str]:
     """Columns stored as parquet TIMESTAMP(NANOS), read from the file
     footer (pyarrow), so NANOS detection follows the actual encoding
     instead of a hardcoded column name — if a regenerated dataset ships
@@ -50,9 +52,11 @@ def _nanos_columns(path: str) -> set[str]:
 
     ``path`` may be a single parquet file or a directory of part files
     (all parts share one schema; the first footer is authoritative).
+    Memoized per path: datasets are immutable within a session and
+    load_table runs once per query branch.
     """
     if pq is None:
-        return set()
+        return frozenset()
     probe = path
     if os.path.isdir(path):
         parts = sorted(
@@ -60,17 +64,17 @@ def _nanos_columns(path: str) -> set[str]:
             if f.endswith(".parquet") and not f.startswith((".", "_"))
         )
         if not parts:
-            return set()
+            return frozenset()
         probe = os.path.join(path, parts[0])
     try:
         schema = pq.read_schema(probe)
     except Exception:
-        return set()
-    return {
+        return frozenset()
+    return frozenset(
         f.name
         for f in schema
         if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
-    }
+    )
 
 
 def _normalize_timestamps(df: DataFrame, nanos_cols: set[str] = frozenset()) -> DataFrame:

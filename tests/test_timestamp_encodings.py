@@ -80,13 +80,17 @@ def test_loader_absorbs_encoding(spark, tmp_path, enc):
 
 
 def test_nanos_columns_footer_probe(tmp_path):
-    """The footer probe reports exactly the NANOS-typed columns, for
-    files and for directories of part files."""
-    path = _write_events(tmp_path, *ENCODINGS["ns"])
-    assert _nanos_columns(path) == {"ts", "created_at"}
+    """The footer probe reports exactly the NANOS-typed columns.
 
-    _write_events(tmp_path, *ENCODINGS["ntz"])  # overwrite with µs-NTZ
-    assert _nanos_columns(path) == set()
+    Distinct paths per encoding: the probe is memoized per path
+    (datasets are immutable within a session)."""
+    d_ns, d_ntz = tmp_path / "ns", tmp_path / "ntz"
+    d_ns.mkdir(), d_ntz.mkdir()
+    assert _nanos_columns(_write_events(d_ns, *ENCODINGS["ns"])) == {
+        "ts",
+        "created_at",
+    }
+    assert _nanos_columns(_write_events(d_ntz, *ENCODINGS["ntz"])) == set()
 
 
 def test_nanos_columns_directory_probe(tmp_path):
