@@ -117,6 +117,35 @@ def main() -> None:
             spark.catalog.clearCache()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    knob_notes = {
+        "ann_topk_lsh": (
+            "single-table SRP, no multi-probe (the oracle-"
+            "exact config). Slower than the round-2 "
+            "coordinate-sign hash by design: SRP bits dot "
+            "ALL 64 dims (recall@10 roughly doubles at "
+            "equal bits). Recall ladder, gated in "
+            "tests/test_similarity.py: plain 0.10, "
+            "+multiprobe 0.50, +4 tables 0.96."
+        ),
+        "ann_topk_ivf": (
+            "nprobe=2 over 16 cells (recall 0.90); "
+            "nprobe=1 -> 0.88, nprobe=4 -> 0.92, gated in "
+            "tests/test_similarity.py."
+        ),
+        "media_feature_extract": (
+            "fused feature+resize single Arrow pass (round "
+            "5) - absorbs the former media_resize query."
+        ),
+    }
+    if {"delivery_refinement", "delivery_refined_history"} <= timings.keys():
+        marginal = timings["delivery_refined_history"] - timings["delivery_refinement"]
+        knob_notes["delivery_refined_history"] = (
+            "runs the same G5-G7 kernel pipeline as "
+            "delivery_refinement (each headline query is timed cold, "
+            "no cross-query sharing), so its G8 merge marginal cost "
+            f"this run ~= {marginal:.2f}s on top of the "
+            f"{timings['delivery_refinement']:.2f}s kernel."
+        )
     print(
         json.dumps(
             {
@@ -129,6 +158,7 @@ def main() -> None:
                 "note": "per-query min over 2 isolated passes "
                         "(clearCache between queries; python workers "
                         "warmed outside timing)",
+                "knob_notes": knob_notes,
             }
         )
     )

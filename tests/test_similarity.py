@@ -52,8 +52,13 @@ def test_multi_table_lsh_recall_floor(spark, emb, exact):
     assert r >= 0.9
 
 
-def test_ivf_recall_floor(spark, emb, exact):
-    r = _recall(ivf_topk(emb).collect(), exact)
-    assert r >= 0.85  # measured 0.90 at 16 cells / 2 probes
+def test_ivf_recall_floor_across_nprobe(spark, emb, exact):
+    """The IVF recall/cost curve at the two operating points the docs
+    advertise plus a headroom point (measured at fixture scale:
+    nprobe=1 → 0.88, 2 → 0.90, 4 → 0.92 over 16 cells)."""
+    r1 = _recall(ivf_topk(emb, n_probe=1).collect(), exact)
+    r2 = _recall(ivf_topk(emb, n_probe=2).collect(), exact)
     r4 = _recall(ivf_topk(emb, n_probe=4).collect(), exact)
-    assert r4 >= r  # more probes can only add candidates
+    assert r1 >= 0.8  # measured 0.88
+    assert r2 >= 0.85  # measured 0.90 (the registered-query default)
+    assert r2 >= r1 and r4 >= r2  # more probes can only add candidates
