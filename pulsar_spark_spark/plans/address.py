@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.functions import col
 
 from pulsar_spark_spark.functions.text import md5_i64, tokens, word_ngrams
+from pulsar_spark_spark.operators.checkpoint import materialize
 from pulsar_spark_spark.plans.geo import _salted_mod, _sql_salted_mod
 from pulsar_spark_spark.plans.registry import query
 from pulsar_spark_spark.plans.text import _SQL_TOKS, _sql_md5_i64
@@ -135,9 +136,15 @@ def smart_address_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     can go quadratic; the pair aggregate is the only other shuffle.
     """
     addr = _addr_geo(load_table(spark, "documents", sf_dir))
-    grams = addr.withColumn("toks", tokens(col("text"))).select(
-        "doc_id", "lat", "lng", "accuracy", "is_verified",
-        F.explode(_grams_hashed()).alias("g"),
+    # three consumers (hot-set agg, pruned lookup side, probe side)
+    # each re-evaluate the tokenize + md5-per-gram explosion without
+    # this materialization — same pay-it-once rationale as the
+    # near-dup shingle relation (plans/text.py)
+    grams = materialize(
+        addr.withColumn("toks", tokens(col("text"))).select(
+            "doc_id", "lat", "lng", "accuracy", "is_verified",
+            F.explode(_grams_hashed()).alias("g"),
+        )
     )
     lookup = grams.filter(
         (col("doc_id") % 10 != 0)
