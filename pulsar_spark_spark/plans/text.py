@@ -766,10 +766,10 @@ def connected_components_min_label(
 def doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate CLUSTERS: connected components over the MinHash
     near-dup pair graph, one row per component (keep-one-per-cluster is
-    then a trivial filter). The iterative Spark side (min-label
-    propagation with per-round checkpoints) is hash-checked against a
-    DuckDB recursive-CTE transitive closure — both converge to
-    component = min(doc_id)."""
+    then a trivial filter — see :func:`dedup_corpus`). The iterative
+    Spark side (min-label propagation with per-round checkpoints) is
+    hash-checked against a DuckDB recursive-CTE transitive closure —
+    both converge to component = min(doc_id)."""
     pairs = near_dup_pairs(load_table(spark, "documents", sf_dir)).select(
         "doc_a", "doc_b"
     )
@@ -783,3 +783,21 @@ def doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"), ids_str.alias("doc_ids"))
         .orderBy("cluster_id")
     )
+
+
+def dedup_corpus(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """The dedup pipeline's terminal step: the corpus with near-dup
+    REMOVED, keeping the canonical (min-id) member of every cluster.
+
+    Shape: near-dup pairs → connected components → anti-join the
+    non-canonical members out of the corpus. Docs in no cluster pass
+    through untouched (they never enter the component graph). At scale
+    the anti-join key is the doc id — one shuffle against a relation
+    whose size is the number of DUPLICATES, not the corpus.
+    """
+    pairs = near_dup_pairs(docs).select("doc_a", "doc_b")
+    comp = connected_components_min_label(pairs)
+    losers = comp.filter(col("node") != col("component")).select(
+        col("node").alias(id_col)
+    )
+    return docs.join(losers, id_col, "left_anti")

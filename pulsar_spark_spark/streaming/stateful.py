@@ -168,3 +168,118 @@ def geofence_alert_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------
+# Streaming sessionization — EventTimeTimeout state expiry (T5 + A10)
+# ---------------------------------------------------------------------
+_SESSION_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start_ms", LongType()),
+        StructField("session_end_ms", LongType()),
+        StructField("n_events", LongType()),
+        StructField("session_value", StringType()),  # round(sum,2) as str
+    ]
+)
+
+_SESSION_STATE = StructType(
+    [
+        StructField("start_ms", LongType()),
+        StructField("end_ms", LongType()),
+        StructField("n", LongType()),
+        StructField("value_sum", StringType()),  # repr(float) — exact carry
+    ]
+)
+
+
+def session_stream(events: DataFrame, gap_s: int = 1800) -> DataFrame:
+    """Streaming twin of the batch ``user_sessions`` query: 30-min-gap
+    sessionization with the open session carried in the state store and
+    CLOSED by event-time timeout when the watermark passes
+    session_end + gap.
+
+    This is the capability the NoTimeout geofence machine doesn't
+    exercise: state EXPIRY. Sessions separated by a gap inside one
+    batch close immediately (their finality is guaranteed by the
+    watermark, which has already dropped anything late enough to
+    reopen them); the per-key trailing session stays in state with
+    ``setTimeoutTimestamp(end + gap)`` and is emitted by the timeout
+    callback — so every session is emitted exactly once, append-mode
+    clean, restart-safe via the same checkpoint as everything else.
+
+    ``events`` needs (user_id, ts TIMESTAMP, event_id, value) and MUST
+    already carry ``withWatermark("ts", ...)`` — the watermark both
+    drops late rows before the stateful operator and drives the
+    timeout clock.
+
+    The running ``value_sum`` crosses batches through the state store
+    as ``repr(float)`` so the resumed sum is bit-identical to a
+    single-pass fold (a DOUBLE state column would also work; the
+    string form makes the exactness contract explicit and the
+    rendered output deterministic).
+    """
+    ensure_package_on_executors(events.sparkSession)
+    gap_ms = gap_s * 1000
+
+    def walk(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+
+        def row(start_ms: int, end_ms: int, n: int, vs: float) -> dict:
+            return {
+                "user_id": user_id,
+                "session_start_ms": start_ms,
+                "session_end_ms": end_ms,
+                "n_events": n,
+                "session_value": f"{round(vs, 2):.2f}",
+            }
+
+        if state.hasTimedOut:
+            start_ms, end_ms, n, vs = state.get
+            state.remove()
+            yield pd.DataFrame([row(start_ms, end_ms, n, float(vs))])
+            return
+
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        # datetime64[ms] view is unit-robust (ns vs µs pandas backing)
+        ts_ms = batch["ts"].to_numpy(dtype="datetime64[ms]").astype("int64")
+        vals = batch["value"].to_numpy()
+
+        if state.exists:
+            start_ms, end_ms, n, vs = state.get
+            vs = float(vs)
+        else:
+            start_ms, end_ms, n, vs = None, None, 0, 0.0
+
+        closed: list[dict] = []
+        for t, v in zip(ts_ms, vals):
+            t = int(t)
+            if start_ms is None:
+                start_ms, end_ms, n, vs = t, t, 1, float(v)
+            elif t - end_ms > gap_ms:
+                closed.append(row(start_ms, end_ms, n, vs))
+                start_ms, end_ms, n, vs = t, t, 1, float(v)
+            else:
+                end_ms, n, vs = t, n + 1, vs + float(v)
+        state.update((start_ms, end_ms, n, repr(vs)))
+        # Clamp: a session fed only by allowed-late rows can have
+        # end+gap already behind the watermark; Spark rejects a timeout
+        # in the past, so fire at the next watermark tick instead.
+        state.setTimeoutTimestamp(
+            max(end_ms + gap_ms, state.getCurrentWatermarkMs() + 1)
+        )
+        if closed:
+            yield pd.DataFrame(closed, columns=[f.name for f in _SESSION_OUTPUT.fields])
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        walk,
+        outputStructType=_SESSION_OUTPUT,
+        stateStructType=_SESSION_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

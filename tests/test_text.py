@@ -45,3 +45,24 @@ def test_without_cap_stop_phrase_goes_quadratic(spark):
     # the phrase alone — the blow-up the cap exists to prevent
     out = winnow_pairs(docs, min_shared=2, max_gram_df=10_000).collect()
     assert len(out) == 30 * 29 // 2 + 1
+
+
+def test_dedup_corpus_keeps_canonical_per_cluster(spark):
+    """dedup_corpus must drop exactly the non-canonical members of
+    every near-dup cluster and pass untouched docs through."""
+    from pulsar_spark_spark.plans import QUERIES
+    from pulsar_spark_spark.plans.text import dedup_corpus
+    from pulsar_spark_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, "documents", SF_DIR)
+    clusters = QUERIES["doc_dedup_clusters"](spark, SF_DIR).collect()
+    expect_dropped = set()
+    for r in clusters:
+        ids = sorted(int(x) for x in r["doc_ids"].split(","))
+        assert r["cluster_id"] == ids[0]  # canonical = min id
+        expect_dropped.update(ids[1:])
+    kept = {r["doc_id"] for r in dedup_corpus(docs).select("doc_id").collect()}
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    assert kept == all_ids - expect_dropped
+    assert expect_dropped and expect_dropped.isdisjoint(kept)
