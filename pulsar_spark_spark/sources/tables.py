@@ -59,13 +59,20 @@ def _nanos_columns(path: str) -> frozenset[str]:
         return frozenset()
     probe = path
     if os.path.isdir(path):
-        parts = sorted(
-            f for f in os.listdir(path)
-            if f.endswith(".parquet") and not f.startswith((".", "_"))
-        )
-        if not parts:
+        # first part file anywhere under the dir — covers both flat
+        # part-file layouts and hive-partitioned date=.../ trees
+        probe = None
+        for base, dirs, files in sorted(os.walk(path)):
+            dirs.sort()
+            parts = sorted(
+                f for f in files
+                if f.endswith(".parquet") and not f.startswith((".", "_"))
+            )
+            if parts:
+                probe = os.path.join(base, parts[0])
+                break
+        if probe is None:
             return frozenset()
-        probe = os.path.join(path, parts[0])
     try:
         schema = pq.read_schema(probe)
     except Exception:
