@@ -135,3 +135,99 @@ def test_session_stream_closes_by_gap_and_timeout(spark, tmp_path):
     # 12:00 events' sessions are open (watermark == 12:01 - 10min)
     extra = set(got) - set(want)
     assert all(start >= 240 for (_u, start, _e) in extra)
+
+
+def test_session_stream_matches_batch_user_sessions(spark, tmp_path):
+    """Streaming-vs-batch equivalence over the REAL events fixture:
+    every session the stream emits must be byte-identical to a session
+    of the oracle-checked batch user_sessions query, and per user the
+    emitted sessions form a prefix of the batch session sequence
+    (later sessions may legitimately still be open / un-timed-out when
+    the stream drains)."""
+    import pyspark.sql.functions as F
+
+    from pulsar_spark_spark.plans import QUERIES
+    from pulsar_spark_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR_SMALL
+
+    ev = load_table(spark, "events", SF_DIR_SMALL).select(
+        "event_id", "user_id", "ts", "value"
+    )
+    # three TIME-ORDERED arrival chunks (sessionization state assumes
+    # in-order arrival across batches; in-batch order is free)
+    ev = ev.withColumn("__ms", F.unix_millis("ts"))
+    q1, q2 = ev.approxQuantile("__ms", [0.33, 0.66], 0.0)
+    bounds = [(None, q1), (q1, q2), (q2, None)]
+    input_dir = str(tmp_path / "in")
+    os.makedirs(input_dir)
+    for i, (lo, hi) in enumerate(bounds):
+        chunk = ev
+        if lo is not None:
+            chunk = chunk.filter(F.col("__ms") > lo)
+        if hi is not None:
+            chunk = chunk.filter(F.col("__ms") <= hi)
+        chunk = chunk.drop("__ms")
+        p = str(tmp_path / f"bchunk{i}")
+        chunk.coalesce(1).write.parquet(p)
+        for f in os.listdir(p):
+            if f.endswith(".parquet"):
+                dst = os.path.join(input_dir, f"c{i}_{f}")
+                shutil.copy(os.path.join(p, f), dst)
+                t = 1_700_000_000 + i * 1000
+                os.utime(dst, (t, t))
+
+    schema = "event_id long, user_id long, ts timestamp, value double"
+    out_dir = str(tmp_path / "out")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+        .withWatermark("ts", _WM)
+    )
+    q = (
+        session_stream(stream, gap_s=_GAP_S)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert not q.isActive
+
+    batch = {}
+    # collected timestamps are naive wall clocks in the session zone
+    # (pinned UTC) — anchor explicitly so host TZ never matters
+    utc = dt.timezone.utc
+    for r in QUERIES["user_sessions"](spark, SF_DIR_SMALL).collect():
+        batch.setdefault(r["user_id"], []).append(
+            (
+                int(r["session_start"].replace(tzinfo=utc).timestamp() * 1000),
+                int(r["session_end"].replace(tzinfo=utc).timestamp() * 1000),
+                r["n_events"],
+                f"{r['session_value']:.2f}",
+            )
+        )
+
+    emitted = {}
+    for r in spark.read.parquet(out_dir).collect():
+        emitted.setdefault(r["user_id"], []).append(
+            (
+                r["session_start_ms"],
+                r["session_end_ms"],
+                r["n_events"],
+                r["session_value"],
+            )
+        )
+    assert emitted, "stream emitted no sessions"
+    n_emitted = 0
+    for uid, sess in emitted.items():
+        sess.sort()
+        want = batch[uid]  # already ordered by session_id
+        assert sess == want[: len(sess)], f"user {uid}: not a batch prefix"
+        n_emitted += len(sess)
+    # the gap (30 min) >> watermark delay (10 min), so most sessions
+    # close in-batch or by timeout before the stream drains
+    n_batch = sum(len(v) for v in batch.values())
+    assert n_emitted >= n_batch // 2, (n_emitted, n_batch)
