@@ -421,6 +421,89 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(load_table(spark, "embeddings", sf_dir))
 
 
+def build_ivf_index(
+    emb: DataFrame, index_dir: str, n_centroids: int = _N_CENTROIDS
+) -> None:
+    """Materialize the IVF index as a DISK LAYOUT: the corpus written
+    partitioned by coarse cell (one directory per centroid) plus the
+    centroid table alongside.
+
+    This is the 100 TB serving shape the in-memory :func:`ivf_topk`
+    plans toward: assignment runs once at build time (like any index
+    build), and every probe afterwards reads only its ``n_probe``
+    cell directories via partition pruning — ~n_probe/n_centroids of
+    the bytes, enforced by the scan, not by a post-read filter.
+    """
+    cents = emb.filter(col("vec_id") < n_centroids).select(
+        col("vec_id").alias("cent_id"), col("embedding").alias("cent_emb")
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        col("cent_cos").desc(), col("cent_id")
+    )
+    assign = (
+        emb.join(broadcast(cents))
+        .withColumn("cent_cos", cosine(col("embedding"), col("cent_emb")))
+        .withColumn("crn", F.row_number().over(w_assign))
+        .filter(col("crn") == 1)
+        .select("vec_id", "embedding", col("cent_id").alias("cell"))
+    )
+    assign.write.mode("overwrite").partitionBy("cell").parquet(
+        f"{index_dir}/corpus"
+    )
+    cents.write.mode("overwrite").parquet(f"{index_dir}/centroids")
+
+
+def ivf_probe_index(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    top_k: int = _TOP_K,
+    n_probe: int = _N_PROBE,
+) -> DataFrame:
+    """Serve ANN queries from a :func:`build_ivf_index` layout.
+
+    ``queries``: (query_id, q_emb). The probe cells come from the
+    (broadcast-sized) centroid table; the cell list is collected and
+    pushed into the corpus scan as a partition filter — the pruning is
+    visible as PartitionFilters in the plan and pinned in pytest.
+    Results are identical to :func:`ivf_topk` at the same knobs.
+    """
+    cents = spark.read.parquet(f"{index_dir}/centroids")
+    w_probe = Window.partitionBy("query_id").orderBy(
+        col("cent_cos").desc(), col("cent_id")
+    )
+    probes = (
+        queries.join(broadcast(cents))
+        .withColumn("cent_cos", cosine(col("q_emb"), col("cent_emb")))
+        .withColumn("prn", F.row_number().over(w_probe))
+        .filter(col("prn") <= n_probe)
+        .select("query_id", "q_emb", col("cent_id").alias("cell"))
+    )
+    # the probed cell set is tiny by construction (|queries| × n_probe
+    # over a broadcastable centroid table) — collecting it is what
+    # turns the probe into a partition-pruned scan
+    cells = [r["cell"] for r in probes.select("cell").distinct().collect()]
+    corpus = spark.read.parquet(f"{index_dir}/corpus").filter(
+        col("cell").isin(cells)
+    )
+    scored = (
+        corpus.join(broadcast(probes), "cell")
+        .filter(col("vec_id") != col("query_id"))
+        .select(
+            "query_id",
+            col("vec_id").alias("neighbor_id"),
+            cosine(col("q_emb"), col("embedding")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc(), col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(col("rank") <= top_k)
+        .select("query_id", "neighbor_id", "rank", F.round("cos_sim", 6).alias("cos_sim"))
+        .orderBy("query_id", "rank")
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     n_queries: int = _N_QUERIES,

@@ -62,3 +62,31 @@ def test_ivf_recall_floor_across_nprobe(spark, emb, exact):
     assert r1 >= 0.8  # measured 0.88
     assert r2 >= 0.85  # measured 0.90 (the registered-query default)
     assert r2 >= r1 and r4 >= r2  # more probes can only add candidates
+
+
+def test_ivf_index_build_and_probe(spark, emb, tmp_path):
+    """The on-disk IVF layout must serve results identical to the
+    in-memory ivf_topk at the same knobs, and the probe must reach the
+    corpus as a partition-pruned scan (PartitionFilters on cell), not
+    a full read."""
+    from pyspark.sql.functions import col
+
+    from pulsar_spark_spark.plans.similarity import (
+        build_ivf_index,
+        ivf_probe_index,
+        ivf_topk,
+    )
+
+    index_dir = str(tmp_path / "ivf")
+    build_ivf_index(emb, index_dir)
+    queries = emb.filter(col("vec_id") < 5).select(
+        col("vec_id").alias("query_id"), col("embedding").alias("q_emb")
+    )
+    served = ivf_probe_index(spark, index_dir, queries)
+    want = [tuple(r) for r in ivf_topk(emb).collect()]
+    assert [tuple(r) for r in served.collect()] == want
+
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters", 1)[1][:300]
+    assert "cell" in seg  # the probe cells prune at the scan

@@ -96,6 +96,10 @@ def test_kafka_envelope_parse_on_batch_frame(spark):
         ("geotags", 0, 7, b'{"user_id": 3, "event_type": "click", "value": 1.5}'),
         ("geotags", 1, 9, b'{"user_id": 4, "event_type": "view", "value": 2.0}'),
         ("geotags", 1, 10, b"not json"),
+        # extra unknown field + missing declared field: the reference's
+        # @JsonIgnoreProperties(ignoreUnknown) tolerance
+        # (core/GpsPingsPayload.scala:13) — from_json gives the same
+        ("geotags", 2, 11, b'{"user_id": 5, "event_type": "click", "extra": true}'),
     ]
     records = spark.createDataFrame(
         [(t, p, o, None, v, None) for (t, p, o, v) in rows],
@@ -111,6 +115,9 @@ def test_kafka_envelope_parse_on_batch_frame(spark):
     # malformed payloads keep the envelope with null fields (the
     # P8 guard downstream quarantines them), matching from_json
     assert by_off[(1, 10)]["user_id"] is None
+    # unknown fields ignored, missing declared fields → null
+    assert by_off[(2, 11)]["user_id"] == 5
+    assert by_off[(2, 11)]["value"] is None
 
 
 # ---------------------------------------------------------------------
