@@ -90,3 +90,17 @@ def test_ivf_index_build_and_probe(spark, emb, tmp_path):
     assert "PartitionFilters" in plan
     seg = plan.split("PartitionFilters", 1)[1][:300]
     assert "cell" in seg  # the probe cells prune at the scan
+
+
+def test_lsh_bits_recall_tradeoff(spark, emb, exact):
+    """The n_bits knob rule (fewer bits → bigger buckets → more
+    candidates → higher recall, at linearly more cost) must hold on
+    the fixture, so the documented sizing formula rests on a measured
+    monotonic curve rather than an assumption."""
+    from pulsar_spark_spark.plans.similarity import lsh_topk as _lsh
+
+    r2 = _recall(_lsh(emb, n_bits=2).collect(), exact)
+    r4 = _recall(_lsh(emb, n_bits=4).collect(), exact)
+    r6 = _recall(_lsh(emb, n_bits=6).collect(), exact)
+    assert r2 >= r4 >= r6
+    assert r2 >= 0.3  # 2 bits ≈ quarter-corpus buckets
