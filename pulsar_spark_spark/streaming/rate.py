@@ -78,3 +78,27 @@ def compute_max_entries_per_partition(
         tp: min(math.ceil(secs * limit), backlogs[tp])
         for tp, limit in effective.items()
     }
+
+
+def max_offsets_for_trigger(
+    estimated_rate: int | None,
+    backlogs: dict[str, int],
+    batch_interval_ms: int,
+    cfg: RateConfig = RateConfig(),
+) -> int:
+    """The planner's output as the Structured Streaming admission knob.
+
+    ``maxOffsetsPerTrigger`` is a TOTAL per batch that Spark's Kafka
+    source itself splits across partitions proportionally to backlog —
+    the same proportional policy the reference implements by hand — so
+    the faithful knob value is simply the sum of the per-partition
+    budgets. Wire it as::
+
+        total = max_offsets_for_trigger(rate, lags, interval_ms)
+        stream_events_kafka(..., max_offsets_per_trigger=total)
+    """
+    return sum(
+        compute_max_entries_per_partition(
+            estimated_rate, backlogs, batch_interval_ms, cfg
+        ).values()
+    )

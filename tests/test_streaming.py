@@ -315,3 +315,14 @@ def test_periodic_requery_ticks(spark, tmp_path):
         time.sleep(0.5)
     q.stop()
     assert len(seen) >= 2  # the clock re-ran the query function
+
+
+def test_max_offsets_for_trigger_totals_the_partition_plan():
+    """The Structured Streaming knob value is the sum of the reference's
+    per-partition budgets (Spark re-splits the total proportionally to
+    backlog — the same policy)."""
+    from pulsar_spark_spark.streaming.rate import max_offsets_for_trigger
+
+    assert max_offsets_for_trigger(10, _BACKLOGS, 5000, _CFG) == 5 + 0 + 46
+    assert max_offsets_for_trigger(40, _BACKLOGS, 5000, _CFG) == 19 + 0 + 100
+    assert max_offsets_for_trigger(None, _BACKLOGS, 5000, _CFG) == 100 + 0 + 100
