@@ -76,3 +76,23 @@ def test_switch_resets(spark, tmp_path):
     assert reliable_enabled()
     configure_reliable_checkpoints(spark, None)
     assert not reliable_enabled()
+
+
+def test_env_bootstrap(spark, tmp_path, monkeypatch):
+    """SPARK_GRAFT_CHECKPOINT_DIR wires the reliable mode at session
+    bootstrap (the cluster deployment path)."""
+    from pulsar_spark_spark.operators import checkpoint as cp
+
+    monkeypatch.setenv(cp.ENV_CHECKPOINT_DIR, str(tmp_path / "envck"))
+    cp.configure_from_env(spark)
+    try:
+        assert cp.reliable_enabled()
+        df = cp.materialize(spark.range(10))
+        assert df.count() == 10
+        assert _tree_files(str(tmp_path / "envck"))
+    finally:
+        cp.configure_reliable_checkpoints(spark, None)
+
+    monkeypatch.delenv(cp.ENV_CHECKPOINT_DIR)
+    cp.configure_from_env(spark)  # absent env → stays local
+    assert not cp.reliable_enabled()
