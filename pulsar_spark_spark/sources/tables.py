@@ -56,7 +56,14 @@ def _nanos_columns(path: str) -> frozenset[str]:
     load_table runs once per query branch.
     """
     if pq is None:
-        return frozenset()
+        # No footer probe available: fall back to the legacy name-based
+        # heuristic rather than silently skipping normalization — the
+        # driver's NANOS-encoded ``events.ts`` would otherwise stay a
+        # raw nanosecond bigint and every downstream ts cast would
+        # miscompute. ``_normalize_timestamps`` only acts when the
+        # column actually reads back as bigint, so this is a no-op for
+        # µs/ms-encoded datasets.
+        return frozenset({"ts"})
     probe = path
     if os.path.isdir(path):
         # first part file anywhere under the dir — covers both flat

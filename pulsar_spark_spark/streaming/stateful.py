@@ -184,29 +184,32 @@ _SESSION_OUTPUT = StructType(
 )
 
 _SESSION_STATE = StructType(
-    [
-        StructField("start_ms", LongType()),
-        StructField("end_ms", LongType()),
-        StructField("n", LongType()),
-        StructField("value_sum", StringType()),  # repr(float) — exact carry
-    ]
+    # JSON list of [start_ms, end_ms, n, repr(value_sum)] — every
+    # not-yet-final session for the key (at most open + a few buffered
+    # gap-closed ones awaiting the watermark), sorted by start.
+    [StructField("sessions_json", StringType())]
 )
 
 
 def session_stream(events: DataFrame, gap_s: int = 1800) -> DataFrame:
     """Streaming twin of the batch ``user_sessions`` query: 30-min-gap
-    sessionization with the open session carried in the state store and
-    CLOSED by event-time timeout when the watermark passes
-    session_end + gap.
+    sessionization with Spark ``session_window`` finality semantics —
+    a session is emitted ONLY once the watermark has passed
+    session_end + gap, so no admissible late row can still extend it.
 
     This is the capability the NoTimeout geofence machine doesn't
-    exercise: state EXPIRY. Sessions separated by a gap inside one
-    batch close immediately (their finality is guaranteed by the
-    watermark, which has already dropped anything late enough to
-    reopen them); the per-key trailing session stays in state with
-    ``setTimeoutTimestamp(end + gap)`` and is emitted by the timeout
-    callback — so every session is emitted exactly once, append-mode
-    clean, restart-safe via the same checkpoint as everything else.
+    exercise: state EXPIRY. ALL not-yet-final sessions (the open one
+    plus any gap-closed ones the watermark hasn't sealed) are buffered
+    in the state store; each batch merges its rows into that set by
+    interval-union (a row within ``gap`` of a session extends it with
+    start=min/end=max, a row bridging two sessions merges them), then
+    emits exactly the sessions with end + gap < watermark. The
+    remainder keep an event-time timeout at the earliest end + gap so
+    they are sealed by the timeout callback when the watermark
+    advances with no further data for the key. Exactly-once,
+    append-mode clean, restart-safe via the same checkpoint as
+    everything else — and correct for ANY arrival order the watermark
+    admits, not just time-ordered batches.
 
     ``events`` needs (user_id, ts TIMESTAMP, event_id, value) and MUST
     already carry ``withWatermark("ts", ...)`` — the watermark both
@@ -214,11 +217,13 @@ def session_stream(events: DataFrame, gap_s: int = 1800) -> DataFrame:
     timeout clock.
 
     The running ``value_sum`` crosses batches through the state store
-    as ``repr(float)`` so the resumed sum is bit-identical to a
-    single-pass fold (a DOUBLE state column would also work; the
-    string form makes the exactness contract explicit and the
-    rendered output deterministic).
+    as ``repr(float)`` so a resumed sum is bit-identical to a
+    single-pass fold; rows are folded in (ts, event_id) order within
+    each batch, matching the batch query's per-session fold for
+    in-order arrival.
     """
+    import json as _json
+
     ensure_package_on_executors(events.sparkSession)
     gap_ms = gap_s * 1000
 
@@ -229,52 +234,87 @@ def session_stream(events: DataFrame, gap_s: int = 1800) -> DataFrame:
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
 
-        def row(start_ms: int, end_ms: int, n: int, vs: float) -> dict:
+        def row(s: list) -> dict:
             return {
                 "user_id": user_id,
-                "session_start_ms": start_ms,
-                "session_end_ms": end_ms,
-                "n_events": n,
-                "session_value": f"{round(vs, 2):.2f}",
+                "session_start_ms": s[0],
+                "session_end_ms": s[1],
+                "n_events": s[2],
+                "session_value": f"{round(float(s[3]), 2):.2f}",
             }
 
-        if state.hasTimedOut:
-            start_ms, end_ms, n, vs = state.get
-            state.remove()
-            yield pd.DataFrame([row(start_ms, end_ms, n, float(vs))])
-            return
-
-        batch = pd.concat(list(pdfs), ignore_index=True)
-        batch = batch.sort_values(["ts", "event_id"]).reset_index(drop=True)
-        # datetime64[ms] view is unit-robust (ns vs µs pandas backing)
-        ts_ms = batch["ts"].to_numpy(dtype="datetime64[ms]").astype("int64")
-        vals = batch["value"].to_numpy()
-
+        # sessions: sorted-by-start list of [start, end, n, vs(float)]
         if state.exists:
-            start_ms, end_ms, n, vs = state.get
-            vs = float(vs)
+            sessions = [
+                [s, e, n, float(vs)]
+                for s, e, n, vs in _json.loads(state.get[0])
+            ]
         else:
-            start_ms, end_ms, n, vs = None, None, 0, 0.0
+            sessions = []
 
-        closed: list[dict] = []
-        for t, v in zip(ts_ms, vals):
-            t = int(t)
-            if start_ms is None:
-                start_ms, end_ms, n, vs = t, t, 1, float(v)
-            elif t - end_ms > gap_ms:
-                closed.append(row(start_ms, end_ms, n, vs))
-                start_ms, end_ms, n, vs = t, t, 1, float(v)
-            else:
-                end_ms, n, vs = t, n + 1, vs + float(v)
-        state.update((start_ms, end_ms, n, repr(vs)))
-        # Clamp: a session fed only by allowed-late rows can have
-        # end+gap already behind the watermark; Spark rejects a timeout
-        # in the past, so fire at the next watermark tick instead.
-        state.setTimeoutTimestamp(
-            max(end_ms + gap_ms, state.getCurrentWatermarkMs() + 1)
-        )
-        if closed:
-            yield pd.DataFrame(closed, columns=[f.name for f in _SESSION_OUTPUT.fields])
+        if not state.hasTimedOut:
+            batch = pd.concat(list(pdfs), ignore_index=True)
+            batch = batch.sort_values(["ts", "event_id"]).reset_index(drop=True)
+            # datetime64[ms] view is unit-robust (ns vs µs backing)
+            ts_ms = batch["ts"].to_numpy(dtype="datetime64[ms]").astype("int64")
+            vals = batch["value"].to_numpy()
+            for t, v in zip(ts_ms, vals):
+                t, v = int(t), float(v)
+                # linear scan is fine: a key holds the open session
+                # plus at most a few watermark-buffered ones
+                at = None
+                for i, s in enumerate(sessions):
+                    if s[0] - gap_ms <= t <= s[1] + gap_ms:
+                        s[0], s[1], s[2], s[3] = (
+                            min(s[0], t), max(s[1], t), s[2] + 1, s[3] + v,
+                        )
+                        at = i
+                        break
+                    if t < s[0] - gap_ms:  # strictly before session i
+                        sessions.insert(i, [t, t, 1, v])
+                        at = i
+                        break
+                if at is None:
+                    sessions.append([t, t, 1, v])
+                    at = len(sessions) - 1
+                # the row may bridge its session with a neighbor
+                while (
+                    at + 1 < len(sessions)
+                    and sessions[at + 1][0] - sessions[at][1] <= gap_ms
+                ):
+                    nxt = sessions.pop(at + 1)
+                    s = sessions[at]
+                    s[1], s[2], s[3] = max(s[1], nxt[1]), s[2] + nxt[2], s[3] + nxt[3]
+                while (
+                    at > 0 and sessions[at][0] - sessions[at - 1][1] <= gap_ms
+                ):
+                    cur = sessions.pop(at)
+                    s = sessions[at - 1]
+                    s[1], s[2], s[3] = max(s[1], cur[1]), s[2] + cur[2], s[3] + cur[3]
+                    at -= 1
+
+        # Final iff no admissible row (ts >= watermark) can extend it:
+        # a row at exactly ts == end + gap still merges, so strict <.
+        wm = state.getCurrentWatermarkMs()
+        final = [s for s in sessions if s[1] + gap_ms < wm]
+        keep = [s for s in sessions if s[1] + gap_ms >= wm]
+        if keep:
+            state.update(
+                (_json.dumps([[s[0], s[1], s[2], repr(s[3])] for s in keep]),)
+            )
+            # Clamp: the earliest end+gap can sit exactly on the
+            # watermark; Spark rejects a timeout <= watermark, so fire
+            # at the next watermark tick instead.
+            state.setTimeoutTimestamp(
+                max(min(s[1] for s in keep) + gap_ms, wm + 1)
+            )
+        else:
+            state.remove()
+        if final:
+            yield pd.DataFrame(
+                [row(s) for s in final],
+                columns=[f.name for f in _SESSION_OUTPUT.fields],
+            )
 
     return events.groupBy("user_id").applyInPandasWithState(
         walk,

@@ -137,6 +137,77 @@ def test_session_stream_closes_by_gap_and_timeout(spark, tmp_path):
     assert all(start >= 240 for (_u, start, _e) in extra)
 
 
+def test_session_stream_late_admitted_rows_extend_buffered_session(spark, tmp_path):
+    """A gap-closed session is buffered until the watermark seals it;
+    late-but-admitted rows arriving in a LATER batch must extend that
+    buffered session (interval merge, end = max) instead of spawning an
+    overlapping duplicate — the round-5 advice scenario. Also pins the
+    out-of-order merge rule: a row older than the session end must not
+    move the end backwards."""
+    base = dt.datetime(2024, 1, 1, 8, 0, 0)
+
+    def ev(eid, minute, value):
+        return (eid, 1, base + dt.timedelta(minutes=minute), value)
+
+    # chunk1: session A rows 8:00, 8:05 -> watermark after batch = 7:55
+    # chunk2: 8:03 (late, < state end), 8:20 (late, extends A's end),
+    #         10:00 (gap-closes A into the buffer; wm 7:55 < 8:50 so A
+    #         must NOT emit yet despite being gap-closed)
+    # chunk3: 13:00 -> watermark seals A and B
+    chunks = [
+        [ev(1, 0, 1.0), ev(2, 5, 2.0)],
+        [ev(3, 3, 0.5), ev(4, 20, 1.5), ev(5, 120, 4.0)],
+        [ev(6, 300, 8.0)],
+    ]
+    schema = "event_id long, user_id long, ts timestamp, value double"
+    input_dir = str(tmp_path / "in")
+    os.makedirs(input_dir)
+    for i, chunk in enumerate(chunks):
+        p = str(tmp_path / f"chunk{i}")
+        spark.createDataFrame(chunk, schema).coalesce(1).write.parquet(p)
+        for f in os.listdir(p):
+            if f.endswith(".parquet"):
+                dst = os.path.join(input_dir, f"c{i}_{f}")
+                shutil.copy(os.path.join(p, f), dst)
+                t = 1_700_000_000 + i * 1000
+                os.utime(dst, (t, t))
+
+    out_dir = str(tmp_path / "out")
+    ev_stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_dir)
+        .withWatermark("ts", _WM)
+    )
+    q = (
+        session_stream(ev_stream, gap_s=_GAP_S)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+
+    base_ms = int(
+        dt.datetime(2024, 1, 1, 8, tzinfo=dt.timezone.utc).timestamp() * 1000
+    )
+    got = sorted(
+        (
+            (r["session_start_ms"] - base_ms) // 60000,
+            (r["session_end_ms"] - base_ms) // 60000,
+            r["n_events"],
+            r["session_value"],
+        )
+        for r in spark.read.parquet(out_dir).collect()
+    )
+    # ONE session A covering all four rows (no overlapping duplicate,
+    # end not moved backwards by the 8:03 row), then B sealed at 12:50
+    assert got == [(0, 20, 4, "5.00"), (120, 120, 1, "4.00")]
+
+
 def test_session_stream_matches_batch_user_sessions(spark, tmp_path):
     """Streaming-vs-batch equivalence over the REAL events fixture:
     every session the stream emits must be byte-identical to a session

@@ -104,3 +104,17 @@ def test_nanos_columns_directory_probe(tmp_path):
     }
     pq.write_table(pa.table(cols), str(d / "part-00000.parquet"), version="2.6")
     assert _nanos_columns(str(d)) == {"ts"}
+
+
+def test_nanos_columns_no_pyarrow_falls_back_to_name_heuristic(tmp_path, monkeypatch):
+    """Without pyarrow the probe can't read footers; it must fall back
+    to the legacy name-based heuristic (events.ts) instead of silently
+    leaving a NANOS bigint un-normalized (round-5 advice)."""
+    from pulsar_spark_spark.sources import tables
+
+    monkeypatch.setattr(tables, "pq", None)
+    tables._nanos_columns.cache_clear()
+    try:
+        assert tables._nanos_columns(str(tmp_path)) == {"ts"}
+    finally:
+        tables._nanos_columns.cache_clear()
