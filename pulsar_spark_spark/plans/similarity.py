@@ -453,6 +453,28 @@ def build_ivf_index(
     cents.write.mode("overwrite").parquet(f"{index_dir}/centroids")
 
 
+def probe_assignments(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    n_probe: int = _N_PROBE,
+) -> DataFrame:
+    """(query_id, q_emb, cell) — each query's ``n_probe`` nearest
+    coarse cells, from the broadcast-sized centroid table of a
+    :func:`build_ivf_index` layout."""
+    cents = spark.read.parquet(f"{index_dir}/centroids")
+    w_probe = Window.partitionBy("query_id").orderBy(
+        col("cent_cos").desc(), col("cent_id")
+    )
+    return (
+        queries.join(broadcast(cents))
+        .withColumn("cent_cos", cosine(col("q_emb"), col("cent_emb")))
+        .withColumn("prn", F.row_number().over(w_probe))
+        .filter(col("prn") <= n_probe)
+        .select("query_id", "q_emb", col("cent_id").alias("cell"))
+    )
+
+
 def ivf_probe_index(
     spark: SparkSession,
     index_dir: str,
@@ -468,17 +490,7 @@ def ivf_probe_index(
     visible as PartitionFilters in the plan and pinned in pytest.
     Results are identical to :func:`ivf_topk` at the same knobs.
     """
-    cents = spark.read.parquet(f"{index_dir}/centroids")
-    w_probe = Window.partitionBy("query_id").orderBy(
-        col("cent_cos").desc(), col("cent_id")
-    )
-    probes = (
-        queries.join(broadcast(cents))
-        .withColumn("cent_cos", cosine(col("q_emb"), col("cent_emb")))
-        .withColumn("prn", F.row_number().over(w_probe))
-        .filter(col("prn") <= n_probe)
-        .select("query_id", "q_emb", col("cent_id").alias("cell"))
-    )
+    probes = probe_assignments(spark, index_dir, queries, n_probe)
     # the probed cell set is tiny by construction (|queries| × n_probe
     # over a broadcastable centroid table) — collecting it is what
     # turns the probe into a partition-pruned scan
