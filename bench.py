@@ -319,12 +319,13 @@ def main() -> None:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     knob_notes = {
         "ann_topk_lsh": (
-            "single-table SRP, no multi-probe (the oracle-"
-            "exact config). Slower than the round-2 "
-            "coordinate-sign hash by design: SRP bits dot "
-            "ALL 64 dims (recall@10 roughly doubles at "
-            "equal bits). Recall ladder, gated in "
-            "tests/test_similarity.py: plain 0.10, "
+            "REGISTERED default is now the production "
+            "config: 4 SRP tables + Hamming-1 multiprobe, "
+            "recall 0.96, oracle-exact (round 6; was "
+            "single-table recall 0.10). ~4 tables x 5 "
+            "probes = 20x the candidate pairs of the old "
+            "default, deduped before scoring. Ladder gated "
+            "in tests/test_similarity.py: plain 0.10, "
             "+multiprobe 0.50, +4 tables 0.96."
         ),
         "ann_topk_ivf": (

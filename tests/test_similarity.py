@@ -45,10 +45,13 @@ def test_multiprobe_lifts_single_table_recall(spark, emb, exact):
     assert mp > base  # probing Hamming-1 buckets must add candidates
 
 
-def test_multi_table_lsh_recall_floor(spark, emb, exact):
-    # the production configuration: independent hyperplane families
-    # compound (1-(1-p^k)^L); measured 0.96 at fixture scale
-    r = _recall(lsh_topk(emb, multiprobe=True, n_tables=4).collect(), exact)
+def test_registered_lsh_recall_floor(spark, exact):
+    # the REGISTERED ann_topk_lsh surface is the production config
+    # (4 tables + multiprobe — independent hyperplane families
+    # compound, 1-(1-p^k)^L); measured 0.96 at fixture scale. Gating
+    # the registry entry itself means a knob regression in the
+    # registered default cannot slip past this floor.
+    r = _recall(QUERIES["ann_topk_lsh"](spark, SF_DIR).collect(), exact)
     assert r >= 0.9
 
 
