@@ -1,0 +1,150 @@
+"""Generate a 10x sf1-equivalent dataset for scale-slope measurement.
+
+The driver's testdata stops at sf0.1 (~17 MB); the 100 TB design
+claims in PLANS.md are plan-shape arguments. This tool materializes a
+~10x dataset under ``.scale/sf1/`` so ``tools/scale_slope.py`` can
+convert those arguments into measured wall-time ratios.
+
+Scaling model (matches how a real corpus grows — MORE entities, not
+fatter ones):
+
+- ``events`` x10: replica k offsets ``event_id += k * N_EVENTS`` and
+  ``user_id += k * N_USERS``. Users x10, per-user event density
+  constant, time range unchanged (a bigger fleet on the same day).
+  The deterministic lat/lng derivation in ``plans/geo.py`` hashes the
+  offset ids, so every new user gets its own home cluster.
+- ``documents`` x10: replica k offsets ``doc_id += k * N_DOCS`` and
+  word-shuffles ``text`` with a per-(doc_id, k) seeded RNG. Token /
+  length / language statistics are preserved exactly, but char
+  shingles, word 3-grams, and winnow grams are scrambled — replicas do
+  NOT become artificial near-duplicates, so dedup pair counts grow
+  with the data, not quadratically with the replication factor.
+- ``embeddings`` x10: replica k offsets ``vec_id += k * N_VECS`` and
+  rotates the vector components by ``7 * k`` positions — an isometry,
+  so norms and intra-replica cosine structure are exact while
+  cross-replica similarity is scrambled. The fixed ANN query set
+  (``vec_id < 5``) stays in replica 0; the corpus it searches is x10.
+
+The TPC-H tables are copied unchanged (the heavy queries are all
+events/documents/embeddings-bound; relational q1-q5 already have the
+sf ladder in the driver's own testdata).
+
+Usage:  python tools/gen_scale.py [factor] [out_dir]
+        (defaults: 10, /root/repo/.scale/sf1)
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SRC = "/root/testdata/sf0.1"
+SMALL_TABLES = (
+    "region nation customer supplier part orders lineitem"
+).split()
+
+
+def scale_events(factor: int, out_dir: str) -> int:
+    t = pq.read_table(os.path.join(SRC, "events.parquet"))
+    n_events = int(pa.compute.max(t["event_id"]).as_py()) + 1
+    n_users = int(pa.compute.max(t["user_id"]).as_py()) + 1
+    parts = []
+    for k in range(factor):
+        parts.append(
+            t.set_column(
+                t.schema.get_field_index("event_id"),
+                "event_id",
+                pa.compute.add(t["event_id"], k * n_events),
+            ).set_column(
+                t.schema.get_field_index("user_id"),
+                "user_id",
+                pa.compute.add(t["user_id"], k * n_users),
+            )
+        )
+    out = pa.concat_tables(parts)
+    pq.write_table(
+        out, os.path.join(out_dir, "events.parquet"), row_group_size=200_000
+    )
+    return out.num_rows
+
+
+def scale_documents(factor: int, out_dir: str) -> int:
+    t = pq.read_table(os.path.join(SRC, "documents.parquet"))
+    n_docs = int(pa.compute.max(t["doc_id"]).as_py()) + 1
+    texts = t["text"].to_pylist()
+    parts = [t]
+    for k in range(1, factor):
+        shuffled = []
+        for i, txt in enumerate(texts):
+            words = txt.split()
+            rng = np.random.default_rng(1_000_003 * k + i)
+            rng.shuffle(words)
+            shuffled.append(" ".join(words))
+        parts.append(
+            t.set_column(
+                t.schema.get_field_index("doc_id"),
+                "doc_id",
+                pa.compute.add(t["doc_id"], k * n_docs),
+            ).set_column(
+                t.schema.get_field_index("text"),
+                "text",
+                pa.array(shuffled, type=t.schema.field("text").type),
+            )
+        )
+    out = pa.concat_tables(parts)
+    pq.write_table(out, os.path.join(out_dir, "documents.parquet"))
+    return out.num_rows
+
+
+def scale_embeddings(factor: int, out_dir: str) -> int:
+    t = pq.read_table(os.path.join(SRC, "embeddings.parquet"))
+    n_vecs = int(pa.compute.max(t["vec_id"]).as_py()) + 1
+    mat = np.array(t["embedding"].to_pylist(), dtype=np.float32)
+    elem_type = t.schema.field("embedding").type.value_type
+    parts = [t]
+    for k in range(1, factor):
+        rolled = np.roll(mat, 7 * k, axis=1)
+        parts.append(
+            t.set_column(
+                t.schema.get_field_index("vec_id"),
+                "vec_id",
+                pa.compute.add(t["vec_id"], k * n_vecs),
+            ).set_column(
+                t.schema.get_field_index("embedding"),
+                "embedding",
+                pa.array(list(rolled), type=pa.list_(elem_type)),
+            )
+        )
+    out = pa.concat_tables(parts)
+    pq.write_table(out, os.path.join(out_dir, "embeddings.parquet"))
+    return out.num_rows
+
+
+def main() -> None:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    out_dir = (
+        sys.argv[2] if len(sys.argv) > 2 else "/root/repo/.scale/sf1"
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    for name in SMALL_TABLES:
+        shutil.copy(
+            os.path.join(SRC, f"{name}.parquet"),
+            os.path.join(out_dir, f"{name}.parquet"),
+        )
+    print(f"events:     {scale_events(factor, out_dir):>9,} rows")
+    print(f"documents:  {scale_documents(factor, out_dir):>9,} rows")
+    print(f"embeddings: {scale_embeddings(factor, out_dir):>9,} rows")
+    total = sum(
+        os.path.getsize(os.path.join(out_dir, f))
+        for f in os.listdir(out_dir)
+    )
+    print(f"wrote {out_dir} ({total / 1e6:.0f} MB)")
+
+
+if __name__ == "__main__":
+    main()
