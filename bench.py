@@ -353,6 +353,22 @@ def main() -> None:
     ingest = _stream_ingest_bench(spark)
     session = _session_stream_bench(spark)
 
+    # Measured sf0.1 -> sf1 slope (committed sidecar from
+    # tools/scale_slope.py over a 10x dataset) — converts the
+    # PLANS.md scale-shape arguments into numbers.
+    scale_slope = None
+    slope_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "scale_slope.json"
+    )
+    if os.path.exists(slope_path):
+        with open(slope_path) as f:
+            s = json.load(f)
+        scale_slope = {
+            "geomean_ratio_at_10x": s.get("geomean_ratio"),
+            "worst_ratio_at_10x": s.get("worst_ratio"),
+            "detail": "SCALE.md",
+        }
+
     # Verbose detail first: the driver wrapper keeps only the last
     # ~2000 chars of stdout, so this line is allowed to be cut.
     print(
@@ -366,6 +382,7 @@ def main() -> None:
                     "streaming_ingest_detail": ingest,
                     "streaming_session_detail": session,
                     "ivf_probe_detail": ivf_detail,
+                    "scale_slope": scale_slope,
                 }
             }
         )
@@ -382,9 +399,15 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "runs_per_query": runs,
     }
+    if scale_slope:
+        headline["scale_10x"] = [
+            scale_slope["geomean_ratio_at_10x"],
+            scale_slope["worst_ratio_at_10x"],
+        ]
     line = json.dumps(headline, separators=(",", ":"))
     if len(line) > 1900:  # keep the whole line inside the tail capture
         headline.pop("streaming", None)
+        headline.pop("scale_10x", None)
         line = json.dumps(headline, separators=(",", ":"))
     print(line)
     spark.stop()
