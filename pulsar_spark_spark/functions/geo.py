@@ -495,6 +495,117 @@ rowtrig AS (
 )"""
 
 
+def sql_vincenty_center_ctes(points_rel: str, cent_rel: str, tag: str) -> str:
+    """Vincenty from a per-user center to each of that user's points.
+
+    SQL twin of the G4 trim loop's ``vincenty_np(full(m, c_lat),
+    full(m, c_lng), lats, lngs)`` call — the CENTER is argument 1, the
+    point argument 2, same direction as the kernel (Vincenty is only
+    symmetric up to ulps, so direction is part of parity). Expects
+    ``{cent_rel}(user_id, clat, clng, ...)`` and
+    ``{points_rel}(user_id, pos, lat, lng, ...)``; emits
+    ``cdist{tag}(user_id, pos, d)``. All arithmetic is transcribed
+    verbatim from :func:`sql_vincenty_alldist_ctes` (same formulas,
+    constants inlined via ``repr``, same convergence freeze), with the
+    same sentinel precedence: lat==0 on either side → 1e7, identical
+    coordinates → 0.
+
+    Every generated CTE name carries ``tag`` so many instances can
+    coexist in one WITH RECURSIVE chain (the G4 oracle unrolls the
+    trim loop, one instance per iteration).
+    """
+    f = repr(_WGS84_F)
+    one_mf = repr(1 - _WGS84_F)
+    f16 = repr(_WGS84_F / 16.0)
+    ab = repr(_WGS84_A**2 - _WGS84_B**2)
+    b2 = repr(_WGS84_B**2)
+    b = repr(_WGS84_B)
+    nofix = repr(NO_FIX_DISTANCE_M)
+    bterm = "(u_sq / 1024 * (256 + u_sq * (-128 + u_sq * (74 - 47 * u_sq))))"
+    return f"""
+cpair{tag} AS (
+    SELECT c.user_id AS user_id, p.pos AS pos,
+           sin(atan2({one_mf} * sin(radians(c.clat)), cos(radians(c.clat)))) AS sinU1,
+           cos(atan2({one_mf} * sin(radians(c.clat)), cos(radians(c.clat)))) AS cosU1,
+           sin(atan2({one_mf} * sin(radians(p.lat)), cos(radians(p.lat)))) AS sinU2,
+           cos(atan2({one_mf} * sin(radians(p.lat)), cos(radians(p.lat)))) AS cosU2,
+           radians(p.lng - c.clng) AS L
+    FROM {cent_rel} c JOIN {points_rel} p ON c.user_id = p.user_id
+    WHERE NOT (c.clat = p.lat AND c.clng = p.lng)
+      AND c.clat != 0 AND p.lat != 0
+), cit{tag} AS (
+    SELECT user_id, pos, sinU1, cosU1, sinU2, cosU2, L,
+           L AS lam,
+           0.0::DOUBLE AS ss, 1.0::DOUBLE AS cs, 0.0::DOUBLE AS sig,
+           1.0::DOUBLE AS csa, 0.0::DOUBLE AS c2m,
+           TRUE AS active, 0 AS iter
+    FROM cpair{tag}
+    UNION ALL
+    SELECT user_id, pos, sinU1, cosU1, sinU2, cosU2, L,
+           lam_new, nss, ncs, nsig, ncsa, nc2m,
+           (abs(lam_new - lam) >= 1e-12) AND (iter + 1 < 200), iter + 1
+    FROM (
+        SELECT *,
+               L + (1 - C) * {f} * sin_alpha *
+                   (nsig + C * nss * (nc2m + C * ncs * (-1 + 2 * nc2m * nc2m)))
+                   AS lam_new
+        FROM (
+            SELECT *, {f16} * ncsa * (4 + {f} * (4 - 3 * ncsa)) AS C
+            FROM (
+                SELECT *,
+                       atan2(nss, ncs) AS nsig,
+                       1.0 - sin_alpha * sin_alpha AS ncsa,
+                       CASE WHEN 1.0 - sin_alpha * sin_alpha != 0
+                            THEN ncs - 2.0 * sinU1 * sinU2
+                                 / greatest(1.0 - sin_alpha * sin_alpha, 1e-300)
+                            ELSE 0.0 END AS nc2m
+                FROM (
+                    SELECT *,
+                           CASE WHEN nss != 0
+                                THEN cosU1 * cosU2 * sin_lam / greatest(nss, 1e-300)
+                                ELSE 0.0 END AS sin_alpha
+                    FROM (
+                        SELECT *,
+                               sqrt((cosU2 * sin_lam) * (cosU2 * sin_lam)
+                                    + (cosU1 * sinU2 - sinU1 * cosU2 * cos_lam)
+                                      * (cosU1 * sinU2 - sinU1 * cosU2 * cos_lam))
+                                   AS nss,
+                               sinU1 * sinU2 + cosU1 * cosU2 * cos_lam AS ncs
+                        FROM (
+                            SELECT *, sin(lam) AS sin_lam, cos(lam) AS cos_lam
+                            FROM cit{tag} WHERE active
+                        )
+                    )
+                )
+            )
+        )
+    )
+), cdist{tag} AS MATERIALIZED (
+    SELECT c.user_id AS user_id, p.pos AS pos,
+           CASE WHEN c.clat = 0 OR p.lat = 0
+                THEN {nofix}::DOUBLE ELSE 0.0::DOUBLE END AS d
+    FROM {cent_rel} c JOIN {points_rel} p ON c.user_id = p.user_id
+    WHERE (c.clat = 0 OR p.lat = 0) OR (c.clat = p.lat AND c.clng = p.lng)
+    UNION ALL
+    SELECT user_id, pos,
+           CASE WHEN isnan(d0) THEN 0.0 ELSE d0 END AS d
+    FROM (
+        SELECT user_id, pos,
+               {b} * (1 + u_sq / 16384 *
+                      (4096 + u_sq * (-768 + u_sq * (320 - 175 * u_sq))))
+               * (sig - {bterm} * ss *
+                  (c2m + {bterm} / 4 *
+                   (cs * (-1 + 2 * c2m * c2m)
+                    - {bterm} / 6 * c2m
+                      * (-3 + 4 * ss * ss) * (-3 + 4 * c2m * c2m)))) AS d0
+        FROM (
+            SELECT *, csa * {ab} / {b2} AS u_sq
+            FROM cit{tag} WHERE NOT active
+        )
+    )
+)"""
+
+
 def vincenty_py(lat1: float, lng1: float, lat2: float, lng2: float) -> float:
     """Scalar Vincenty, arithmetic-identical to :func:`vincenty_np`.
 

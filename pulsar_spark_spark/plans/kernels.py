@@ -20,17 +20,21 @@ value oracles built on a recursive-CTE Vincenty
 wobble is ~1e-9 m (numpy-vs-libm atan2 ulps) while the fixture's
 closest threshold margin is ~1e-4 m (measured), so no count can flip.
 
-The rest stay rows-only DELIBERATELY, each for a numeric-robustness
-reason, not expressibility laziness:
+Round 6: G2+G4 (the merged ``cluster_score_per_user``) carry a full
+value oracle too (:func:`_g2g4_oracle`). The round-5 robustness
+concerns — G2's float-equality argmax over the two ulp-separated
+DIRECTIONS of a symmetric pair, G4's order-sensitive float centroid
+sum re-fed into the trim loop — were MEASURED rather than assumed
+(tests/test_kernel_margins.py): on the fixture, G2 has no exact score
+ties and a ≥2.3e-3 relative gap between distinct scores, and neither
+kernel flips any decision under 1e-9 relative distance noise (1000×
+the real numpy↔SQL atan2 wobble). The oracle therefore selects G2
+candidates with a 1e-6 relative band and compares G4 centroids at a
+nudged 6 dp rounding (see ``_CENTROID_NUDGE``).
 
-- G2: the reference's overwrite-by-last-neighbor scoring makes the
-  top-two scores frequently the two DIRECTIONS of one symmetric pair
-  (score(c_{n-1}) = 1/(1+d(n-1,n-2)) vs score(c_{n-2}) =
-  1/(1+d(n-2,n-1))), which differ only in final ulps — an independent
-  engine can legitimately flip that float-equality argmax.
-- G4: the centroid is an order-sensitive float SUM (numpy pairwise vs
-  any SQL fold differ in last ulps) re-fed into the trim loop — the
-  output is a computed double, not a selected input.
+Still rows-only DELIBERATELY, for a numeric-robustness reason, not
+expressibility laziness:
+
 - G5-G7: the DBSCAN walk's state (prepend-order head/tail probes, the
   silent drop) depends on every intermediate comparison; fallback
   routing amplifies any ulp into a different METHOD label.
@@ -48,7 +52,10 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql.functions import col
 
-from pulsar_spark_spark.functions.geo import sql_vincenty_alldist_ctes
+from pulsar_spark_spark.functions.geo import (
+    sql_vincenty_alldist_ctes,
+    sql_vincenty_center_ctes,
+)
 from pulsar_spark_spark.functions.time import ts_millis
 from pulsar_spark_spark.operators.checkpoint import materialize
 from pulsar_spark_spark.operators.grouped import (
@@ -134,6 +141,187 @@ ORDER BY user_id
 """
 
 
+# Unroll depth for the G4 trim-loop oracle. The fixture's deepest
+# trajectory takes 15 iterations (measured, sf0.01); 18 leaves margin.
+# A too-shallow unroll makes still-active users VANISH from the oracle
+# output, so a shortfall fails rows_match loudly rather than silently.
+_G4_MAX_ITERS = 18
+
+# Pre-round nudge for the 6-decimal centroid output. The centroid is a
+# mean of 1e-6-grid coordinates — an exact rational s/m — so at 5-8 dp
+# some fixture values sit EXACTLY on a rounding half-boundary, where a
+# cross-engine ulp (numpy blocked sum vs SQL fold: measured ≤ 4.3e-14
+# deg) flips round() direction. +1e-10 deg shifts every half-boundary
+# case 1e-4 grid-units into round-up territory; the nearest OTHER
+# rational to a half-boundary is ≥ 1/(2·150) ≈ 3.3e-3 grid-units away
+# (m ≤ 150), so every case clears the boundary by ≥ 2000× the engine
+# spread. Applied in BOTH the Spark query and the oracle.
+_CENTROID_NUDGE = 1e-10
+
+
+def _g2g4_oracle() -> str:
+    """G2 + G4 value oracle for ``cluster_score_per_user``.
+
+    Round 6 upgrade from rows-only. The module docstring's two
+    robustness concerns were MEASURED at sf0.01 (150 users, 20
+    perturbation trials at 1e-9 relative distance noise — 1000× the
+    actual numpy↔SQL atan2 wobble) and both have wide margins:
+
+    - G2 argmax: zero flips; no exact float score ties at any max;
+      the top-two DISTINCT scores are ≥ 2.3e-3 relative apart, so the
+      1e-6 relative candidate band below admits exactly numpy's
+      candidate set (wobble 1e-9 ≪ band 1e-6 ≪ gap 2.3e-3).
+    - G4 trim loop: zero decision flips (min |avg−25| margin 2.5e-4
+      relative ≈ 6e-3 m; min trim-cutoff distance gap 3.7e-3 m, vs
+      ≈1e-8 m wobble from centroid summation-order + atan2). The
+      centroid VALUE is order-sensitive float arithmetic, so the
+      registered output rounds it to 6 dp (~0.11 m — honest precision
+      for a 25 m-threshold trim) with the half-boundary nudge above.
+
+    G2 semantics (BestLatLngCalculator.scala:96-137): per-row score
+    1/(1+d(i, last differing j)) overwrites per-coordinate; candidates
+    = coords at max score; among candidates with ≥ n//2 in-threshold
+    neighbors the first strict-max wins, else candidates[0] unscored.
+    G4 (BestLatLngCalculator.scala:165-198): iterative 10%-trim
+    centroid at the final 25 m threshold, unrolled
+    ``_G4_MAX_ITERS``× with per-iteration Vincenty CTE instances.
+    """
+    nudge = repr(_CENTROID_NUDGE)
+    head = f"""
+WITH RECURSIVE {_SQL_ORD},
+{sql_vincenty_alldist_ctes('WHERE n >= 3')},
+g2last AS (
+    SELECT user_id, i, d
+    FROM alldist WHERE differs
+    QUALIFY row_number() OVER (PARTITION BY user_id, i ORDER BY j DESC) = 1
+), g2cnt AS (
+    SELECT user_id, i,
+           sum(CASE WHEN differs AND d <= 200.0 THEN 1 ELSE 0 END) AS c
+    FROM alldist GROUP BY user_id, i
+), g2coord AS (
+    SELECT o.user_id AS user_id, o.lat AS lat, o.lng AS lng,
+           min(o.i) AS first_i, max(o.n) AS n,
+           coalesce(arg_max(1.0 / (1.0 + l.d),
+                            CASE WHEN l.d IS NOT NULL THEN o.i END), 0.0)
+               AS score,
+           sum(c.c) AS cnt
+    FROM ord o
+    LEFT JOIN g2last l ON l.user_id = o.user_id AND l.i = o.i
+    JOIN g2cnt c ON c.user_id = o.user_id AND c.i = o.i
+    WHERE o.n >= 3
+    GROUP BY o.user_id, o.lat, o.lng
+), g2mx AS (
+    SELECT user_id, max(score) AS mxs FROM g2coord GROUP BY user_id
+), g2sel AS (
+    SELECT c.user_id AS user_id, c.lat AS lat, c.lng AS lng, c.n AS n,
+           (c.cnt >= c.n // 2) AS passed
+    FROM g2coord c JOIN g2mx m ON m.user_id = c.user_id
+    WHERE c.score >= m.mxs * (1.0 - 1e-6)
+    QUALIFY row_number() OVER (PARTITION BY c.user_id
+        ORDER BY passed DESC,
+                 CASE WHEN passed THEN c.cnt ELSE 0 END DESC,
+                 c.first_i ASC) = 1
+), g2 AS (
+    SELECT user_id, lat, lng,
+           CASE WHEN passed THEN 1.0 ELSE 0.0 END AS cluster_score,
+           CAST(n AS INTEGER) AS n_points
+    FROM g2sel
+    UNION ALL
+    SELECT user_id, lat, lng, 0.0 AS cluster_score,
+           CAST(n AS INTEGER) AS n_points
+    FROM ord WHERE n < 3 AND i = n
+), pts4 AS (
+    SELECT user_id, event_id,
+           (epoch_ns(ts) // 1000) // 1000 AS ts_ms,
+           lat, lng, accuracy
+    FROM ({_SQL_GEO_EVENTS})
+), ord4 AS MATERIALIZED (
+    SELECT user_id, lat, lng, accuracy,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts_ms, event_id) AS i
+    FROM pts4
+), acc4 AS MATERIALIZED (
+    SELECT user_id,
+           count(CASE WHEN accuracy <= 100.0 THEN 1 END) AS n_acc
+    FROM ord4 GROUP BY user_id
+), kept0 AS MATERIALIZED (
+    SELECT o.user_id AS user_id,
+           row_number() OVER (PARTITION BY o.user_id ORDER BY o.i) AS pos,
+           o.lat AS lat, o.lng AS lng
+    FROM ord4 o JOIN acc4 a ON a.user_id = o.user_id
+    WHERE o.accuracy <= 100.0 AND a.n_acc >= 4
+)"""
+    blocks = []
+    for k in range(_G4_MAX_ITERS):
+        blocks.append(
+            f""", cent{k} AS MATERIALIZED (
+    SELECT user_id, count(*) AS m,
+           sum(lat) / count(*) AS clat, sum(lng) / count(*) AS clng
+    FROM kept{k} GROUP BY user_id HAVING count(*) > 3
+), {sql_vincenty_center_ctes(f'kept{k}', f'cent{k}', str(k))}
+, stat{k} AS MATERIALIZED (
+    SELECT c.user_id AS user_id, c.m AS m,
+           c.clat AS clat, c.clng AS clng,
+           sum(dd.d) / c.m AS avgd
+    FROM cent{k} c JOIN cdist{k} dd ON dd.user_id = c.user_id
+    GROUP BY c.user_id, c.m, c.clat, c.clng
+), fin{k} AS MATERIALIZED (
+    SELECT user_id, clat, clng FROM stat{k} WHERE avgd <= 25.0
+), kept{k + 1} AS MATERIALIZED (
+    SELECT user_id, pos, lat, lng FROM (
+        SELECT t.user_id AS user_id,
+               row_number() OVER (PARTITION BY t.user_id
+                                  ORDER BY dd.d ASC, t.pos ASC) AS pos,
+               t.lat AS lat, t.lng AS lng, s.m AS m
+        FROM kept{k} t
+        JOIN cdist{k} dd ON dd.user_id = t.user_id AND dd.pos = t.pos
+        JOIN stat{k} s ON s.user_id = t.user_id
+        WHERE s.avgd > 25.0
+    ) WHERE pos <= m - CAST(trunc(greatest(CAST(m AS DOUBLE) * 0.1, 1.0))
+                            AS BIGINT)
+), shr{k + 1} AS MATERIALIZED (
+    SELECT s.user_id AS user_id, s.clat AS clat, s.clng AS clng
+    FROM stat{k} s
+    JOIN (SELECT user_id FROM kept{k + 1}
+          GROUP BY user_id HAVING count(*) <= 3) x
+      ON x.user_id = s.user_id
+)"""
+        )
+    fins = "\nUNION ALL\n".join(
+        f"SELECT user_id, clat, clng FROM fin{k}"
+        for k in range(_G4_MAX_ITERS)
+    )
+    shrs = "\nUNION ALL\n".join(
+        f"SELECT user_id, clat, clng FROM shr{k}"
+        for k in range(1, _G4_MAX_ITERS + 1)
+    )
+    tail = f""", g4 AS (
+{fins}
+UNION ALL
+{shrs}
+), g4out AS (
+    SELECT g.user_id AS user_id,
+           round(g.clat + {nudge}, 6) AS centroid_lat,
+           round(g.clng + {nudge}, 6) AS centroid_lng,
+           CAST(a.n_acc AS INTEGER) AS n_accurate
+    FROM g4 g JOIN acc4 a ON a.user_id = g.user_id
+    UNION ALL
+    SELECT user_id, CAST(NULL AS DOUBLE) AS centroid_lat,
+           CAST(NULL AS DOUBLE) AS centroid_lng,
+           CAST(n_acc AS INTEGER) AS n_accurate
+    FROM acc4 WHERE n_acc < 4
+)
+SELECT g2.user_id AS user_id, g2.lat AS lat, g2.lng AS lng,
+       g2.cluster_score AS cluster_score, g2.n_points AS n_points,
+       g4out.centroid_lat AS centroid_lat,
+       g4out.centroid_lng AS centroid_lng,
+       g4out.n_accurate AS n_accurate
+FROM g2 JOIN g4out ON g4out.user_id = g2.user_id
+ORDER BY user_id
+"""
+    return head + "".join(blocks) + tail
+
+
 def _geo_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kernel input points on the raw clock — deliberately NOT
     materialized: each wrapper re-reads it (guard aggregate + kernel
@@ -209,20 +397,33 @@ def best_latlng_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sorted_out(apply_best_latlng(_geo_points(spark, sf_dir)), "user_id")
 
 
-@query("cluster_score_per_user")
+@query("cluster_score_per_user", oracle=_g2g4_oracle())
 def cluster_score_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G2 + G4: per-user best location + 0/1 cluster confidence score,
     joined with the outlier-trimmed centroid.
 
     Round 5: absorbs the former ``trimmed_centroid_per_user`` query
     (registry consolidated to fit the driver's 50-row correctness
-    gate). Both kernels keep their own JVM guard pre-dispatch and both
-    stay rows-only for the documented float-robustness reasons (module
-    docstring: G2 argmax ulp flips, G4 order-sensitive float sum); the
+    gate). Both kernels keep their own JVM guard pre-dispatch; the
     150-row outputs equi-join on user_id for free under AQE broadcast.
+
+    Round 6: upgraded from rows-only to a full value oracle
+    (:func:`_g2g4_oracle`) after measuring the float-robustness
+    concerns and finding wide margins (see that docstring). The
+    centroid columns are rounded to 6 dp (~0.11 m) with a pre-round
+    half-boundary nudge — honest output precision for a kernel whose
+    own trim threshold is 25 m, and what makes the computed-double
+    columns hash-stable across engines. Pytest parity vs the
+    independent transliteration (tests/geo_oracle.py) is retained at
+    full double precision underneath.
     """
     pts = _geo_points(spark, sf_dir)
     merged = apply_cluster_score(pts).join(apply_trimmed_centroid(pts), "user_id")
+    merged = merged.withColumn(
+        "centroid_lat", F.round(col("centroid_lat") + F.lit(_CENTROID_NUDGE), 6)
+    ).withColumn(
+        "centroid_lng", F.round(col("centroid_lng") + F.lit(_CENTROID_NUDGE), 6)
+    )
     return _sorted_out(merged, "user_id")
 
 
