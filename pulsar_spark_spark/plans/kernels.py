@@ -20,24 +20,28 @@ value oracles built on a recursive-CTE Vincenty
 wobble is ~1e-9 m (numpy-vs-libm atan2 ulps) while the fixture's
 closest threshold margin is ~1e-4 m (measured), so no count can flip.
 
-Round 6: G2+G4 (the merged ``cluster_score_per_user``) carry a full
-value oracle too (:func:`_g2g4_oracle`). The round-5 robustness
-concerns — G2's float-equality argmax over the two ulp-separated
-DIRECTIONS of a symmetric pair, G4's order-sensitive float centroid
-sum re-fed into the trim loop — were MEASURED rather than assumed
-(tests/test_kernel_margins.py): on the fixture, G2 has no exact score
-ties and a ≥2.3e-3 relative gap between distinct scores, and neither
-kernel flips any decision under 1e-9 relative distance noise (1000×
-the real numpy↔SQL atan2 wobble). The oracle therefore selects G2
-candidates with a 1e-6 relative band and compares G4 centroids at a
-nudged 6 dp rounding (see ``_CENTROID_NUDGE``).
+Round 6: EVERY kernel query now carries a full value oracle — the
+registry has zero rows-only entries. The round-5 robustness concerns
+(G2's float-equality argmax over the two ulp-separated DIRECTIONS of
+a symmetric pair; G4's order-sensitive float centroid sum re-fed into
+the trim loop; the G5-G7 DBSCAN walk's ulp-amplifying method-label
+routing) were MEASURED rather than assumed
+(tests/test_kernel_margins.py): on the gate fixture, G2 has no exact
+score ties and a ≥2.3e-3 relative gap between distinct scores, and NO
+kernel — G2, G4, or the full G5→G6→G3/G4 refinement chain across all
+1,981 deliveries — flips any decision under 1e-9 relative distance
+noise (1000× the real numpy↔SQL atan2 wobble). The oracles therefore:
 
-Still rows-only DELIBERATELY, for a numeric-robustness reason, not
-expressibility laziness:
-
-- G5-G7: the DBSCAN walk's state (prepend-order head/tail probes, the
-  silent drop) depends on every intermediate comparison; fallback
-  routing amplifies any ulp into a different METHOD label.
+- select G2 candidates with a 1e-6 relative score band
+  (:func:`_g2g4_oracle`);
+- unroll the G4 trim loop with per-iteration Vincenty CTE instances;
+- replay the sequential G5 walk as a recursive CTE over precomputed
+  ping-pair distances, with G6/G7 selection windows on top
+  (:func:`_refinement_sql_ctes`, :func:`_g5g7_oracle`,
+  :func:`_g8_oracle`);
+- compare computed-centroid outputs at a nudged 6 dp rounding
+  (see ``_CENTROID_NUDGE``), which is also the registered surface's
+  honest output precision.
 
 Plan shape at 100 TB: one shuffle on the group key into
 ``applyInPandas``; groups are bounded (kernel guards + upstream
@@ -322,6 +326,306 @@ ORDER BY user_id
     return head + "".join(blocks) + tail
 
 
+# Unroll depth for the refinement pipeline's per-cluster trim loop
+# (chosen clusters hold ≤ 15 pings at sf0.01; measured max 4
+# iterations; 7 leaves margin — a shortfall drops that delivery's
+# CENTROID row and fails rows_match loudly).
+_REFINE_TRIM_ITERS = 7
+
+
+def _refinement_sql_ctes() -> str:
+    """Shared CTE body for the G5-G7 refinement oracles, ending in
+    ``refres(delivery_id, user_id, is_refined, method, ref_lat,
+    ref_lng)`` with RAW coordinates (each consumer rounds its own
+    output columns).
+
+    The reference's sequential DBSCAN walk (G5) is replayed exactly as
+    a recursive CTE: every distance the walk ever consults is between
+    two PINGS of the same user, so the all-pairs Vincenty CTE
+    precomputes the full matrix (``ud``, keyed by event ids) and the
+    recursion carries only (cluster_seq, head_ev, tail_ev) plus a
+    per-ping assignment flag — the drop quirk (within eps of the tail
+    but not the head) emits assigned=FALSE and leaves state untouched.
+    Cluster membership, centroids and floor-avg timestamps then fall
+    out of grouping the assignment log. G6's best-cluster argmin
+    (ties to the LATER cluster — the reference's ``<=``) is a window
+    over a per-branch metric (centroid distance for accurate
+    deliveries via one center-CTE instance, |avg_ts − del_ts|
+    otherwise); G3-scoring and the trimmed centroid run over the
+    chosen members in PREPEND order (position = i DESC — the
+    reference's ``+=:`` list order drives first-occurrence and
+    argsort tiebreaks). Stability margins for every float decision in
+    this chain are pinned in tests/test_kernel_margins.py (zero flips
+    at 1e-9 relative distance noise across all 1,981 fixture
+    deliveries).
+
+    MATERIALIZED everywhere a CTE has >1 consumer — DuckDB inlines
+    CTEs by default and the chain's expansion is exponential without
+    it."""
+    head = f"""
+spts AS MATERIALIZED (
+    SELECT user_id, event_id, event_type,
+           ((epoch_ns(ts) // 1000) // 1000) // {_PING_CLOCK_DIV} AS ts_ms,
+           lat, lng, accuracy
+    FROM ({_SQL_GEO_EVENTS})
+), apts AS MATERIALIZED (
+    SELECT user_id, event_id, ts_ms, lat, lng, accuracy
+    FROM spts WHERE accuracy <= 100.0
+), ord AS MATERIALIZED (
+    SELECT user_id, event_id, lat, lng,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts_ms, event_id) AS i,
+           count(*) OVER (PARTITION BY user_id) AS n
+    FROM apts
+),
+{sql_vincenty_alldist_ctes()},
+ud AS MATERIALIZED (
+    SELECT a.user_id AS user_id, oa.event_id AS e1, ob.event_id AS e2,
+           a.d AS d, a.differs AS differs
+    FROM alldist a
+    JOIN ord oa ON oa.user_id = a.user_id AND oa.i = a.i
+    JOIN ord ob ON ob.user_id = a.user_id AND ob.i = a.j
+),
+dels AS MATERIALIZED (
+    SELECT event_id AS did, user_id, ts_ms AS del_ts_ms,
+           lat AS del_lat, lng AS del_lng, accuracy AS del_acc
+    FROM spts WHERE event_type = 'purchase'
+), wp AS MATERIALIZED (
+    SELECT d.did AS did, d.user_id AS user_id,
+           row_number() OVER (PARTITION BY d.did
+                              ORDER BY p.ts_ms, p.event_id) AS i,
+           p.event_id AS ev, p.ts_ms AS ts_ms,
+           p.lat AS lat, p.lng AS lng, p.accuracy AS accuracy
+    FROM dels d JOIN apts p ON p.user_id = d.user_id
+     AND p.ts_ms >= d.del_ts_ms - 120000
+     AND p.ts_ms <= d.del_ts_ms + 300000
+),
+walk AS (
+    SELECT did, user_id, i, 1 AS cluster_seq, ev AS head_ev, ev AS tail_ev,
+           TRUE AS assigned
+    FROM wp WHERE i = 1
+    UNION ALL
+    SELECT w.did, w.user_id, p.i,
+           CASE WHEN dh.d <= 50.0 THEN w.cluster_seq
+                WHEN dt.d > 50.0 THEN w.cluster_seq + 1
+                ELSE w.cluster_seq END,
+           CASE WHEN dh.d <= 50.0 OR dt.d > 50.0 THEN p.ev
+                ELSE w.head_ev END,
+           CASE WHEN dh.d <= 50.0 THEN w.tail_ev
+                WHEN dt.d > 50.0 THEN p.ev
+                ELSE w.tail_ev END,
+           (dh.d <= 50.0 OR dt.d > 50.0) AS assigned
+    FROM walk w
+    JOIN wp p ON p.did = w.did AND p.i = w.i + 1
+    JOIN ud dh ON dh.user_id = w.user_id AND dh.e1 = p.ev
+              AND dh.e2 = w.head_ev
+    JOIN ud dt ON dt.user_id = w.user_id AND dt.e1 = p.ev
+              AND dt.e2 = w.tail_ev
+),
+memb AS MATERIALIZED (
+    SELECT m.did AS did, m.user_id AS user_id, m.cluster_seq AS cluster_seq,
+           m.i AS i, p.ev AS ev, p.lat AS lat, p.lng AS lng,
+           p.accuracy AS accuracy, p.ts_ms AS ts_ms
+    FROM walk m JOIN wp p ON p.did = m.did AND p.i = m.i
+    WHERE m.assigned
+),
+clus AS MATERIALIZED (
+    SELECT did, user_id, cluster_seq, count(*) AS m,
+           sum(lat) / count(*) AS clat, sum(lng) / count(*) AS clng,
+           sum(ts_ms) // count(*) AS avg_ts
+    FROM memb GROUP BY did, user_id, cluster_seq
+    HAVING count(*) >= 3
+),
+delpt AS MATERIALIZED (
+    SELECT c.did * 1000 + c.cluster_seq AS user_id, 1 AS pos,
+           d.del_lat AS lat, d.del_lng AS lng
+    FROM clus c JOIN dels d ON d.did = c.did
+    WHERE d.del_acc <= 100.0
+), delcent AS MATERIALIZED (
+    SELECT did * 1000 + cluster_seq AS user_id, clat, clng
+    FROM clus c WHERE EXISTS (SELECT 1 FROM dels d
+                              WHERE d.did = c.did AND d.del_acc <= 100.0)
+),
+{sql_vincenty_center_ctes('delpt', 'delcent', 'del')}
+, chosen AS MATERIALIZED (
+    SELECT did, user_id, cluster_seq, m, clat, clng FROM (
+        SELECT c.did AS did, c.user_id AS user_id,
+               c.cluster_seq AS cluster_seq, c.m AS m,
+               c.clat AS clat, c.clng AS clng,
+               CASE WHEN d.del_acc <= 100.0 THEN cd.d
+                    ELSE CAST(abs(c.avg_ts - d.del_ts_ms) AS DOUBLE)
+               END AS metric,
+               (d.del_acc > 100.0 OR cd.d <= 100.0) AS eligible
+        FROM clus c
+        JOIN dels d ON d.did = c.did
+        LEFT JOIN cdistdel cd ON cd.user_id = c.did * 1000 + c.cluster_seq
+    ) WHERE eligible
+    QUALIFY row_number() OVER (PARTITION BY did
+                               ORDER BY metric ASC, cluster_seq DESC) = 1
+),
+cm AS MATERIALIZED (
+    SELECT m.did AS did, m.user_id AS user_id, m.i AS i, m.ev AS ev,
+           m.lat AS lat, m.lng AS lng, m.accuracy AS accuracy, ch.m AS n
+    FROM memb m JOIN chosen ch
+      ON ch.did = m.did AND ch.cluster_seq = m.cluster_seq
+),
+cmrow AS MATERIALIZED (
+    SELECT a.did AS did, a.ev AS ev,
+           sum(CASE WHEN ud.differs AND ud.d <= 200.0 THEN 1 ELSE 0 END) AS c
+    FROM cm a JOIN cm b ON b.did = a.did
+    JOIN ud ON ud.user_id = a.user_id AND ud.e1 = a.ev AND ud.e2 = b.ev
+    GROUP BY a.did, a.ev
+),
+cmcoord AS MATERIALIZED (
+    SELECT a.did AS did, a.lat AS lat, a.lng AS lng,
+           max(a.i) AS first_prepend_i, max(a.n) AS n, sum(r.c) AS cnt
+    FROM cm a JOIN cmrow r ON r.did = a.did AND r.ev = a.ev
+    GROUP BY a.did, a.lat, a.lng
+),
+score_sel AS MATERIALIZED (
+    SELECT did, lat, lng, n, cnt,
+           (n >= 3 AND cnt >= CAST(ceil(0.5 * n) AS BIGINT)) AS high
+    FROM cmcoord
+    QUALIFY row_number() OVER (PARTITION BY did
+                               ORDER BY cnt DESC, first_prepend_i DESC) = 1
+),
+tkept0 AS MATERIALIZED (
+    SELECT did AS user_id,
+           row_number() OVER (PARTITION BY did ORDER BY i DESC) AS pos,
+           lat, lng
+    FROM cm
+)"""
+    blocks = []
+    for k in range(_REFINE_TRIM_ITERS):
+        blocks.append(
+            f""", tcent{k} AS MATERIALIZED (
+    SELECT user_id, count(*) AS m,
+           sum(lat) / count(*) AS clat, sum(lng) / count(*) AS clng
+    FROM tkept{k} GROUP BY user_id HAVING count(*) > 3
+), {sql_vincenty_center_ctes(f'tkept{k}', f'tcent{k}', f't{k}')}
+, tstat{k} AS MATERIALIZED (
+    SELECT c.user_id AS user_id, c.m AS m, c.clat AS clat, c.clng AS clng,
+           sum(dd.d) / c.m AS avgd
+    FROM tcent{k} c JOIN cdistt{k} dd ON dd.user_id = c.user_id
+    GROUP BY c.user_id, c.m, c.clat, c.clng
+), tfin{k} AS MATERIALIZED (
+    SELECT user_id, clat, clng FROM tstat{k} WHERE avgd <= 25.0
+), tkept{k + 1} AS MATERIALIZED (
+    SELECT user_id, pos, lat, lng FROM (
+        SELECT t.user_id AS user_id,
+               row_number() OVER (PARTITION BY t.user_id
+                                  ORDER BY dd.d ASC, t.pos ASC) AS pos,
+               t.lat AS lat, t.lng AS lng, s.m AS m
+        FROM tkept{k} t
+        JOIN cdistt{k} dd ON dd.user_id = t.user_id AND dd.pos = t.pos
+        JOIN tstat{k} s ON s.user_id = t.user_id
+        WHERE s.avgd > 25.0
+    ) WHERE pos <= m - CAST(trunc(greatest(CAST(m AS DOUBLE) * 0.1, 1.0))
+                            AS BIGINT)
+), tshr{k + 1} AS MATERIALIZED (
+    SELECT s.user_id AS user_id, s.clat AS clat, s.clng AS clng
+    FROM tstat{k} s
+    JOIN (SELECT user_id FROM tkept{k + 1}
+          GROUP BY user_id HAVING count(*) <= 3) x
+      ON x.user_id = s.user_id
+)"""
+        )
+    fins = "\nUNION ALL\n".join(
+        f"SELECT user_id, clat, clng FROM tfin{k}"
+        for k in range(_REFINE_TRIM_ITERS)
+    )
+    shrs = "\nUNION ALL\n".join(
+        f"SELECT user_id, clat, clng FROM tshr{k}"
+        for k in range(1, _REFINE_TRIM_ITERS + 1)
+    )
+    tail = f""", tcentroid AS MATERIALIZED (
+{fins}
+UNION ALL
+{shrs}
+), refres AS MATERIALIZED (
+    SELECT d.did AS delivery_id, d.user_id AS user_id,
+           (ch.did IS NOT NULL) AS is_refined,
+           CASE WHEN ch.did IS NULL THEN 'ORIGINAL_DELIVERED_LOCATION'
+                WHEN ss.high THEN 'CLUSTER_GEOCODE_SCORE_HIGH'
+                ELSE 'CLUSTER_GEOCODE_SCORE_LOW' END AS method,
+           CASE WHEN ch.did IS NULL THEN d.del_lat ELSE ss.lat END AS ref_lat,
+           CASE WHEN ch.did IS NULL THEN d.del_lng ELSE ss.lng END AS ref_lng
+    FROM dels d
+    LEFT JOIN chosen ch ON ch.did = d.did
+    LEFT JOIN score_sel ss ON ss.did = d.did
+    UNION ALL
+    SELECT ch.did AS delivery_id, ch.user_id AS user_id,
+           TRUE AS is_refined, 'CLUSTER_CENTROID' AS method,
+           tc.clat AS ref_lat, tc.clng AS ref_lng
+    FROM chosen ch JOIN tcentroid tc ON tc.user_id = ch.did
+)"""
+    return head + "".join(blocks) + tail
+
+
+def _g5g7_oracle() -> str:
+    """G5-G7 value oracle for ``delivery_refinement`` — the shared
+    refinement CTE body with the registered surface's nudged 6 dp
+    coordinate rounding."""
+    nudge = repr(_CENTROID_NUDGE)
+    return f"""
+WITH RECURSIVE {_refinement_sql_ctes()}
+SELECT delivery_id, user_id, is_refined, method,
+       round(ref_lat + {nudge}, 6) AS ref_lat,
+       round(ref_lng + {nudge}, 6) AS ref_lng
+FROM refres
+ORDER BY delivery_id, method
+"""
+
+
+def _g8_oracle() -> str:
+    """G8 value oracle for ``delivery_refined_history``: latest
+    REFINED delivery per user (dense_rank over del_ts, delivery_id —
+    both result rows of the winner survive), both-coords-differ
+    survivor rule against the raw delivered point, newest-100 cap net
+    of the refined-row budget, 198.0 accuracy sentinel."""
+    nudge = repr(_CENTROID_NUDGE)
+    return f"""
+WITH RECURSIVE {_refinement_sql_ctes()},
+latest AS MATERIALIZED (
+    SELECT * FROM (
+        SELECT r.delivery_id AS delivery_id, r.user_id AS user_id,
+               r.method AS method, r.ref_lat AS ref_lat,
+               r.ref_lng AS ref_lng, d.del_ts_ms AS del_ts_ms,
+               d.del_lat AS del_lat, d.del_lng AS del_lng,
+               dense_rank() OVER (PARTITION BY r.user_id
+                                  ORDER BY d.del_ts_ms DESC,
+                                           r.delivery_id DESC) AS rk
+        FROM refres r JOIN dels d ON d.did = r.delivery_id
+        WHERE r.is_refined
+    ) WHERE rk = 1
+), refcnt AS MATERIALIZED (
+    SELECT user_id, count(*) AS n_ref,
+           any_value(del_lat) AS del_lat, any_value(del_lng) AS del_lng
+    FROM latest GROUP BY user_id
+)
+SELECT user_id, event_id, ts_ms,
+       round(lat + {nudge}, 6) AS lat,
+       round(lng + {nudge}, 6) AS lng,
+       accuracy, method
+FROM (
+    SELECT p.user_id AS user_id, p.event_id AS event_id,
+           p.ts_ms AS ts_ms, p.lat AS lat, p.lng AS lng,
+           p.accuracy AS accuracy, CAST(NULL AS VARCHAR) AS method
+    FROM spts p JOIN refcnt rc ON rc.user_id = p.user_id
+    WHERE p.lat != rc.del_lat AND p.lng != rc.del_lng
+    QUALIFY row_number() OVER (PARTITION BY p.user_id
+                               ORDER BY p.ts_ms DESC, p.event_id DESC)
+            <= 100 - rc.n_ref
+    UNION ALL
+    SELECT user_id, delivery_id AS event_id, del_ts_ms AS ts_ms,
+           ref_lat AS lat, ref_lng AS lng, 198.0::DOUBLE AS accuracy,
+           method
+    FROM latest
+)
+ORDER BY user_id, ts_ms, event_id, method
+"""
+
+
 def _geo_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kernel input points on the raw clock — deliberately NOT
     materialized: each wrapper re-reads it (guard aggregate + kernel
@@ -471,7 +775,14 @@ def _refinement_results(
     return apply_delivery_refinement(joined)
 
 
-@query("delivery_refinement")
+def _round6(name: str) -> F.Column:
+    """The registered surface's coordinate rounding: nudged 6 dp
+    (~0.11 m — see ``_CENTROID_NUDGE``). Null-safe (null + nudge stays
+    null)."""
+    return F.round(col(name) + F.lit(_CENTROID_NUDGE), 6)
+
+
+@query("delivery_refinement", oracle=_g5g7_oracle())
 def delivery_refinement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G5-G7: refine each 'purchase' (delivery analog) from the user's
     surrounding pings via DBSCAN → best-cluster → score/centroid.
@@ -483,10 +794,20 @@ def delivery_refinement(spark: SparkSession, sf_dir: str) -> DataFrame:
     per delivery group. Runs on the compressed fixture clock (see
     ``_PING_CLOCK_DIV``) so the window genuinely holds pings and the
     G5→G6→G3/G4 chain executes, not just its fallback.
+
+    Round 6: upgraded from rows-only to a full value oracle
+    (:func:`_g5g7_oracle` — the sequential DBSCAN walk replayed as a
+    recursive CTE over precomputed ping-pair distances), with the
+    same nudged 6 dp coordinate rounding as the G4 surface; stability
+    margins for every float decision in the chain are measured and
+    pinned in tests/test_kernel_margins.py.
     """
-    return _sorted_out(
-        _refinement_results(spark, sf_dir), "delivery_id", "method"
+    res = (
+        _refinement_results(spark, sf_dir)
+        .withColumn("ref_lat", _round6("ref_lat"))
+        .withColumn("ref_lng", _round6("ref_lng"))
     )
+    return _sorted_out(res, "delivery_id", "method")
 
 
 def merge_refined_into_history(points: DataFrame, refined: DataFrame) -> DataFrame:
@@ -545,7 +866,7 @@ def merge_refined_into_history(points: DataFrame, refined: DataFrame) -> DataFra
     return survivors.unionByName(refined_rows)
 
 
-@query("delivery_refined_history")
+@query("delivery_refined_history", oracle=_g8_oracle())
 def delivery_refined_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G8: swap each user's LATEST refined delivery into their point
     history (both-coords-differ survivor rule, 198.0 sentinel, cap 100)
@@ -555,6 +876,11 @@ def delivery_refined_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     Users whose latest-delivery refinement fell back to the original
     location (is_refined = false) keep their history untouched and are
     not re-emitted, mirroring the reference's refined-rows-only merge.
+
+    Round 6: full value oracle (:func:`_g8_oracle` on top of the
+    shared refinement CTE body); output coordinates carry the nudged
+    6 dp surface rounding (survivor-rule comparisons stay on the raw
+    doubles in both engines).
     """
     pts_all = _scaled_geo_points(spark, sf_dir)  # one materialization,
     # four consumers: history rows, the delivery dim, and the
@@ -586,6 +912,9 @@ def delivery_refined_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     # already sits behind ``chosen``'s checkpoint, so the sort's
     # sampling pass re-runs only the cheap JVM merge — cheaper than
     # checkpointing the full merged history (measured at sf0.1).
-    return merge_refined_into_history(pts, chosen).orderBy(
-        "user_id", "ts_ms", "event_id", "method"
+    return (
+        merge_refined_into_history(pts, chosen)
+        .withColumn("lat", _round6("lat"))
+        .withColumn("lng", _round6("lng"))
+        .orderBy("user_id", "ts_ms", "event_id", "method")
     )

@@ -433,10 +433,14 @@ def test_delivery_refinement_parity(spark, geo_pdf):
         )
         got_d = sorted(got[d["event_id"]], key=lambda x: x[1])
         assert len(got_d) == len(want), f"delivery {d['event_id']}"
+        # round-6 registered surface: nudged 6 dp coordinates (see
+        # plans/kernels.py _CENTROID_NUDGE)
+        from pulsar_spark_spark.plans.kernels import _CENTROID_NUDGE
+
         for g, w in zip(got_d, want):
             assert g[0] == w[0] and g[1] == w[1], f"delivery {d['event_id']}"
-            assert g[2] == pytest.approx(w[2], abs=1e-9)
-            assert g[3] == pytest.approx(w[3], abs=1e-9)
+            assert g[2] == pytest.approx(round(w[2] + _CENTROID_NUDGE, 6), abs=1e-12)
+            assert g[3] == pytest.approx(round(w[3] + _CENTROID_NUDGE, 6), abs=1e-12)
 
 
 def test_delivery_refined_history_parity(spark, geo_pdf):
@@ -483,10 +487,12 @@ def test_delivery_refined_history_parity(spark, geo_pdf):
         got_u = sorted(got[uid], key=lambda e: (e[0], e[1], e[5] or ""))
         want_s = sorted(want, key=lambda e: (e[0], e[1], e[5] or ""))
         assert len(got_u) == len(want_s), f"user {uid}"
+        from pulsar_spark_spark.plans.kernels import _CENTROID_NUDGE
+
         for gr, wr in zip(got_u, want_s):
             assert gr[0] == wr[0] and gr[1] == wr[1] and gr[5] == wr[5], f"user {uid}"
-            assert gr[2] == pytest.approx(wr[2], abs=1e-9)
-            assert gr[3] == pytest.approx(wr[3], abs=1e-9)
+            assert gr[2] == pytest.approx(round(wr[2] + _CENTROID_NUDGE, 6), abs=1e-12)
+            assert gr[3] == pytest.approx(round(wr[3] + _CENTROID_NUDGE, 6), abs=1e-12)
             assert gr[4] == wr[4]
         n_checked += 1
     assert n_checked > 0  # the fixture must actually exercise the merge

@@ -109,6 +109,97 @@ def test_kernel_decisions_stable_under_distance_noise(geo_groups):
         gk.vincenty_np = orig
 
 
+@pytest.fixture(scope="module")
+def refinement_inputs(geo_groups):
+    """Per-delivery refinement inputs on the compressed clock (the
+    registered query's T4 interval-join shape, rebuilt directly)."""
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/events.parquet')"
+    )
+    rows = con.execute(
+        f"""
+        SELECT user_id, event_id, event_type,
+               ((epoch_ns(ts) // 1000) // 1000) // 1500 AS ts_ms,
+               lat, lng, accuracy
+        FROM ({_SQL_GEO_EVENTS})
+        ORDER BY user_id, ts_ms, event_id
+        """
+    ).fetchall()
+    pts = defaultdict(list)
+    dels = []
+    for u, ev, et, t, la, ln, a in rows:
+        pts[u].append((int(t), la, ln, a, ev))
+        if et == "purchase":
+            dels.append((u, ev, int(t), la, ln, a))
+    out = []
+    for u, ev, t, la, ln, a in dels:
+        pl = [
+            (p[0], p[1], p[2], p[3])
+            for p in sorted(pts[u], key=lambda p: (p[0], p[4]))
+            if p[3] <= 100.0 and t - 120_000 <= p[0] <= t + 300_000
+        ]
+        out.append((ev, la, ln, t, a, pl))
+    return out
+
+
+def test_g5g7_refinement_stable_under_distance_noise(refinement_inputs):
+    """Zero output flips across the full G5→G6→G3/G4 chain under 1e-9
+    relative noise on every distance — the measurement behind the
+    round-6 delivery_refinement / delivery_refined_history oracles."""
+    orig_py, orig_np = gk.vincenty_py, gk.vincenty_np
+    base = {
+        ev: gk.refine_delivery(la, ln, t, a, pl)
+        for ev, la, ln, t, a, pl in refinement_inputs
+    }
+    assert sum(1 for v in base.values() if v[0]) > 100  # chain really runs
+
+    state = {}
+
+    def noisy_py(a, b, c, d):
+        return orig_py(a, b, c, d) * (
+            1.0 + (state["rng"].random() * 2 - 1) * 1e-9
+        )
+
+    def noisy_np(a, b, c, d):
+        v = orig_np(a, b, c, d)
+        return v * (1.0 + (state["rng"].random(v.shape) * 2 - 1) * 1e-9)
+
+    gk.vincenty_py, gk.vincenty_np = noisy_py, noisy_np
+    try:
+        for trial in range(2):
+            state["rng"] = np.random.default_rng(7000 + trial)
+            for ev, la, ln, t, a, pl in refinement_inputs:
+                assert gk.refine_delivery(la, ln, t, a, pl) == base[ev], (
+                    f"refinement output flipped, delivery {ev}"
+                )
+    finally:
+        gk.vincenty_py, gk.vincenty_np = orig_py, orig_np
+
+
+def test_refinement_centroid_rounding_margin(refinement_inputs):
+    """The CLUSTER_CENTROID rows are the only computed doubles on the
+    refinement surface; after the nudge they must clear every 6 dp
+    half-boundary (same grid-rational argument as G4 — cluster
+    centroids are s/m means of 1e-6-grid coordinates)."""
+    min_half = 1.0
+    n_centroids = 0
+    for _ev, la, ln, t, a, pl in refinement_inputs:
+        _refined, results = gk.refine_delivery(la, ln, t, a, pl)
+        for lat, lng, label in results:
+            if label != "CLUSTER_CENTROID":
+                continue
+            n_centroids += 1
+            for v in (lat, lng):
+                scaled = (v + _CENTROID_NUDGE) * 1e6
+                min_half = min(
+                    min_half, abs(scaled - math.floor(scaled) - 0.5)
+                )
+    assert n_centroids > 100
+    assert min_half > 1e-5, f"6dp half-boundary margin {min_half:.3e}"
+
+
 def test_g4_rounding_boundary_margin(geo_groups):
     min_half = 1.0
     for pts in geo_groups.values():
