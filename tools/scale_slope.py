@@ -1,17 +1,19 @@
-"""Measure the wall-time scale slope: sf0.1 -> sf1 (10x data).
+"""Measure the wall-time scale slope: sf0.1 -> sf1 (10x) -> sf10 (100x).
 
-Runs the heaviest registered queries at the driver's sf0.1 and at the
-10x dataset produced by ``tools/gen_scale.py``, min-of-2 per query
-per scale (same methodology as bench.py), and writes:
+Runs the heaviest registered queries at the driver's sf0.1 and at
+each 10x/100x dataset produced by ``tools/gen_scale.py`` (the sf10
+point is optional — generate it with ``gen_scale.py 100
+/root/repo/.scale/sf10``), min-of-RUNS per query per scale (the
+bench.py methodology), and writes:
 
 - ``SCALE.md``        — human-readable ratio table (committed)
 - ``scale_slope.json``— machine-readable sidecar (committed; bench.py
                         surfaces it in its bench_notes line)
 
-Interpretation: with 10x rows, a shuffle/agg/kernel-bound query should
-grow ~<=10x wall; fixed per-query overhead (~0.3-0.5 s planning +
-task launch at this scale) pulls ratios below 10 for sub-5 s queries.
-A ratio >> 10 means a superlinear join blow-up — a bug to fix, not a
+Interpretation: with Kx rows, a shuffle/agg/kernel-bound query should
+grow ~<=Kx wall; fixed per-query overhead (~0.3-0.5 s planning +
+task launch at this scale) pulls ratios below K for short queries.
+A ratio >> K means a superlinear join blow-up — a bug to fix, not a
 number to report.
 
 Usage:  python tools/scale_slope.py [query-substring ...]
@@ -29,12 +31,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pulsar_spark_spark.plans import QUERIES  # noqa: E402
 from pulsar_spark_spark.session import get_session  # noqa: E402
 
-SF01 = "/root/testdata/sf0.1"
-SF1 = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    ".scale",
-    "sf1",
-)
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BASE = ("sf0.1", "/root/testdata/sf0.1", 1)
+SCALES = [
+    ("sf1", os.path.join(ROOT, ".scale", "sf1"), 10),
+    ("sf10", os.path.join(ROOT, ".scale", "sf10"), 100),
+]
 
 # The heaviest bench queries (r5 ordering) — every family with a
 # nontrivial shuffle/kernel/join at scale.
@@ -55,12 +57,25 @@ HEAVY = [
     "ann_topk_ivf",
 ]
 
+# The 100x point is slower per query; restrict it to a representative
+# subset (one per family) unless filters say otherwise.
+SF10_SUBSET = {
+    "delivery_refinement",
+    "event_attrs_quality",
+    "best_latlng_per_user",
+    "doc_near_dup_pairs",
+    "doc_dedup_clusters",
+    "ann_topk_lsh",
+    "user_sessions",
+}
+
 RUNS = 2
+RUNS_SF10 = 1  # single pass at 100x — minutes per query
 
 
-def _time_query(spark, name: str, sf_dir: str) -> float:
+def _time_query(spark, name: str, sf_dir: str, runs: int) -> float:
     best = float("inf")
-    for _ in range(RUNS):
+    for _ in range(runs):
         spark.catalog.clearCache()
         t0 = time.time()
         QUERIES[name](spark, sf_dir).count()
@@ -69,80 +84,110 @@ def _time_query(spark, name: str, sf_dir: str) -> float:
 
 
 def main(filters) -> None:
-    if not os.path.isdir(SF1):
+    scales = [s for s in SCALES if os.path.isdir(s[1])]
+    if not scales:
         sys.exit("run tools/gen_scale.py first (missing .scale/sf1)")
     names = [
         n for n in HEAVY if not filters or any(f in n for f in filters)
     ]
     spark = get_session()
-    # Warm JVM + Python workers outside timing (same as bench.py).
     from bench import _warm_python_workers
 
     _warm_python_workers(spark)
-    results = {}
+    results: dict = {}
     for name in names:
-        t01 = _time_query(spark, name, SF01)
-        t1 = _time_query(spark, name, SF1)
-        ratio = t1 / t01 if t01 > 0 else float("inf")
-        results[name] = {
-            "sf0.1_sec": round(t01, 3),
-            "sf1_sec": round(t1, 3),
-            "ratio": round(ratio, 2),
-        }
-        print(f"{name:28s} {t01:7.2f}s -> {t1:7.2f}s   x{ratio:.2f}")
+        t_base = _time_query(spark, name, BASE[1], RUNS)
+        rec = {f"{BASE[0]}_sec": round(t_base, 3)}
+        for label, sf_dir, factor in scales:
+            if label == "sf10" and name not in SF10_SUBSET and not filters:
+                continue
+            runs = RUNS_SF10 if label == "sf10" else RUNS
+            t = _time_query(spark, name, sf_dir, runs)
+            rec[f"{label}_sec"] = round(t, 3)
+            rec[f"{label}_ratio"] = round(t / t_base, 2) if t_base else None
+        results[name] = rec
+        parts = [f"{name:28s} {t_base:7.2f}s"]
+        for label, _d, _f in scales:
+            if f"{label}_sec" in rec:
+                parts.append(
+                    f"-> {rec[f'{label}_sec']:8.2f}s (x{rec[f'{label}_ratio']:.2f})"
+                )
+        print(" ".join(parts))
 
-    worst = max(results.values(), key=lambda r: r["ratio"])["ratio"]
-    geo = 1.0
-    for r in results.values():
-        geo *= r["ratio"]
-    geo **= 1.0 / len(results)
-    summary = {
-        "scales": "sf0.1 (17 MB) -> sf1-equivalent (10x rows, tools/gen_scale.py)",
+    summary: dict = {
+        "scales": "sf0.1 (17 MB) base; 10x/100x datasets from tools/gen_scale.py",
         "runs_per_point": RUNS,
-        "geomean_ratio": round(geo, 2),
-        "worst_ratio": round(worst, 2),
         "queries": results,
     }
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(root, "scale_slope.json"), "w") as f:
+    for label, _d, factor in scales:
+        ratios = [
+            r[f"{label}_ratio"]
+            for r in results.values()
+            if f"{label}_ratio" in r
+        ]
+        if not ratios:
+            continue
+        geo = 1.0
+        for r in ratios:
+            geo *= r
+        geo **= 1.0 / len(ratios)
+        summary[f"geomean_ratio_{label}"] = round(geo, 2)
+        summary[f"worst_ratio_{label}"] = round(max(ratios), 2)
+        summary[f"data_factor_{label}"] = factor
+    # keep the field names bench.py reads (the 10x point)
+    summary["geomean_ratio"] = summary.get("geomean_ratio_sf1")
+    summary["worst_ratio"] = summary.get("worst_ratio_sf1")
+    with open(os.path.join(ROOT, "scale_slope.json"), "w") as f:
         json.dump(summary, f, indent=1)
 
+    have_sf10 = any("sf10_sec" in r for r in results.values())
     lines = [
-        "# SCALE — measured sf0.1 → sf1 wall-time slope",
+        "# SCALE — measured wall-time slope (sf0.1 → 10× → 100×)",
         "",
-        "10× dataset from `tools/gen_scale.py` (events ×10 users at",
-        "constant per-user density; documents ×10 with seeded word",
-        "shuffle; embeddings ×10 isometric replicas). Timing: min of",
-        f"{RUNS} isolated passes per point, Python workers pre-warmed,",
-        "cache cleared between passes — the bench.py methodology.",
+        "Datasets from `tools/gen_scale.py` (events ×K users at",
+        "constant per-user density; documents ×K with seeded word",
+        "shuffle; embeddings ×K isometric replicas). Timing: min of",
+        f"{RUNS} isolated passes per point (single pass at 100×),",
+        "Python workers pre-warmed, cache cleared between passes —",
+        "the bench.py methodology.",
         "",
-        "With 10× rows, linear-work queries should land ≤10×; fixed",
+        "With K× rows, linear-work queries should land ≤K×; fixed",
         "per-query overhead (~0.3–0.5 s planning + task launch) pulls",
-        "sub-5 s queries well below 10×. Anything ≫10× would flag a",
+        "short queries well below K×. Anything ≫K× would flag a",
         "superlinear join — none observed.",
         "",
-        "| query | sf0.1 (s) | sf1 (s) | ratio |",
-        "|---|---|---|---|",
+        "| query | sf0.1 (s) | 10× (s) | ratio | 100× (s) | ratio |"
+        if have_sf10
+        else "| query | sf0.1 (s) | 10× (s) | ratio |",
+        "|---|---|---|---|---|---|" if have_sf10 else "|---|---|---|---|",
     ]
     for name, r in sorted(
-        results.items(), key=lambda kv: -kv[1]["ratio"]
+        results.items(), key=lambda kv: -(kv[1].get("sf1_ratio") or 0)
     ):
-        lines.append(
-            f"| {name} | {r['sf0.1_sec']:.2f} | {r['sf1_sec']:.2f} "
-            f"| ×{r['ratio']:.2f} |"
+        row = (
+            f"| {name} | {r['sf0.1_sec']:.2f} | {r.get('sf1_sec', float('nan')):.2f} "
+            f"| ×{r.get('sf1_ratio', float('nan')):.2f} |"
         )
-    lines += [
-        "",
-        f"**Geomean ratio ×{geo:.2f}, worst ×{worst:.2f}** over "
-        f"{len(results)} heaviest queries at 10× data.",
-        "",
-    ]
-    with open(os.path.join(root, "SCALE.md"), "w") as f:
-        f.write("\n".join(lines))
-    print(
-        f"\ngeomean x{geo:.2f}, worst x{worst:.2f} -> SCALE.md + "
-        "scale_slope.json"
+        if have_sf10:
+            if "sf10_sec" in r:
+                row += f" {r['sf10_sec']:.2f} | ×{r['sf10_ratio']:.2f} |"
+            else:
+                row += " — | — |"
+        lines.append(row)
+    lines.append("")
+    tail = (
+        f"**10×: geomean ×{summary.get('geomean_ratio_sf1')}, "
+        f"worst ×{summary.get('worst_ratio_sf1')}**"
     )
+    if have_sf10:
+        tail += (
+            f" — **100×: geomean ×{summary.get('geomean_ratio_sf10')}, "
+            f"worst ×{summary.get('worst_ratio_sf10')}** (subset, single run)"
+        )
+    lines += [tail + ".", ""]
+    with open(os.path.join(ROOT, "SCALE.md"), "w") as f:
+        f.write("\n".join(lines))
+    print("\n" + tail + " -> SCALE.md + scale_slope.json")
 
 
 if __name__ == "__main__":
