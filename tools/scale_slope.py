@@ -174,6 +174,19 @@ def main(filters) -> None:
             else:
                 row += " — | — |"
         lines.append(row)
+    lines += [
+        "",
+        "Reading the outliers: `ann_topk_ivf` is index-BUILD-dominated",
+        "(the query re-assigns the whole corpus to cells per run —",
+        "linear in corpus × n_cells; measured: raising n_cells to the",
+        "√N rule makes the per-run build SLOWER at this scale). The",
+        "100 TB serving shape amortizes the build once into the",
+        "on-disk IVF layout and reads ~n_probe/n_centroids of the",
+        "bytes per probe — benched separately (`ivf_probe_index`).",
+        "Kernel-bound queries (delivery_*, best_latlng) drop well",
+        "below K× at 100× because 100× more users finally saturate",
+        "all 32 cores.",
+    ]
     lines.append("")
     tail = (
         f"**10×: geomean ×{summary.get('geomean_ratio_sf1')}, "
