@@ -60,6 +60,80 @@ def validate_for_sink(
     return df.filter(cond), df.filter(~cond)
 
 
+def email_report(
+    csv_path: str,
+    subject: str,
+    message: str,
+    to: Sequence[str],
+    from_addr: tuple[str, str] = ("reports@localhost", "Reports"),
+    cc: Sequence[str] = (),
+    mailer: Callable[[dict], None] | None = None,
+    env_var: str = "SPARK_GRAFT_MAIL_ENV",
+    expected_env: str = "nm",
+    smtp_host: str | None = None,
+) -> dict | None:
+    """K5: email a written CSV report (utils/Mail.scala:30-64, used at
+    batch/AccuracyAnalysis.scala:168-181).
+
+    Reference semantics, kept as an out-of-plan notification adapter
+    (SURVEY §7.3.6): the send is DRIVER-side after the distributed
+    report write (K2 ``write_csv_report``), and it is env-gated
+    exactly like the reference's ``APP_ENV == "nm"`` check — when the
+    gate does not match, nothing is built or sent and the function
+    returns None.
+
+    ``mailer`` receives the fully-built payload dict (from/to/cc/
+    subject/message + attachment name and bytes); tests pass a
+    collector, production passes an SMTP-backed callable (a default
+    smtplib sender is constructed when ``smtp_host`` is given). With
+    neither configured the gate-passing call raises — silently
+    dropping a requested report is the one behavior the reference
+    never has.
+    """
+    import os as _os
+
+    if _os.environ.get(env_var, "default") != expected_env:
+        return None
+    with open(csv_path, "rb") as f:
+        payload = {
+            "from": from_addr,
+            "to": list(to),
+            "cc": list(cc),
+            "subject": subject,
+            "message": message,
+            "attachment_name": _os.path.basename(csv_path),
+            "attachment": f.read(),
+        }
+    if mailer is None:
+        if smtp_host is None:
+            raise ValueError(
+                "email_report gate matched but no mailer/smtp_host configured"
+            )
+
+        def mailer(p: dict) -> None:  # pragma: no cover - needs SMTP
+            import smtplib
+            from email.message import EmailMessage
+
+            msg = EmailMessage()
+            msg["From"] = f'{p["from"][1]} <{p["from"][0]}>'
+            msg["To"] = ", ".join(p["to"])
+            if p["cc"]:
+                msg["Cc"] = ", ".join(p["cc"])
+            msg["Subject"] = p["subject"]
+            msg.set_content(p["message"])
+            msg.add_attachment(
+                p["attachment"],
+                maintype="text",
+                subtype="csv",
+                filename=p["attachment_name"],
+            )
+            with smtplib.SMTP(smtp_host) as s:
+                s.send_message(msg)
+
+    mailer(payload)
+    return payload
+
+
 def push_partitions(
     df: DataFrame,
     poster: Callable[[list[dict]], None],

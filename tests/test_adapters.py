@@ -106,3 +106,47 @@ def test_push_partitions_batches(spark, tmp_path):
     assert sizes == [50, 200, 200]  # reference group size, remainder last
     got = sorted(r["k"] for b in batches for r in b)
     assert got == list(range(450))
+
+
+def test_email_report_gate_and_payload(spark, tmp_path, monkeypatch):
+    """K5 analog: env-gated like the reference's APP_ENV=='nm' check
+    (AccuracyAnalysis.scala:168-181); the built payload carries the
+    K2 CSV report as attachment bytes."""
+    from pulsar_spark_spark.sources.adapters import email_report
+    from pulsar_spark_spark.sources.sinks import write_csv_report
+
+    df = spark.createDataFrame(
+        [("a", 1), ("b", 2)], ["event_type", "n"]
+    ).coalesce(1)
+    csv_path = write_csv_report(df, str(tmp_path / "report.csv"))
+
+    sent: list[dict] = []
+
+    # gate closed (reference: env != "nm" -> no mail) — nothing built
+    monkeypatch.delenv("SPARK_GRAFT_MAIL_ENV", raising=False)
+    assert (
+        email_report(csv_path, "s", "m", ["x@y"], mailer=sent.append) is None
+    )
+    assert sent == []
+
+    # gate open — payload built and handed to the mailer
+    monkeypatch.setenv("SPARK_GRAFT_MAIL_ENV", "nm")
+    payload = email_report(
+        csv_path,
+        "Data Accuracy Report",
+        "PFA the report....",
+        ["flip-dev@example.com"],
+        cc=["sourav@example.com"],
+        mailer=sent.append,
+    )
+    assert sent == [payload]
+    assert payload["subject"] == "Data Accuracy Report"
+    assert payload["to"] == ["flip-dev@example.com"]
+    assert payload["cc"] == ["sourav@example.com"]
+    assert payload["attachment_name"] == "report.csv"
+    with open(csv_path, "rb") as f:
+        assert payload["attachment"] == f.read()
+
+    # gate open but nothing configured — loud, not a silent drop
+    with pytest.raises(ValueError):
+        email_report(csv_path, "s", "m", ["x@y"])
