@@ -205,6 +205,100 @@ def run_dedup_upsert_stream(
     )
 
 
+def run_geotag_rescore_stream(
+    points: DataFrame,
+    state_path: str,
+    checkpoint_dir: str,
+    history_cap: int = 100,
+) -> StreamingQuery:
+    """The reference's flagship streaming app, composed end-to-end:
+    point stream → per-key history merge → G1 re-score → keyed upsert
+    (StreamingAppV3.scala driving GeoTagOptimizedService.scala:74-76,
+    165-250).
+
+    ``points`` is a streaming frame of (user_id, event_id, ts_ms,
+    lat, lng, accuracy). Each micro-batch:
+
+    1. touches ONLY the batch's keys: the stored state is semi-joined
+       to the batch's distinct user_ids before anything else (with a
+       Delta/Iceberg state table this is the MERGE's pruned read);
+    2. merges state history + new points with the reference's list
+       discipline — drop duplicate (lat, lng, accuracy) triples
+       keeping the FIRST occurrence, keep the newest ``history_cap``
+       — as two window row_numbers sharing one user_id shuffle;
+    3. re-scores each touched key with the G1 kernel
+       (``apply_best_latlng``: JVM max_by pre-dispatch for guard
+       groups, Arrow+Python only for 4..500-point histories);
+    4. upserts one record per key — history array + best point +
+       version=batch_id — through the crash-safe K1 sink. Replaying a
+       batch rebuilds identical records at the same version, and new
+       rows win version ties, so the T3 commit-after-write contract
+       holds without the reference's failure window.
+    """
+    from pulsar_spark_spark.operators.grouped import apply_best_latlng
+    from pulsar_spark_spark.sources.sinks import read_upsert_table
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        new_pts = batch_df.select(
+            "user_id", "event_id", "ts_ms", "lat", "lng", "accuracy"
+        )
+        try:
+            state = read_upsert_table(spark, state_path)
+            state_pts = (
+                state.join(new_pts.select("user_id").distinct(), "user_id")
+                .select(
+                    "user_id", F.explode("history").alias("h")
+                )
+                .select(
+                    "user_id",
+                    col("h.event_id").alias("event_id"),
+                    col("h.ts_ms").alias("ts_ms"),
+                    col("h.lat").alias("lat"),
+                    col("h.lng").alias("lng"),
+                    col("h.accuracy").alias("accuracy"),
+                )
+            )
+            pts = state_pts.unionByName(new_pts)
+        except FileNotFoundError:
+            pts = new_pts
+        from pyspark.sql import Window
+
+        w_dup = Window.partitionBy(
+            "user_id", "lat", "lng", "accuracy"
+        ).orderBy("ts_ms", "event_id")
+        w_cap = Window.partitionBy("user_id").orderBy(
+            col("ts_ms").desc(), col("event_id").desc()
+        )
+        capped = (
+            pts.withColumn("__dup", F.row_number().over(w_dup))
+            .filter(col("__dup") == 1)
+            .withColumn("__cap", F.row_number().over(w_cap))
+            .filter(col("__cap") <= history_cap)
+            .drop("__dup", "__cap")
+        )
+        record = (
+            capped.groupBy("user_id")
+            .agg(
+                F.sort_array(
+                    F.collect_list(
+                        F.struct("ts_ms", "event_id", "lat", "lng", "accuracy")
+                    )
+                ).alias("history")
+            )
+            .join(apply_best_latlng(capped), "user_id")
+            .withColumn("version", F.lit(batch_id))
+        )
+        upsert_parquet(record, state_path, ["user_id"], "version")
+
+    return (
+        points.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def windowed_counts(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """T5: event-time tumbling window with late-data watermark.
 
