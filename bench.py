@@ -222,6 +222,74 @@ def _session_stream_bench(spark) -> dict:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _geotag_rescore_bench(spark) -> dict:
+    """Flagship streaming composition throughput (StreamingAppV3
+    analog): point micro-batches → per-key history merge (dup-drop +
+    cap-100) → G1 kernel re-score → crash-safe keyed upsert. The one
+    number that covers the whole streaming identity — source, state
+    merge, Arrow kernel, versioned sink — end to end.
+    """
+    import shutil
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from pulsar_spark_spark.functions.time import ts_millis
+    from pulsar_spark_spark.plans.geo import geo_events
+    from pulsar_spark_spark.streaming.pipeline import run_geotag_rescore_stream
+
+    work = tempfile.mkdtemp(prefix="bench_rescore_")
+    try:
+        pts = geo_events(spark, SF_DIR).select(
+            "user_id",
+            "event_id",
+            ts_millis("ts").alias("ts_ms"),
+            "lat",
+            "lng",
+            "accuracy",
+        )
+        n_rows = pts.count()
+        input_dir = os.path.join(work, "in")
+        pts.repartition(2).write.parquet(input_dir)  # 2 arrival files
+        schema = (
+            "user_id long, event_id long, ts_ms long, "
+            "lat double, lng double, accuracy double"
+        )
+        t0 = time.perf_counter()
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(input_dir)
+        )
+        q = run_geotag_rescore_stream(
+            stream,
+            os.path.join(work, "state"),
+            os.path.join(work, "ckpt"),
+        )
+        finished = q.awaitTermination(600)
+        wall = time.perf_counter() - t0
+        if not finished:
+            q.stop()
+            return {"timed_out": True, "wall_sec": round(wall, 3)}
+        from pulsar_spark_spark.sources.sinks import read_upsert_table
+
+        n_keys = read_upsert_table(
+            spark, os.path.join(work, "state")
+        ).count()
+        return {
+            "rows": n_rows,
+            "wall_sec": round(wall, 3),
+            "rows_per_sec": int(n_rows / wall),
+            "n_keys": n_keys,
+            "n_batches": len(q.recentProgress),
+            "pipeline": "point micro-batches -> history merge "
+                        "(dup-drop + cap-100) -> G1 kernel re-score "
+                        "-> versioned keyed upsert (StreamingAppV3)",
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def _ivf_probe_bench(spark) -> tuple[float, dict]:
     """Serve-path timing for the on-disk IVF index (the 100 TB shape).
 
@@ -352,6 +420,7 @@ def main() -> None:
     knob_notes["ivf_probe_index"] = "single timed probe over the on-disk index"
     ingest = _stream_ingest_bench(spark)
     session = _session_stream_bench(spark)
+    rescore = _geotag_rescore_bench(spark)
 
     # Measured sf0.1 -> sf1 slope (committed sidecar from
     # tools/scale_slope.py over a 10x dataset) — converts the
@@ -381,6 +450,7 @@ def main() -> None:
                     "knob_notes": knob_notes,
                     "streaming_ingest_detail": ingest,
                     "streaming_session_detail": session,
+                    "streaming_rescore_detail": rescore,
                     "ivf_probe_detail": ivf_detail,
                     "scale_slope": scale_slope,
                 }
@@ -395,6 +465,7 @@ def main() -> None:
         "streaming": {
             "ingest_rows_per_sec": ingest.get("rows_per_sec"),
             "session_rows_per_sec": session.get("rows_per_sec"),
+            "rescore_rows_per_sec": rescore.get("rows_per_sec"),
         },
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "runs_per_query": runs,
