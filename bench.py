@@ -448,6 +448,15 @@ def main() -> None:
                             "(clearCache between queries; python workers "
                             "warmed outside timing)",
                     "knob_notes": knob_notes,
+                    "round6_note": (
+                        "vs round 5: ann_topk_lsh runs the promoted "
+                        "production config (recall 0.96 vs 0.10; "
+                        "~+1.5s by design, see knob_notes); "
+                        "delivery/cluster queries now round centroid "
+                        "outputs to 6dp (oracle surface, negligible "
+                        "cost); streaming section adds the flagship "
+                        "rescore pipeline row."
+                    ),
                     "streaming_ingest_detail": ingest,
                     "streaming_session_detail": session,
                     "streaming_rescore_detail": rescore,
