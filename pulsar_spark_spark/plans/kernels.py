@@ -182,6 +182,18 @@ def _g2g4_oracle() -> str:
       registered output rounds it to 6 dp (~0.11 m — honest precision
       for a 25 m-threshold trim) with the half-boundary nudge above.
 
+    Scale scope, measured honestly: the margins above are properties
+    of the GATE fixtures (sf0.001 and sf0.01 both pass the full
+    value-hash compare), pinned by tests so a fixture change that
+    erodes them fails loudly. They are NOT universal: at a 10×-users
+    dataset ~0.7% of groups (≈100 of 15,000) land inside the
+    ulp-separated symmetric-pair tie class the round-5 analysis
+    predicted, and the selected coordinate legitimately differs
+    between engines there — no portable oracle can pin an argmax over
+    scores that differ in final ulps. The integer-count selection
+    kernels have no such class: G3 and the full G5-G8 refinement
+    chain pass the value-hash compare at the 10× dataset unchanged.
+
     G2 semantics (BestLatLngCalculator.scala:96-137): per-row score
     1/(1+d(i, last differing j)) overwrites per-coordinate; candidates
     = coords at max score; among candidates with ≥ n//2 in-threshold
