@@ -2,10 +2,11 @@
 
 ``QUERIES[name]`` is a callable ``(spark, sf_dir) -> DataFrame``;
 ``ORACLES[name]`` (optional) is the equivalent ANSI SQL for DuckDB
-run over the same parquet tables. Queries without an oracle get the
-driver's weaker rows-only check (reserved for genuinely
-non-SQL-expressible operators: procedural kernels, LSH internals,
-stateful streaming).
+run over the same parquet tables. Queries without an oracle would get
+the driver's weaker rows-only check; since round 6 every registered
+query carries a full value oracle — the procedural kernels included
+(recursive-CTE Vincenty, walk-replay recursion, unrolled trim loops;
+see plans/kernels.py).
 
 Column-name parity between the two is load-bearing: the driver sorts
 columns by name before value-hashing, so every computed column is
