@@ -6,8 +6,10 @@ order-insensitive value hash (columns sorted by name, rows sorted by
 their stringified tuple — the driver's documented compare).
 
 Usage:
-    python tools/check_correctness.py               # all queries
-    python tools/check_correctness.py q1 ann_topk   # substring filter
+    python tools/check_correctness.py                    # all queries
+    python tools/check_correctness.py q1 ann_topk        # substring filter
+    python tools/check_correctness.py --sf sf0.001 ...   # other scale
+    (or SPARK_GRAFT_CHECK_SF=/path/to/sf_dir)
 """
 
 from __future__ import annotations
@@ -121,4 +123,10 @@ def main(filters):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1:]))
+    args = sys.argv[1:]
+    if "--sf" in args:
+        i = args.index("--sf")
+        val = args[i + 1]
+        SF_DIR = val if "/" in val else f"/root/testdata/{val}"
+        del args[i : i + 2]
+    sys.exit(main(args))
