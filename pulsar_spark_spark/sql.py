@@ -1,0 +1,307 @@
+"""Pure-SQL surface: the scalar library + tables, usable from spark.sql.
+
+The reference exposes its function library only to Scala code (e.g.
+utils/DistanceCalculator.scala, utils/Geohash.scala, the KV accessors
+in service/GeoTagOptimizedService.scala:23-34) — a user writing a new
+job must import and call Scala. This module closes the same gap for
+the SQL dialect: after ``register_all(spark, sf_dir)`` every scalar
+function of the engine and every fixture table is addressable from a
+plain ``spark.sql("...")`` string.
+
+Two registration tiers, chosen by what keeps the hot path JVM-side:
+
+1. **Catalyst SQL UDFs** (``CREATE OR REPLACE TEMPORARY FUNCTION ...
+   RETURNS ... RETURN <expr>``) for every expression-based builder.
+   These are *analyzed inline* — the body is substituted into the
+   caller's plan, constant-folds, and stays inside whole-stage
+   codegen; there is zero Python anywhere (pinned by
+   tests/test_sql_surface.py::test_sql_udf_stays_jvm_side).
+
+   The bodies are NOT hand-maintained twins: they are **derived from
+   the live Column builders at registration time** by rendering the
+   Catalyst expression to SQL (``SparkSession.expression(col).sql()``),
+   so the SQL surface cannot drift from the DataFrame surface. The
+   only transformation applied is rewriting Catalyst's non-parseable
+   ``lambdafunction(body, x_1, ...)`` rendering back to the parser's
+   ``(x_1, ...) -> body`` lambda syntax (:func:`_rewrite_lambdas`).
+
+2. **Arrow-batched pandas UDFs** (``spark.udf.register``) for the two
+   genuinely-procedural kernels the expression language cannot carry:
+   Vincenty (iterative solver, functions/geo.py:70) and arbitrary-
+   precision geohash encode (functions/geo.py:259). These cross the
+   Python boundary per batch — callers on the 100 TB path should
+   prefer ``hav_m``/``geohash7`` (pure-JVM) unless they need the
+   sentinel-exact Vincenty semantics.
+
+Table views come through :func:`register_tables`, which routes every
+view through sources/tables.py::load_table so the NANOS-timestamp
+normalization and map-dedup-policy pinning apply identically to SQL
+users.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, SparkSession
+
+from pulsar_spark_spark.functions.geo import (
+    geohash_from_xy,
+    geohash_quantize,
+    geohash_udf,
+    haversine_m,
+    vincenty_udf,
+)
+from pulsar_spark_spark.functions.maps import (
+    attrs_to_struct,  # noqa: F401  (struct shape is per-call; not registered)
+    get_attr,
+    has_attr,
+    kv_list_to_map_first_wins,
+    kv_list_to_map_last_wins,
+)
+from pulsar_spark_spark.functions.text import (
+    char_shingles,
+    clean_text,
+    fingerprint64,
+    md5_i64,
+    minhash_signature,
+    simhash16,
+    tokens,
+    word_ngrams,
+)
+from pulsar_spark_spark.functions.time import (
+    date_string,
+    format_duration,
+    future_past_flag,
+    ist_epoch_millis,
+    parse_wire_ts,
+    ts_millis,
+    ts_seconds,
+)
+
+_LAMBDA_CALL = "lambdafunction("
+_IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _expr_sql(spark: SparkSession, col: Column) -> str:
+    """Render a (classic-mode) Column's Catalyst expression as SQL."""
+    return spark._jsparkSession.expression(col._jc).sql()
+
+
+def _split_top_level(s: str) -> list[str]:
+    """Split a paren-balanced argument list on top-level commas,
+    respecting single-quoted string literals."""
+    parts: list[str] = []
+    depth = 0
+    in_str = False
+    start = 0
+    i = 0
+    while i < len(s):
+        ch = s[i]
+        if in_str:
+            if ch == "\\":
+                i += 2
+                continue
+            if ch == "'":
+                in_str = False
+        elif ch == "'":
+            in_str = True
+        elif ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(s[start:i].strip())
+            start = i + 1
+        i += 1
+    parts.append(s[start:].strip())
+    return parts
+
+
+def _rewrite_lambdas(sql: str) -> str:
+    """Rewrite Catalyst's ``lambdafunction(body, v1[, v2])`` rendering
+    to the parser's ``(v1[, v2]) -> body`` lambda syntax.
+
+    Innermost-first so nested higher-order functions (minhash's
+    transform-inside-transform, simhash's aggregate) resolve cleanly.
+    """
+    while True:
+        pos = sql.rfind(_LAMBDA_CALL)  # rightmost = innermost-or-later
+        if pos < 0:
+            return sql
+        # walk to the matching close paren
+        depth = 0
+        in_str = False
+        i = pos + len(_LAMBDA_CALL) - 1  # at the '('
+        end = -1
+        while i < len(sql):
+            ch = sql[i]
+            if in_str:
+                if ch == "\\":
+                    i += 2
+                    continue
+                if ch == "'":
+                    in_str = False
+            elif ch == "'":
+                in_str = True
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    end = i
+                    break
+            i += 1
+        if end < 0:  # unbalanced — leave as-is; CREATE will fail loudly
+            return sql
+        args = _split_top_level(sql[pos + len(_LAMBDA_CALL) : end])
+        body, vars_ = args[0], args[1:]
+        if not vars_ or not all(_IDENT.match(v) for v in vars_):
+            # not the shape we expect — fail loudly at CREATE time
+            return sql
+        # grammar: single param must be bare (`x -> e`); multi needs parens
+        head = vars_[0] if len(vars_) == 1 else f"({', '.join(vars_)})"
+        lam = f"{head} -> {body}"
+        sql = sql[:pos] + lam + sql[end + 1 :]
+
+
+def _geohash7(lat: Column, lng: Column) -> Column:
+    x, y = geohash_quantize(lat, lng, 7)
+    return geohash_from_xy(x, y, 7)
+
+
+# name -> (params [(name, sql_type)], builder(*param_cols) -> Column)
+# or    -> (params, explicit SQL body str, sql return type) for the
+# param-generic wrappers whose Python builders take literals.
+_EXPR_FUNCTIONS: dict = {
+    # geo
+    "hav_m": (
+        [("lat1", "DOUBLE"), ("lng1", "DOUBLE"), ("lat2", "DOUBLE"), ("lng2", "DOUBLE")],
+        haversine_m,
+    ),
+    "geohash7": ([("lat", "DOUBLE"), ("lng", "DOUBLE")], _geohash7),
+    # text
+    "clean_text": ([("s", "STRING")], clean_text),
+    "tokens": ([("s", "STRING")], tokens),
+    "word_ngrams3": ([("s", "STRING")], lambda s: word_ngrams(tokens(s), 3)),
+    "char_shingles5": ([("s", "STRING")], lambda s: char_shingles(s, 5)),
+    "md5_i64": ([("s", "STRING")], md5_i64),
+    "fingerprint64": ([("s", "STRING")], fingerprint64),
+    "minhash16": (
+        [("s", "STRING")],
+        lambda s: minhash_signature(char_shingles(s, 5), 16),
+    ),
+    "simhash16": ([("s", "STRING")], lambda s: simhash16(tokens(s))),
+    # maps / KV attributes
+    "kv_to_map_last": (
+        [("kv", "ARRAY<STRUCT<key: STRING, value: STRING>>")],
+        kv_list_to_map_last_wins,
+    ),
+    "kv_to_map_first": (
+        [("kv", "ARRAY<STRUCT<key: STRING, value: STRING>>")],
+        kv_list_to_map_first_wins,
+    ),
+    "get_attr": (
+        [("m", "MAP<STRING, STRING>"), ("k", "STRING")],
+        lambda m, k: get_attr(m, k),
+    ),
+    "has_attr": (
+        [("m", "MAP<STRING, STRING>"), ("k", "STRING")],
+        lambda m, k: has_attr(m, k),
+    ),
+    # time
+    "ts_seconds": ([("ts", "TIMESTAMP")], ts_seconds),
+    "ts_millis": ([("ts", "TIMESTAMP")], ts_millis),
+    "parse_wire_ts": ([("s", "STRING")], parse_wire_ts),
+    "ist_epoch_millis": ([("s", "STRING")], ist_epoch_millis),
+    "date_string": ([("ts", "TIMESTAMP")], date_string),
+    "format_duration": ([("ms", "BIGINT")], format_duration),
+    "future_past_flag": (
+        [("device_ts", "TIMESTAMP"), ("received_ts", "TIMESTAMP")],
+        future_past_flag,
+    ),
+    # param-generic: the Python builder takes format literals, so the
+    # SQL body is written directly (parity-pinned in tests).
+    "convert_time": (
+        [("s", "STRING"), ("in_fmt", "STRING"), ("out_fmt", "STRING")],
+        "date_format(to_timestamp(s, in_fmt), out_fmt)",
+        "STRING",
+    ),
+}
+
+
+def _return_type(spark: SparkSession, params, col: Column) -> str:
+    """Derive the SQL return type by analyzing the builder against a
+    one-row NULL-typed probe relation."""
+    probe = spark.sql(
+        "SELECT " + ", ".join(f"CAST(NULL AS {t}) AS {n}" for n, t in params)
+    )
+    return probe.select(col).schema[0].dataType.simpleString()
+
+
+def register_functions(spark: SparkSession) -> list[str]:
+    """Register the scalar library for spark.sql use; returns the
+    registered names (expression UDFs first, then the pandas UDFs)."""
+    names: list[str] = []
+    for name, spec in _EXPR_FUNCTIONS.items():
+        params = spec[0]
+        if len(spec) == 3:  # explicit body
+            body, rtype = spec[1], spec[2]
+        else:
+            builder = spec[1]
+            cols = [F.col(n) for n, _ in params]
+            col = builder(*cols)
+            body = _rewrite_lambdas(_expr_sql(spark, col))
+            rtype = _return_type(spark, params, col)
+        sig = ", ".join(f"{n} {t}" for n, t in params)
+        spark.sql(
+            f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({sig}) "
+            f"RETURNS {rtype} RETURN {body}"
+        )
+        names.append(name)
+    # procedural kernels: Arrow-batched pandas UDFs (the slow path —
+    # per-batch Python crossing; prefer hav_m/geohash7 when exact
+    # Vincenty/var-precision semantics aren't required).
+    spark.udf.register("vincenty_m", vincenty_udf)
+    spark.udf.register("geohash_enc", geohash_udf)
+    names += ["vincenty_m", "geohash_enc"]
+    return names
+
+
+def register_tables(spark: SparkSession, sf_dir: str) -> list[str]:
+    """Create loader-normalized temp views for every fixture table
+    present under ``sf_dir`` (NANOS→µs timestamp normalization and
+    map-dedup pinning included — SQL users see the same relations the
+    DataFrame plans do)."""
+    import os
+
+    from pulsar_spark_spark.sources.tables import TABLES, load_table
+
+    names = []
+    for name in TABLES:
+        if os.path.exists(os.path.join(sf_dir, f"{name}.parquet")):
+            load_table(spark, name, sf_dir).createOrReplaceTempView(name)
+            names.append(name)
+    return names
+
+
+def register_queries(spark: SparkSession, sf_dir: str) -> list[str]:
+    """Expose every registered engine query as a temp view (lazy —
+    views carry the plan, nothing executes until queried), so
+    ``spark.sql("SELECT * FROM user_sessions WHERE ...")`` composes
+    engine queries with ad-hoc SQL."""
+    from pulsar_spark_spark.plans import QUERIES
+
+    for name, fn in QUERIES.items():
+        fn(spark, sf_dir).createOrReplaceTempView(name)
+    return list(QUERIES)
+
+
+def register_all(spark: SparkSession, sf_dir: str) -> dict[str, list[str]]:
+    """Functions + tables + query views in one call."""
+    return {
+        "functions": register_functions(spark),
+        "tables": register_tables(spark, sf_dir),
+        "queries": register_queries(spark, sf_dir),
+    }
