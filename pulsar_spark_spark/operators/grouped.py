@@ -73,10 +73,18 @@ def _last_point(lat_col: str = "lat", lng_col: str = "lng") -> F.Column:
     return F.max_by(F.struct(col(lat_col), col(lng_col)), F.struct("ts_ms", "event_id"))
 
 
-def apply_best_latlng(points: DataFrame) -> DataFrame:
+def apply_best_latlng(points: DataFrame, pre_partitioned: bool = False) -> DataFrame:
     """G1 per group. Input columns: user_id, event_id, ts_ms, lat, lng.
 
     Output: user_id, best_lat, best_lng, n_points.
+
+    ``pre_partitioned=True``: the input is already hash-partitioned by
+    user_id (a bucketed-table scan under
+    sources/bucketed.py::bucketed_scan_pinned) — the kernel dispatch
+    then runs with zero hash Exchange: the guard aggregate reuses the
+    bucket partitioning, the keyset join broadcasts (preserving the
+    stream side's partitioning), and the Python stage skips its
+    explicit repartition.
 
     Pre-dispatch: n<4 / n>500 groups return the last time-sorted point
     (BestLatLngCalculator.scala:37-39) — resolved entirely JVM-side.
@@ -114,8 +122,16 @@ def apply_best_latlng(points: DataFrame) -> DataFrame:
         )
 
     schema = "user_id bigint, best_lat double, best_lng double, n_points int"
-    kernel_in = points.join(agg.filter(~guard).select("user_id"), "user_id")
-    py = grouped_map_in_pandas(kernel_in, "user_id", kernel, schema)
+    keyset = agg.filter(~guard).select("user_id")
+    if pre_partitioned:
+        # broadcast explicitly: an SMJ here would re-shuffle the
+        # stream side and destroy the bucket partitioning the caller
+        # is promising downstream
+        keyset = F.broadcast(keyset)
+    kernel_in = points.join(keyset, "user_id")
+    py = grouped_map_in_pandas(
+        kernel_in, "user_id", kernel, schema, pre_partitioned=pre_partitioned
+    )
     return py.unionByName(jvm)
 
 
@@ -321,7 +337,13 @@ def apply_delivery_refinement(joined: DataFrame) -> DataFrame:
     return stream_key_runs(joined, "delivery_id", body, schema)
 
 
-def grouped_map_in_pandas(df: DataFrame, key: str, process_group, schema: str) -> DataFrame:
+def grouped_map_in_pandas(
+    df: DataFrame,
+    key: str,
+    process_group,
+    schema: str,
+    pre_partitioned: bool = False,
+) -> DataFrame:
     """Many-small-groups grouped map without per-group Arrow overhead.
 
     ``applyInPandas`` materializes one Arrow batch + pandas frame +
@@ -341,17 +363,36 @@ def grouped_map_in_pandas(df: DataFrame, key: str, process_group, schema: str) -
         ]
         return pd.concat(outs, ignore_index=True)
 
-    return stream_key_runs(df, key, run, schema)
+    return stream_key_runs(df, key, run, schema, pre_partitioned=pre_partitioned)
 
 
-def stream_key_runs(df: DataFrame, key: str, process_body, schema: str) -> DataFrame:
+def stream_key_runs(
+    df: DataFrame,
+    key: str,
+    process_body,
+    schema: str,
+    pre_partitioned: bool = False,
+) -> DataFrame:
     """Partition-stream plumbing shared by the grouped-map wrappers:
     hash-partition + sort by ``key``, stream Arrow batches through one
     Python call, carry the trailing key run across batch boundaries
     (a group can span two batches), and hand each complete body frame
-    to ``process_body`` (which must handle 1..n whole groups)."""
+    to ``process_body`` (which must handle 1..n whole groups).
+
+    ``pre_partitioned=True`` skips the explicit hash repartition: the
+    caller guarantees every key already lives in exactly one input
+    partition (e.g. a scan of a table bucketed on ``key`` —
+    sources/bucketed.py). That deletes the kernel's only shuffle — the
+    whole point of a write-time bucketed layout at 100 TB. CAUTION:
+    mapInPandas declares no required distribution, so Spark will NOT
+    insert a repairing Exchange if the guarantee is wrong; for
+    bucketed scans that means pinning
+    ``spark.sql.sources.bucketing.autoBucketedScan.enabled=false``
+    (sources/bucketed.py::bucketed_scan_pinned) — otherwise the
+    planner may silently fall back to an unbucketed split-based scan
+    and keys would span partitions."""
     ensure_package_on_executors(df.sparkSession)
-    parts = _spread(df, key).sortWithinPartitions(key)
+    parts = (df if pre_partitioned else _spread(df, key)).sortWithinPartitions(key)
 
     def fn(batches):
         carry: pd.DataFrame | None = None

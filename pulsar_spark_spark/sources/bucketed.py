@@ -22,7 +22,11 @@ same bucket count (or an exact multiple, with
 
 from __future__ import annotations
 
+import contextlib
+
 from pyspark.sql import DataFrame, SparkSession
+
+_AUTO_SCAN = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
 
 
 def save_bucketed(
@@ -45,3 +49,46 @@ def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     """Read a bucketed table back (bucket metadata comes from the
     catalog, so joins on the bucket key skip their Exchange)."""
     return spark.table(table)
+
+
+@contextlib.contextmanager
+def bucketed_scan_pinned(spark: SparkSession):
+    """Force bucketed scans while the context is active.
+
+    By default Spark only performs a bucketed scan (one task per
+    bucket) when the plan contains an operator that provably benefits
+    — joins and aggregations on the bucket key. A ``mapInPandas``
+    kernel declares no required distribution, so the planner would
+    silently fall back to a split-based scan whose partitions do NOT
+    align with buckets, breaking the "every key in exactly one
+    partition" guarantee that ``pre_partitioned=True`` kernels
+    (operators/grouped.py::stream_key_runs) rely on. Pin the scan for
+    the duration of any action that executes such a kernel.
+    """
+    prev = spark.conf.get(_AUTO_SCAN)
+    spark.conf.set(_AUTO_SCAN, "false")
+    try:
+        yield
+    finally:
+        spark.conf.set(_AUTO_SCAN, prev)
+
+
+def save_kernel_points(
+    points: DataFrame, table: str = "geo_points_by_user", n_buckets: int = 16
+) -> None:
+    """One-time bucketed layout of a kernel-input points relation
+    (user_id, event_id, ts_ms, lat, lng[, ...]).
+
+    This is the write-once-analyze-many shape for the G1-G8 family:
+    pay the user_id shuffle at layout time, then EVERY kernel pass
+    (plus sessionization, history merges, per-user rollups — anything
+    keyed on user_id) reads the buckets with zero hash Exchange. At
+    100 TB the per-run saving is the full fact-table shuffle the
+    reference re-pays in every job via hand repartition
+    (StreamingAppNew.scala:30 ``HashPartitioner(60)``,
+    SmartAddressBuildService.scala:92 ``repartition(400)``).
+
+    Buckets are additionally sorted by (user_id) so read-side
+    ``sortWithinPartitions(user_id)`` is a near-no-op merge.
+    """
+    save_bucketed(points, table, "user_id", n_buckets, sort_cols=("user_id",))

@@ -19,6 +19,14 @@ def _plan(df) -> str:
     return buf.getvalue()
 
 
+def _n_shuffles(plan: str) -> int:
+    """Count shuffle Exchange nodes in a formatted plan (broadcast
+    exchanges print as BroadcastExchange and don't count)."""
+    import re
+
+    return len(re.findall(r"^\(\d+\) Exchange$", plan, re.M))
+
+
 def test_bucketed_join_has_no_exchange(spark, tmp_path):
     a = spark.range(10_000).select(
         col("id").alias("k"), (col("id") * 2).alias("va")
@@ -45,6 +53,46 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bk_a")
         spark.sql("DROP TABLE IF EXISTS bk_b")
+
+
+def test_bucketed_kernel_runs_shuffle_free(spark, tmp_path):
+    """A user_id-bucketed layout of the kernel points lets the G1
+    dispatch (guard agg + keyset join + Python stage) run with zero
+    hash Exchange — and the result is bit-identical to the shuffled
+    path."""
+    from pulsar_spark_spark.operators.grouped import apply_best_latlng
+    from pulsar_spark_spark.plans.kernels import _geo_points
+    from pulsar_spark_spark.sources.bucketed import (
+        bucketed_scan_pinned,
+        save_kernel_points,
+    )
+    from tests.conftest import SF_DIR_SMALL
+
+    pts = _geo_points(spark, SF_DIR_SMALL)
+    save_kernel_points(pts, "bk_geo_points", n_buckets=8)
+    try:
+        with bucketed_scan_pinned(spark):
+            bucketed = read_bucketed(spark, "bk_geo_points")
+            out = apply_best_latlng(bucketed, pre_partitioned=True)
+            plan = _plan(out)
+            # broadcast of the tiny keyset is fine; a hash shuffle is not
+            assert _n_shuffles(plan) == 0, plan
+            got = sorted(map(tuple, out.collect()))
+        want = sorted(map(tuple, apply_best_latlng(pts).collect()))
+        assert got == want
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bk_geo_points")
+
+
+def test_kernel_shuffles_without_prepartition_control(spark):
+    """Control: the default path keeps its explicit repartition, so
+    the previous test's no-Exchange assertion is meaningful."""
+    from pulsar_spark_spark.operators.grouped import apply_best_latlng
+    from pulsar_spark_spark.plans.kernels import _geo_points
+    from tests.conftest import SF_DIR_SMALL
+
+    out = apply_best_latlng(_geo_points(spark, SF_DIR_SMALL))
+    assert _n_shuffles(_plan(out)) >= 1
 
 
 def test_unbucketed_join_needs_exchange_control(spark):
