@@ -354,6 +354,62 @@ def _ivf_probe_bench(spark) -> tuple[float, dict]:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _bucketed_kernel_bench(spark) -> tuple[float, dict]:
+    """Serve-path timing for the bucketed kernel layout (the second
+    write-once-analyze-many shape next to the IVF index).
+
+    The one-time user_id-bucketed layout write is offline (untimed);
+    the timed part is the G1 kernel over the bucketed scan with
+    ``pre_partitioned=True`` — zero hash Exchange (pinned in
+    tests/test_bucketed.py). The delta vs the ``best_latlng_per_user``
+    headline row is the per-run cost of the shuffle the layout
+    amortizes away.
+    """
+    import shutil
+    import tempfile
+
+    from pulsar_spark_spark.operators.grouped import apply_best_latlng
+    from pulsar_spark_spark.plans.kernels import _geo_points
+    from pulsar_spark_spark.sources.bucketed import (
+        bucketed_scan_pinned,
+        read_bucketed,
+        save_kernel_points,
+    )
+
+    work = tempfile.mkdtemp(prefix="bench_bucketed_")
+    table = "bench_geo_points_by_user"
+    try:
+        t0 = time.perf_counter()
+        save_kernel_points(
+            _geo_points(spark, SF_DIR), table, n_buckets=int(CPUS),
+            path=os.path.join(work, "pts"),
+        )
+        layout_sec = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(2):
+            with bucketed_scan_pinned(spark):
+                t0 = time.perf_counter()
+                apply_best_latlng(
+                    read_bucketed(spark, table), pre_partitioned=True
+                ).collect()
+                sec = round(time.perf_counter() - t0, 3)
+            best = sec if best is None or sec < best else best
+            spark.catalog.clearCache()
+        return best, {
+            "kernel_sec": best,
+            "layout_build_sec": layout_sec,
+            "n_buckets": int(CPUS),
+            "note": (
+                "kernel over bucketed layout, zero hash Exchange; "
+                "layout build untimed in the headline (offline, "
+                "amortized over every later per-user job)."
+            ),
+        }
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> None:
     spark = get_session(app_name="pulsar_spark_spark_bench", master=f"local[{CPUS}]")
     spark.sparkContext.setLogLevel("ERROR")
@@ -425,6 +481,13 @@ def main() -> None:
     ivf_probe_sec, ivf_detail = _ivf_probe_bench(spark)
     timings["ivf_probe_index"] = ivf_probe_sec
     knob_notes["ivf_probe_index"] = "single timed probe over the on-disk index"
+    bucketed_sec, bucketed_detail = _bucketed_kernel_bench(spark)
+    timings["best_latlng_bucketed"] = bucketed_sec
+    knob_notes["best_latlng_bucketed"] = (
+        "G1 kernel over the user_id-bucketed layout (zero hash "
+        "Exchange; layout build untimed like any index build) — "
+        "compare best_latlng_per_user, which pays the shuffle per run."
+    )
     ingest = _stream_ingest_bench(spark)
     session = _session_stream_bench(spark)
     rescore = _geotag_rescore_bench(spark)
@@ -469,6 +532,7 @@ def main() -> None:
                     "streaming_session_detail": session,
                     "streaming_rescore_detail": rescore,
                     "ivf_probe_detail": ivf_detail,
+                    "bucketed_kernel_detail": bucketed_detail,
                     "scale_slope": scale_slope,
                 }
             }

@@ -35,13 +35,18 @@ def save_bucketed(
     key: str,
     n_buckets: int = 16,
     sort_cols: tuple[str, ...] = (),
+    path: str | None = None,
 ) -> None:
-    """Write ``df`` as a bucketed (and optionally sorted) managed
-    table. Sorting within buckets additionally enables shuffle-free
-    sort-merge joins (no per-task sort at read time)."""
+    """Write ``df`` as a bucketed (and optionally sorted) table.
+    Sorting within buckets additionally enables shuffle-free
+    sort-merge joins (no per-task sort at read time). ``path`` makes
+    the table external (data at ``path``, bucket spec in the catalog)
+    — the normal shape for a shared 100 TB layout."""
     w = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, key)
     if sort_cols:
         w = w.sortBy(*sort_cols)
+    if path:
+        w = w.option("path", path)
     w.saveAsTable(table)
 
 
@@ -74,7 +79,10 @@ def bucketed_scan_pinned(spark: SparkSession):
 
 
 def save_kernel_points(
-    points: DataFrame, table: str = "geo_points_by_user", n_buckets: int = 16
+    points: DataFrame,
+    table: str = "geo_points_by_user",
+    n_buckets: int = 16,
+    path: str | None = None,
 ) -> None:
     """One-time bucketed layout of a kernel-input points relation
     (user_id, event_id, ts_ms, lat, lng[, ...]).
@@ -91,4 +99,6 @@ def save_kernel_points(
     Buckets are additionally sorted by (user_id) so read-side
     ``sortWithinPartitions(user_id)`` is a near-no-op merge.
     """
-    save_bucketed(points, table, "user_id", n_buckets, sort_cols=("user_id",))
+    save_bucketed(
+        points, table, "user_id", n_buckets, sort_cols=("user_id",), path=path
+    )
