@@ -135,7 +135,7 @@ def apply_best_latlng(points: DataFrame, pre_partitioned: bool = False) -> DataF
     return py.unionByName(jvm)
 
 
-def apply_cluster_score(points: DataFrame) -> DataFrame:
+def apply_cluster_score(points: DataFrame, pre_partitioned: bool = False) -> DataFrame:
     """G2 per group. Output: user_id, lat, lng, cluster_score, n_points.
 
     Pre-dispatch: n<3 groups return (last point, score 0.0)
@@ -172,12 +172,19 @@ def apply_cluster_score(points: DataFrame) -> DataFrame:
         )
 
     schema = "user_id bigint, lat double, lng double, cluster_score double, n_points int"
-    kernel_in = points.join(agg.filter(~guard).select("user_id"), "user_id")
-    py = grouped_map_in_pandas(kernel_in, "user_id", kernel, schema)
+    keyset = agg.filter(~guard).select("user_id")
+    if pre_partitioned:
+        keyset = F.broadcast(keyset)  # see apply_best_latlng
+    kernel_in = points.join(keyset, "user_id")
+    py = grouped_map_in_pandas(
+        kernel_in, "user_id", kernel, schema, pre_partitioned=pre_partitioned
+    )
     return py.unionByName(jvm)
 
 
-def apply_cluster_score_v3(points: DataFrame) -> DataFrame:
+def apply_cluster_score_v3(
+    points: DataFrame, pre_partitioned: bool = False
+) -> DataFrame:
     """G3 per group (ping-cluster scoring with the real-ceil majority).
 
     Output: user_id, lat, lng, cluster_score, is_high_confidence.
@@ -208,10 +215,14 @@ def apply_cluster_score_v3(points: DataFrame) -> DataFrame:
         "user_id bigint, lat double, lng double, cluster_score double, "
         "is_high_confidence boolean"
     )
-    return grouped_map_in_pandas(points, "user_id", kernel, schema)
+    return grouped_map_in_pandas(
+        points, "user_id", kernel, schema, pre_partitioned=pre_partitioned
+    )
 
 
-def apply_trimmed_centroid(points: DataFrame) -> DataFrame:
+def apply_trimmed_centroid(
+    points: DataFrame, pre_partitioned: bool = False
+) -> DataFrame:
     """G4 per group. Input adds an ``accuracy`` column.
 
     Output: user_id, centroid_lat, centroid_lng (null when fewer than
@@ -251,8 +262,13 @@ def apply_trimmed_centroid(points: DataFrame) -> DataFrame:
         )
 
     schema = "user_id bigint, centroid_lat double, centroid_lng double, n_accurate int"
-    kernel_in = points.join(agg.filter(~guard).select("user_id"), "user_id")
-    py = grouped_map_in_pandas(kernel_in, "user_id", kernel, schema)
+    keyset = agg.filter(~guard).select("user_id")
+    if pre_partitioned:
+        keyset = F.broadcast(keyset)  # see apply_best_latlng
+    kernel_in = points.join(keyset, "user_id")
+    py = grouped_map_in_pandas(
+        kernel_in, "user_id", kernel, schema, pre_partitioned=pre_partitioned
+    )
     return py.unionByName(jvm)
 
 

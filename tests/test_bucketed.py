@@ -68,18 +68,24 @@ def test_bucketed_kernel_runs_shuffle_free(spark, tmp_path):
     )
     from tests.conftest import SF_DIR_SMALL
 
+    from pulsar_spark_spark.operators.grouped import (
+        apply_cluster_score_v3,
+        apply_trimmed_centroid,
+    )
+
     pts = _geo_points(spark, SF_DIR_SMALL)
     save_kernel_points(pts, "bk_geo_points", n_buckets=8)
     try:
-        with bucketed_scan_pinned(spark):
-            bucketed = read_bucketed(spark, "bk_geo_points")
-            out = apply_best_latlng(bucketed, pre_partitioned=True)
-            plan = _plan(out)
-            # broadcast of the tiny keyset is fine; a hash shuffle is not
-            assert _n_shuffles(plan) == 0, plan
-            got = sorted(map(tuple, out.collect()))
-        want = sorted(map(tuple, apply_best_latlng(pts).collect()))
-        assert got == want
+        for kern in (apply_best_latlng, apply_cluster_score_v3, apply_trimmed_centroid):
+            with bucketed_scan_pinned(spark):
+                bucketed = read_bucketed(spark, "bk_geo_points")
+                out = kern(bucketed, pre_partitioned=True)
+                plan = _plan(out)
+                # broadcast of a tiny keyset is fine; a hash shuffle is not
+                assert _n_shuffles(plan) == 0, (kern.__name__, plan)
+                got = sorted(map(tuple, out.collect()))
+            want = sorted(map(tuple, kern(pts).collect()))
+            assert got == want, kern.__name__
     finally:
         spark.sql("DROP TABLE IF EXISTS bk_geo_points")
 
