@@ -286,6 +286,19 @@ def register_tables(spark: SparkSession, sf_dir: str) -> list[str]:
     return names
 
 
+def register_derived(spark: SparkSession, sf_dir: str) -> list[str]:
+    """Temp views for the engine's derived relations — the ones SQL
+    users actually want to query: ``geo_events`` (events + the
+    deterministic lat/lng/accuracy columns every geo query uses,
+    plans/geo.py:67) and ``geofences`` (nation-derived fence table,
+    plans/geo.py:108). Lazy like all views."""
+    from pulsar_spark_spark.plans.geo import geo_events, geofences
+
+    geo_events(spark, sf_dir).createOrReplaceTempView("geo_events")
+    geofences(spark, sf_dir).createOrReplaceTempView("geofences")
+    return ["geo_events", "geofences"]
+
+
 def register_queries(spark: SparkSession, sf_dir: str) -> list[str]:
     """Expose every registered engine query as a temp view (lazy —
     views carry the plan, nothing executes until queried), so
@@ -303,5 +316,6 @@ def register_all(spark: SparkSession, sf_dir: str) -> dict[str, list[str]]:
     return {
         "functions": register_functions(spark),
         "tables": register_tables(spark, sf_dir),
+        "derived": register_derived(spark, sf_dir),
         "queries": register_queries(spark, sf_dir),
     }

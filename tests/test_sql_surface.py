@@ -286,6 +286,31 @@ def test_table_views_loader_normalized(sql_spark):
     assert dtype == "timestamp"
 
 
+def test_derived_views(sql_spark):
+    from pulsar_spark_spark.plans.geo import geo_events
+    from pulsar_spark_spark.sql import register_derived
+
+    register_derived(sql_spark, SF_DIR_SMALL)
+    # SQL over the derived relation + a registered function, vs the
+    # DataFrame twin
+    got = sql_spark.sql(
+        "SELECT geohash7(lat, lng) AS cell, count(*) AS n "
+        "FROM geo_events GROUP BY cell ORDER BY cell"
+    ).collect()
+    ge = geo_events(sql_spark, SF_DIR_SMALL)
+    x, y = geohash_quantize(F.col("lat"), F.col("lng"), 7)
+    want = (
+        ge.select(geohash_from_xy(x, y, 7).alias("cell"))
+        .groupBy("cell")
+        .count()
+        .withColumnRenamed("count", "n")
+        .orderBy("cell")
+        .collect()
+    )
+    assert got == want
+    assert sql_spark.sql("SELECT count(*) AS n FROM geofences").collect()[0]["n"] > 0
+
+
 def test_query_views_compose(sql_spark):
     from pulsar_spark_spark.plans import QUERIES
 
