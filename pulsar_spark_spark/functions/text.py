@@ -208,6 +208,31 @@ def lang_scores(tok: Column) -> dict[str, Column]:
     }
 
 
+LANG_ORDER = tuple(LANG_MARKERS)  # en, es, fr, de, zh — tie priority
+
+
+def lang_id(tok: Column) -> Column:
+    """Predicted language: argmax over marker-hit counts with the
+    FIXED tie-priority order en > es > fr > de > zh (ties are common
+    on short or out-of-lexicon documents). Pure expression — the
+    marker lists ship with the expression, so the classifier is a map
+    at any scale."""
+    scores = lang_scores(tok)
+    pred = None
+    for i, lang in enumerate(LANG_ORDER):
+        later = LANG_ORDER[i + 1 :]
+        if not later:
+            return pred.otherwise(F.lit(lang))
+        cond = None
+        for other in later:
+            c = scores[lang] >= scores[other]
+            cond = c if cond is None else (cond & c)
+        pred = (
+            F.when(cond, F.lit(lang)) if pred is None else pred.when(cond, F.lit(lang))
+        )
+    raise AssertionError("unreachable: LANG_ORDER is non-empty")
+
+
 def quality_features(text: Column) -> dict[str, Column]:
     """Heuristic document-quality features (expression-only).
 

@@ -42,7 +42,7 @@ from pulsar_spark_spark.functions.text import (
     LANG_MARKERS,
     char_shingles,
     fingerprint64,
-    lang_scores,
+    lang_id,
     lsh_bands,
     md5_i64,
     minhash_signature_from_hashes,
@@ -352,19 +352,7 @@ def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     join), so the classifier is a pure map at any scale.
     """
     docs = load_table(spark, "documents", sf_dir)
-    tok = tokens(col("text"))
-    scores = lang_scores(tok)
-    pred = None
-    for i, lang in enumerate(_LANG_ORDER):
-        later = _LANG_ORDER[i + 1 :]
-        if not later:
-            pred = pred.otherwise(F.lit(lang))
-            break
-        cond = None
-        for other in later:
-            c = scores[lang] >= scores[other]
-            cond = c if cond is None else (cond & c)
-        pred = F.when(cond, F.lit(lang)) if pred is None else pred.when(cond, F.lit(lang))
+    pred = lang_id(tokens(col("text")))
     return (
         docs.select(col("lang"), pred.alias("pred_lang"))
         .groupBy("lang", "pred_lang")

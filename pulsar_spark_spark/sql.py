@@ -64,8 +64,10 @@ from pulsar_spark_spark.functions.text import (
     char_shingles,
     clean_text,
     fingerprint64,
+    lang_id,
     md5_i64,
     minhash_signature,
+    quality_features,
     simhash16,
     tokens,
     word_ngrams,
@@ -79,6 +81,9 @@ from pulsar_spark_spark.functions.time import (
     ts_millis,
     ts_seconds,
 )
+
+# the BPE-ish pre-tokenizer regex used by doc_quality_stats
+from pulsar_spark_spark.plans.text import _BPE_RE  # noqa: E402
 
 _LAMBDA_CALL = "lambdafunction("
 _IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
@@ -193,6 +198,17 @@ _EXPR_FUNCTIONS: dict = {
         lambda s: minhash_signature(char_shingles(s, 5), 16),
     ),
     "simhash16": ([("s", "STRING")], lambda s: simhash16(tokens(s))),
+    "lang_id": ([("s", "STRING")], lambda s: lang_id(tokens(s))),
+    "quality_stats": (
+        [("s", "STRING")],
+        lambda s: F.struct(
+            *[c.alias(n) for n, c in quality_features(s).items()]
+        ),
+    ),
+    "bpe_count": (
+        [("s", "STRING")],
+        lambda s: F.size(F.regexp_extract_all(s, F.lit(_BPE_RE), 0)),
+    ),
     # maps / KV attributes
     "kv_to_map_last": (
         [("kv", "ARRAY<STRUCT<key: STRING, value: STRING>>")],

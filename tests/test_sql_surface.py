@@ -27,12 +27,15 @@ from pulsar_spark_spark.functions.text import (
     char_shingles,
     clean_text,
     fingerprint64,
+    lang_id as _lang_id,
     md5_i64,
     minhash_signature,
+    quality_features as _quality_features,
     simhash16,
     tokens,
     word_ngrams,
 )
+from pulsar_spark_spark.plans.text import _BPE_RE
 from pulsar_spark_spark.functions.time import (
     date_string,
     format_duration,
@@ -65,6 +68,11 @@ _TEXT_CASES = {
     "fingerprint64": lambda c: fingerprint64(c),
     "minhash16": lambda c: minhash_signature(char_shingles(c, 5), 16),
     "simhash16": lambda c: simhash16(tokens(c)),
+    "lang_id": lambda c: _lang_id(tokens(c)),
+    "quality_stats": lambda c: F.struct(
+        *[e.alias(n) for n, e in _quality_features(c).items()]
+    ),
+    "bpe_count": lambda c: F.size(F.regexp_extract_all(c, F.lit(_BPE_RE), 0)),
 }
 
 
