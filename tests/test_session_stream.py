@@ -302,3 +302,85 @@ def test_session_stream_matches_batch_user_sessions(spark, tmp_path):
     # close in-batch or by timeout before the stream drains
     n_batch = sum(len(v) for v in batch.values())
     assert n_emitted >= n_batch // 2, (n_emitted, n_batch)
+
+
+# --------------------------------------------------------------------
+# pure-python property: the vectorized mini-session merge equals a
+# per-row fold for any admitted arrival order
+# --------------------------------------------------------------------
+def _row_fold(ts_ms, vals, sessions, gap_ms):
+    """Reference: fold rows one at a time (the pre-vectorization
+    algorithm, kept here as the executable spec)."""
+    for t, v in zip(ts_ms, vals):
+        t, v = int(t), float(v)
+        at = None
+        for i, s in enumerate(sessions):
+            if s[0] - gap_ms <= t <= s[1] + gap_ms:
+                s[0], s[1], s[2], s[3] = (
+                    min(s[0], t), max(s[1], t), s[2] + 1, s[3] + v,
+                )
+                at = i
+                break
+            if t < s[0] - gap_ms:
+                sessions.insert(i, [t, t, 1, v])
+                at = i
+                break
+        if at is None:
+            sessions.append([t, t, 1, v])
+            at = len(sessions) - 1
+        while (
+            at + 1 < len(sessions)
+            and sessions[at + 1][0] - sessions[at][1] <= gap_ms
+        ):
+            nxt = sessions.pop(at + 1)
+            s = sessions[at]
+            s[1], s[2], s[3] = max(s[1], nxt[1]), s[2] + nxt[2], s[3] + nxt[3]
+        while at > 0 and sessions[at][0] - sessions[at - 1][1] <= gap_ms:
+            cur = sessions.pop(at)
+            s = sessions[at - 1]
+            s[1], s[2], s[3] = max(s[1], cur[1]), s[2] + cur[2], s[3] + cur[3]
+            at -= 1
+    return sessions
+
+
+def test_merge_equivalent_to_row_fold():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from pulsar_spark_spark.streaming.stateful import merge_batch_into_sessions
+
+    gap_ms = 100  # tiny gap so random timestamps exercise all regimes
+
+    @settings(max_examples=200, deadline=None, derandomize=True)
+    @given(
+        rows=st.lists(
+            st.tuples(st.integers(0, 2000), st.integers(1, 100)),
+            min_size=0,
+            max_size=60,
+        ),
+        split=st.integers(0, 60),
+    )
+    def check(rows, split):
+        # first chunk builds the state (any valid state is reachable
+        # this way); second chunk is the batch under test
+        first = sorted(rows[:split])
+        second = sorted(rows[split:])
+        state_a = _row_fold(
+            [t for t, _ in first], [float(v) for _, v in first], [], gap_ms
+        )
+        state_b = [list(s) for s in state_a]
+        import numpy as np
+
+        got = merge_batch_into_sessions(
+            np.array([t for t, _ in second], dtype="int64"),
+            np.array([float(v) for _, v in second]),
+            state_b,
+            gap_ms,
+        )
+        want = _row_fold(
+            [t for t, _ in second], [float(v) for _, v in second], state_a, gap_ms
+        )
+        norm = lambda ss: [(s[0], s[1], s[2], round(s[3], 9)) for s in ss]
+        assert norm(got) == norm(want)
+
+    check()
