@@ -85,6 +85,9 @@ from pulsar_spark_spark.functions.time import (
 # the BPE-ish pre-tokenizer regex used by doc_quality_stats
 from pulsar_spark_spark.plans.text import _BPE_RE  # noqa: E402
 
+# the ANN family's exact scorer (expression fold, oracle-identical)
+from pulsar_spark_spark.plans.similarity import cosine as _cosine  # noqa: E402
+
 _LAMBDA_CALL = "lambdafunction("
 _IDENT = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 
@@ -208,6 +211,11 @@ _EXPR_FUNCTIONS: dict = {
     "bpe_count": (
         [("s", "STRING")],
         lambda s: F.size(F.regexp_extract_all(s, F.lit(_BPE_RE), 0)),
+    ),
+    # embeddings (ANN family scorer; same fold as the oracle twin)
+    "cos_sim": (
+        [("a", "ARRAY<FLOAT>"), ("b", "ARRAY<FLOAT>")],
+        lambda a, b: _cosine(a, b),
     ),
     # maps / KV attributes
     "kv_to_map_last": (

@@ -167,6 +167,28 @@ def test_pandas_udfs(sql_spark):
         assert r["g_expr"] == r["g"]  # JVM expression == python encoder
 
 
+def test_cos_sim_parity(sql_spark):
+    from pulsar_spark_spark.plans.similarity import cosine
+
+    got = sql_spark.sql(
+        "SELECT a.vec_id AS va, b.vec_id AS vb, "
+        "cos_sim(a.embedding, b.embedding) AS c "
+        "FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1 "
+        "WHERE a.vec_id < 50 ORDER BY va"
+    ).collect()
+    emb = load_table(sql_spark, "embeddings", SF_DIR_SMALL)
+    a = emb.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
+    want = (
+        a.join(b, F.col("vb") == F.col("va") + 1)
+        .filter(F.col("va") < 50)
+        .select("va", "vb", cosine(F.col("ea"), F.col("eb")).alias("c"))
+        .orderBy("va")
+        .collect()
+    )
+    assert got == want and len(got) > 0
+
+
 # --------------------------------------------------------------------
 # KV / map functions
 # --------------------------------------------------------------------
