@@ -362,8 +362,10 @@ def _bucketed_kernel_bench(spark) -> tuple[float, dict]:
     the timed part is the G1 kernel over the bucketed scan with
     ``pre_partitioned=True`` — zero hash Exchange (pinned in
     tests/test_bucketed.py). The delta vs the ``best_latlng_per_user``
-    headline row is the per-run cost of the shuffle the layout
-    amortizes away.
+    headline row bundles BOTH per-run costs the layout amortizes away:
+    the user_id shuffle AND the geo_events lat/lng derivation (the
+    layout stores the derived 5-column projection, so the headline
+    row's per-run projection work disappears too).
     """
     import shutil
     import tempfile
@@ -485,8 +487,10 @@ def main() -> None:
     timings["best_latlng_bucketed"] = bucketed_sec
     knob_notes["best_latlng_bucketed"] = (
         "G1 kernel over the user_id-bucketed layout (zero hash "
-        "Exchange; layout build untimed like any index build) — "
-        "compare best_latlng_per_user, which pays the shuffle per run."
+        "Exchange; layout build untimed like any index build). The "
+        "delta vs best_latlng_per_user bundles BOTH per-run costs the "
+        "layout amortizes: the shuffle AND the geo_events lat/lng "
+        "derivation (the layout stores the derived columns)."
     )
     ingest = _stream_ingest_bench(spark)
     session = _session_stream_bench(spark)

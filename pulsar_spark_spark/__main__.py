@@ -57,6 +57,13 @@ def _build_parser() -> argparse.ArgumentParser:
 
     sqlp = sub.add_parser("sql", help="run ad-hoc SQL over the full surface")
     sqlp.add_argument("statement")
+    sqlp.add_argument(
+        "--views",
+        action="store_true",
+        help="also register every engine query and derived relation as "
+        "a view (builds all 50 query plans up front — slower startup; "
+        "default registers functions + tables only)",
+    )
     common(sqlp)
 
     orp = sub.add_parser("oracle", help="print a query's DuckDB oracle SQL")
@@ -115,10 +122,20 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "sql":
-        from pulsar_spark_spark.sql import register_all
+        from pulsar_spark_spark.sql import (
+            register_all,
+            register_functions,
+            register_tables,
+        )
 
         spark = _session(args.master)
-        register_all(spark, args.sf_dir)
+        if args.views:
+            register_all(spark, args.sf_dir)
+        else:
+            # functions + tables only: a trivial statement shouldn't
+            # pay for building all 50 query-view plans up front
+            register_functions(spark)
+            register_tables(spark, args.sf_dir)
         _emit(spark.sql(args.statement), args)
         return 0
 

@@ -308,7 +308,9 @@ def doc_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------
 # language ID (marker lexicons, fixed tie order)
 # ---------------------------------------------------------------------
-_LANG_ORDER = tuple(LANG_MARKERS)  # en, es, fr, de, zh — tie priority
+# tie priority (en, es, fr, de, zh) — the SAME constant the classifier
+# uses, so the oracle's CASE order can never diverge from lang_id's
+from pulsar_spark_spark.functions.text import LANG_ORDER as _LANG_ORDER
 
 
 def _lang_oracle() -> str:

@@ -213,10 +213,7 @@ _EXPR_FUNCTIONS: dict = {
         lambda s: F.size(F.regexp_extract_all(s, F.lit(_BPE_RE), 0)),
     ),
     # embeddings (ANN family scorer; same fold as the oracle twin)
-    "cos_sim": (
-        [("a", "ARRAY<FLOAT>"), ("b", "ARRAY<FLOAT>")],
-        lambda a, b: _cosine(a, b),
-    ),
+    "cos_sim": ([("a", "ARRAY<FLOAT>"), ("b", "ARRAY<FLOAT>")], _cosine),
     # maps / KV attributes
     "kv_to_map_last": (
         [("kv", "ARRAY<STRUCT<key: STRING, value: STRING>>")],
@@ -226,14 +223,8 @@ _EXPR_FUNCTIONS: dict = {
         [("kv", "ARRAY<STRUCT<key: STRING, value: STRING>>")],
         kv_list_to_map_first_wins,
     ),
-    "get_attr": (
-        [("m", "MAP<STRING, STRING>"), ("k", "STRING")],
-        lambda m, k: get_attr(m, k),
-    ),
-    "has_attr": (
-        [("m", "MAP<STRING, STRING>"), ("k", "STRING")],
-        lambda m, k: has_attr(m, k),
-    ),
+    "get_attr": ([("m", "MAP<STRING, STRING>"), ("k", "STRING")], get_attr),
+    "has_attr": ([("m", "MAP<STRING, STRING>"), ("k", "STRING")], has_attr),
     # time
     "ts_seconds": ([("ts", "TIMESTAMP")], ts_seconds),
     "ts_millis": ([("ts", "TIMESTAMP")], ts_millis),
@@ -315,24 +306,39 @@ def register_derived(spark: SparkSession, sf_dir: str) -> list[str]:
     users actually want to query: ``geo_events`` (events + the
     deterministic lat/lng/accuracy columns every geo query uses,
     plans/geo.py:67) and ``geofences`` (nation-derived fence table,
-    plans/geo.py:108). Lazy like all views."""
+    plans/geo.py:108). Lazy like all views. A relation whose source
+    table is absent under ``sf_dir`` is skipped, like
+    :func:`register_tables` does for tables."""
     from pulsar_spark_spark.plans.geo import geo_events, geofences
 
-    geo_events(spark, sf_dir).createOrReplaceTempView("geo_events")
-    geofences(spark, sf_dir).createOrReplaceTempView("geofences")
-    return ["geo_events", "geofences"]
+    names = []
+    for name, fn in (("geo_events", geo_events), ("geofences", geofences)):
+        try:
+            fn(spark, sf_dir).createOrReplaceTempView(name)
+        except Exception:
+            continue
+        names.append(name)
+    return names
 
 
 def register_queries(spark: SparkSession, sf_dir: str) -> list[str]:
     """Expose every registered engine query as a temp view (lazy —
     views carry the plan, nothing executes until queried), so
     ``spark.sql("SELECT * FROM user_sessions WHERE ...")`` composes
-    engine queries with ad-hoc SQL."""
+    engine queries with ad-hoc SQL. Queries whose input tables are
+    absent under ``sf_dir`` are skipped (partial fixture dirs are a
+    supported input — :func:`register_tables` already guards them), so
+    one missing parquet doesn't abort the rest of the surface."""
     from pulsar_spark_spark.plans import QUERIES
 
+    names = []
     for name, fn in QUERIES.items():
-        fn(spark, sf_dir).createOrReplaceTempView(name)
-    return list(QUERIES)
+        try:
+            fn(spark, sf_dir).createOrReplaceTempView(name)
+        except Exception:
+            continue
+        names.append(name)
+    return names
 
 
 def register_all(spark: SparkSession, sf_dir: str) -> dict[str, list[str]]:

@@ -268,10 +268,12 @@ def session_stream(events: DataFrame, gap_s: int = 1800) -> DataFrame:
     The running ``value_sum`` crosses batches through the state store
     as ``repr(float)`` so a RESUMED run is bit-identical to the same
     run uninterrupted. Within a batch the sum uses numpy's pairwise
-    reduction over each mini-session (same values, possibly different
-    float association than a strict left fold — irrelevant at the 2 dp
-    output contract, and the batch twin's Spark partial aggregation
-    reassociates anyway).
+    reduction over each mini-session — same values, possibly different
+    float association than a strict left fold. Like any float-sum
+    reassociation (including the batch twin's Spark partial
+    aggregation), an ulp-level difference CAN flip the 2 dp rounding
+    on an exact .xx5 boundary — the same documented tie class as the
+    G2 score argmax (plans/kernels.py); no fixture value sits on one.
     """
     import json as _json
 

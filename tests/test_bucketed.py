@@ -69,6 +69,7 @@ def test_bucketed_kernel_runs_shuffle_free(spark, tmp_path):
     from tests.conftest import SF_DIR_SMALL
 
     from pulsar_spark_spark.operators.grouped import (
+        apply_cluster_score,
         apply_cluster_score_v3,
         apply_trimmed_centroid,
     )
@@ -76,7 +77,13 @@ def test_bucketed_kernel_runs_shuffle_free(spark, tmp_path):
     pts = _geo_points(spark, SF_DIR_SMALL)
     save_kernel_points(pts, "bk_geo_points", n_buckets=8)
     try:
-        for kern in (apply_best_latlng, apply_cluster_score_v3, apply_trimmed_centroid):
+        kernels = (
+            apply_best_latlng,
+            apply_cluster_score,
+            apply_cluster_score_v3,
+            apply_trimmed_centroid,
+        )
+        for kern in kernels:
             with bucketed_scan_pinned(spark):
                 bucketed = read_bucketed(spark, "bk_geo_points")
                 out = kern(bucketed, pre_partitioned=True)

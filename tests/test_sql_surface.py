@@ -316,6 +316,29 @@ def test_table_views_loader_normalized(sql_spark):
     assert dtype == "timestamp"
 
 
+def test_register_all_tolerates_partial_fixture_dir(sql_spark, tmp_path):
+    """A fixture dir missing tables must not abort registration: the
+    queries/derived views that need absent tables are skipped, the
+    rest of the surface stays usable."""
+    import os
+
+    from pulsar_spark_spark.sql import register_all
+
+    os.symlink(
+        os.path.join(SF_DIR_SMALL, "documents.parquet"),
+        tmp_path / "documents.parquet",
+    )
+    out = register_all(sql_spark, str(tmp_path))
+    assert out["tables"] == ["documents"]
+    assert "doc_exact_dup_groups" in out["queries"]  # documents-only
+    assert not any(q.startswith("ann_topk") for q in out["queries"])
+    assert out["derived"] == []  # geo relations need events/nation
+    n = sql_spark.sql("SELECT count(*) AS n FROM documents").collect()[0]["n"]
+    assert n > 0
+    # restore the full-fixture views for tests that run after this one
+    register_all(sql_spark, SF_DIR_SMALL)
+
+
 def test_derived_views(sql_spark):
     from pulsar_spark_spark.plans.geo import geo_events
     from pulsar_spark_spark.sql import register_derived
