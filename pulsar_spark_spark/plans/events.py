@@ -61,16 +61,33 @@ def latest_event_per_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference: reduceByKey keeping max parsed time, key =
     (device_id, src, type) — service/EventService.scala:48-54.
     event_id is the deterministic tiebreak for equal timestamps.
+
+    ``max_by`` over a (ts, event_id) struct rather than a row_number
+    window: the aggregate gets MAP-SIDE partial combining (each input
+    partition reduces to ≤ one row per key before the shuffle — the
+    reference's own reduceByKey shape), while the window form must
+    shuffle and sort EVERY raw row. Same single exchange, radically
+    less data through it at scale. The struct tiebreak makes the
+    argmax key unique, so the result is deterministic. (At sf0.1 the
+    two forms time within noise of each other — fixed overhead
+    dominates; the win is shuffle VOLUME, which only matters at
+    scale.)
     """
     ev = load_table(spark, "events", sf_dir)
-    w = Window.partitionBy("user_id", "event_type").orderBy(
-        col("ts").desc(), col("event_id").desc()
-    )
     return (
-        ev.withColumn("rn", F.row_number().over(w))
-        .filter(col("rn") == 1)
+        ev.groupBy("user_id", "event_type")
+        .agg(
+            F.max_by(
+                F.struct("event_id", "ts", "value"),
+                F.struct("ts", "event_id"),
+            ).alias("m")
+        )
         .select(
-            "user_id", "event_type", "event_id", "ts", F.round("value", 2).alias("value")
+            "user_id",
+            "event_type",
+            col("m.event_id").alias("event_id"),
+            col("m.ts").alias("ts"),
+            F.round(col("m.value"), 2).alias("value"),
         )
         .orderBy("user_id", "event_type")
     )
