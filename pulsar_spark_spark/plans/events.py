@@ -6,7 +6,8 @@ of the reference's hand-rolled RDD patterns:
 
 - JSON attribute extraction (P1/F9/F12): ``get_json_object`` replaces
   Jackson per-row parsing (spark-jobs utils/JsonUtility.scala:49-70).
-- dedup-latest-per-key (A2): window row_number replaces
+- dedup-latest-per-key (A2): ``max_by`` aggregate (map-side partial
+  combine — the same shape as the reference's) replaces
   ``reduceByKey`` max-by-time (service/EventService.scala:48-54).
 - percentile/histogram reports (A4/A5): built-in aggregates replace
   the hand-rolled sorted-list percentile
