@@ -133,9 +133,34 @@ def _rewrite_lambdas(sql: str) -> str:
 
     Innermost-first so nested higher-order functions (minhash's
     transform-inside-transform, simhash's aggregate) resolve cleanly.
+    Occurrences inside string literals are NOT rewritten (a literal
+    containing the word "lambdafunction(" must survive verbatim —
+    pinned by the adversarial round-trip test).
     """
+
+    def _last_call_outside_strings(s: str) -> int:
+        pos = -1
+        in_str = False
+        i = 0
+        while i < len(s):
+            ch = s[i]
+            if in_str:
+                if ch == "\\":
+                    i += 2
+                    continue
+                if ch == "'":
+                    in_str = False
+            elif ch == "'":
+                in_str = True
+            elif s.startswith(_LAMBDA_CALL, i):
+                pos = i
+                i += len(_LAMBDA_CALL)
+                continue
+            i += 1
+        return pos
+
     while True:
-        pos = sql.rfind(_LAMBDA_CALL)  # rightmost = innermost-or-later
+        pos = _last_call_outside_strings(sql)  # rightmost = innermost-or-later
         if pos < 0:
             return sql
         # walk to the matching close paren

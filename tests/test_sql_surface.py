@@ -275,6 +275,43 @@ def test_time_scalar_functions(sql_spark):
 
 
 # --------------------------------------------------------------------
+# the lambdafunction → parser-lambda rewrite, standalone
+# --------------------------------------------------------------------
+def test_rewrite_lambdas_adversarial_cases(sql_spark):
+    """Round-trip Catalyst rendering → rewrite → parser for expression
+    shapes beyond the registered set: nested lambdas, two-argument
+    aggregate lambdas, and string literals containing commas, parens
+    and the word lambdafunction itself."""
+    from pulsar_spark_spark.sql import _expr_sql, _rewrite_lambdas
+
+    cases = [
+        # nested transform-in-transform
+        F.transform(
+            F.col("arr"), lambda x: F.transform(F.col("arr"), lambda y: x + y)
+        ),
+        # aggregate: 2-arg merge lambda + 1-arg finish lambda
+        F.aggregate(
+            F.col("arr"), F.lit(0), lambda acc, x: acc + x, lambda acc: acc * 2
+        ),
+        # filter with a string literal full of syntax-looking chars
+        F.filter(
+            F.col("strs"),
+            lambda s: s != F.lit("a,b)(c -> lambdafunction(x, y)"),
+        ),
+        # exists + zip_with (different HOF arities)
+        F.exists(F.col("arr"), lambda x: x > 1),
+        F.zip_with(F.col("arr"), F.col("arr"), lambda a, b: a * b),
+    ]
+    src = "(SELECT array(1, 2, 3) AS arr, array('a,b)(c -> lambdafunction(x, y)', 'z') AS strs)"
+    probe = sql_spark.sql(f"SELECT * FROM {src}")
+    for c in cases:
+        body = _rewrite_lambdas(_expr_sql(sql_spark, c))
+        got = sql_spark.sql(f"SELECT {body} AS v FROM {src}").collect()
+        want = probe.select(c.alias("v")).collect()
+        assert got == want, body
+
+
+# --------------------------------------------------------------------
 # plan shape: expression UDFs must stay JVM-side (inlined, codegen)
 # --------------------------------------------------------------------
 def test_sql_udf_stays_jvm_side(sql_spark):
