@@ -354,6 +354,76 @@ def _ivf_probe_bench(spark) -> tuple[float, dict]:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _geofence_stream_bench(spark) -> dict:
+    """Stateful geofence-machine throughput (G9/A10 path) — the
+    reference's core streaming identity (TripTracker): broadcast
+    containment locate (pure JVM expression) → applyInPandasWithState
+    transition walk (NoTimeout, per-user last-fence + count state) →
+    parquet alert sink, end-to-end with checkpointing.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql.functions import col, unix_millis
+
+    from pulsar_spark_spark.plans.geo import geo_events, geofences
+    from pulsar_spark_spark.streaming.stateful import (
+        geofence_alert_stream,
+        locate_expr,
+    )
+
+    work = tempfile.mkdtemp(prefix="bench_geofence_")
+    try:
+        ge = geo_events(spark, SF_DIR).select(
+            "user_id", "event_id", unix_millis(col("ts")).alias("ts_ms"),
+            "lat", "lng",
+        )
+        n_rows = ge.count()
+        src = os.path.join(work, "in")
+        ge.repartition(4).write.parquet(src)  # 4 arrival files (setup)
+        schema = spark.read.parquet(src).schema
+        fences = [
+            (r["geofence_idx"], r["glat"], r["glng"], r["radius_m"])
+            for r in geofences(spark, SF_DIR).collect()
+        ]
+        t0 = time.perf_counter()
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        located = stream.select(
+            "user_id", "event_id", "ts_ms", locate_expr(fences).alias("cur_gf")
+        )
+        q = (
+            geofence_alert_stream(located)
+            .writeStream.format("parquet")
+            .option("path", os.path.join(work, "alerts"))
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        finished = q.awaitTermination(600)
+        wall = time.perf_counter() - t0
+        if not finished:
+            q.stop()
+            return {"timed_out": True, "wall_sec": round(wall, 3)}
+        n_alerts = spark.read.parquet(os.path.join(work, "alerts")).count()
+        return {
+            "rows": n_rows,
+            "wall_sec": round(wall, 3),
+            "rows_per_sec": int(n_rows / wall),
+            "n_alerts": n_alerts,
+            "n_batches": len(q.recentProgress),
+            "pipeline": "file micro-batches -> JVM containment locate -> "
+                        "applyInPandasWithState transition walk (G9/A10) "
+                        "-> parquet alert sink",
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def _bucketed_kernel_bench(spark) -> tuple[float, dict]:
     """Serve-path timing for the bucketed kernel layout (the second
     write-once-analyze-many shape next to the IVF index).
@@ -495,6 +565,7 @@ def main() -> None:
     ingest = _stream_ingest_bench(spark)
     session = _session_stream_bench(spark)
     rescore = _geotag_rescore_bench(spark)
+    geofence = _geofence_stream_bench(spark)
 
     # Measured sf0.1 -> sf1 slope (committed sidecar from
     # tools/scale_slope.py over a 10x dataset) — converts the
@@ -535,6 +606,7 @@ def main() -> None:
                     "streaming_ingest_detail": ingest,
                     "streaming_session_detail": session,
                     "streaming_rescore_detail": rescore,
+                    "streaming_geofence_detail": geofence,
                     "ivf_probe_detail": ivf_detail,
                     "bucketed_kernel_detail": bucketed_detail,
                     "scale_slope": scale_slope,
@@ -551,6 +623,7 @@ def main() -> None:
             "ingest_rows_per_sec": ingest.get("rows_per_sec"),
             "session_rows_per_sec": session.get("rows_per_sec"),
             "rescore_rows_per_sec": rescore.get("rows_per_sec"),
+            "geofence_rows_per_sec": geofence.get("rows_per_sec"),
         },
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "runs_per_query": runs,
