@@ -32,6 +32,7 @@ from pulsar_spark_spark.functions.maps import (
     kv_list_to_map_last_wins,
 )
 from pulsar_spark_spark.functions.text import md5_i64
+from pulsar_spark_spark.operators.checkpoint import materialize
 from pulsar_spark_spark.functions.time import (
     convert_time,
     format_duration,
@@ -95,6 +96,15 @@ def event_attrs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the generating hashes (it never builds a map), so this is a
     true independent check of functions/maps.py. All expression-level:
     the maps fold is the documented O(k²) on ≤4-entry lists.
+
+    The two map columns are MATERIALIZED before fan-out: five output
+    columns read them, and project-collapsing re-inlines the whole
+    4-md5 kv chain into every consumer (Spark does not CSE through
+    the map_from_entries lambdas — same pathology as
+    functions/text.py::shingle_hashes). One narrow two-column
+    checkpoint write beats five re-derivations (measured 2.24 →
+    1.61 s at sf0.1; the same write-narrow-once trade as
+    plans/kernels.py::_scaled_geo_points at scale).
     """
     ev = load_table(spark, "events", sf_dir)
     acc1 = _h("acc1:", col("event_id"), 250).cast("string")
@@ -111,16 +121,20 @@ def event_attrs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         lambda e: e.isNotNull(),
     )
-    first = kv_list_to_map_first_wins(kv)
-    last = kv_list_to_map_last_wins(kv)
-    reshaped = attrs_to_struct(last, ("agent_id", "city"))
-    rows = ev.select(
-        get_attr(first, "accuracy_level").cast("bigint").alias("acc_first"),
-        get_attr(last, "accuracy_level").cast("bigint").alias("acc_last"),
-        has_attr(last, "city").alias("has_city"),
+    maps = materialize(
+        ev.select(
+            kv_list_to_map_first_wins(kv).alias("first"),
+            kv_list_to_map_last_wins(kv).alias("last"),
+        )
+    )
+    reshaped = attrs_to_struct(col("last"), ("agent_id", "city"))
+    rows = maps.select(
+        get_attr(col("first"), "accuracy_level").cast("bigint").alias("acc_first"),
+        get_attr(col("last"), "accuracy_level").cast("bigint").alias("acc_last"),
+        has_attr(col("last"), "city").alias("has_city"),
         reshaped["agent_id"].alias("agent_id"),
         reshaped["city"].alias("city"),
-    ).filter(has_attr(last, "accuracy_level"))
+    ).filter(has_attr(col("last"), "accuracy_level"))
     return (
         rows.groupBy("agent_id")
         .agg(
