@@ -45,6 +45,7 @@ from pulsar_spark_spark.functions.geo import (
     sql_geohash_ctes,
 )
 from pulsar_spark_spark.functions.text import md5_i64
+from pulsar_spark_spark.operators.checkpoint import materialize
 from pulsar_spark_spark.plans.registry import query
 from pulsar_spark_spark.sources.tables import load_table
 
@@ -182,8 +183,14 @@ def geofence_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     trig), then the haversine predicate decides. One scan of events,
     no shuffle until the tiny per-geofence aggregate. min() instead of
     avg() in the output keeps the oracle hash order-independent.
+
+    The 3-column event projection is MATERIALIZED ahead of the join:
+    the broadcast-loop join evaluates its condition per (event, fence)
+    candidate, and without a hard boundary the md5 lat/lng derivation
+    rides inside that condition (measured 1.77 → 1.35 s at sf0.1;
+    at scale a ~20 B/row narrow write beats re-deriving per pair).
     """
-    ge = geo_events(spark, sf_dir)
+    ge = materialize(geo_events(spark, sf_dir).select("user_id", "lat", "lng"))
     gf = geofences(spark, sf_dir)
     dist = haversine_m(col("lat"), col("lng"), col("glat"), col("glng"))
     return (
