@@ -75,6 +75,11 @@ def main(filters):
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')"
             )
     spark = get_session()
+    # Fail loudly on fixture schema drift BEFORE comparing values —
+    # the round-3 failure class (sources/contracts.py).
+    from pulsar_spark_spark.sources.contracts import assert_fixture_contract
+
+    assert_fixture_contract(spark, SF_DIR)
     results = {}
     for name, fn in QUERIES.items():
         if filters and not any(f in name for f in filters):
