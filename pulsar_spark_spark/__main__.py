@@ -68,6 +68,11 @@ def _build_parser() -> argparse.ArgumentParser:
 
     orp = sub.add_parser("oracle", help="print a query's DuckDB oracle SQL")
     orp.add_argument("query")
+
+    chk = sub.add_parser(
+        "check", help="verify the fixture-schema contract under --sf-dir"
+    )
+    common(chk)
     return p
 
 
@@ -119,6 +124,18 @@ def main(argv: list[str] | None = None) -> int:
             return 2
         spark = _session(args.master)
         _emit(QUERIES[args.query](spark, args.sf_dir), args)
+        return 0
+
+    if args.cmd == "check":
+        from pulsar_spark_spark.sources.contracts import fixture_contract_report
+
+        spark = _session(args.master)
+        problems = fixture_contract_report(spark, args.sf_dir)
+        if problems:
+            for p in problems:
+                print(p, file=sys.stderr)
+            return 1
+        print(f"contract OK under {args.sf_dir}")
         return 0
 
     if args.cmd == "sql":

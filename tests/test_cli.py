@@ -40,6 +40,16 @@ def test_run_writes_csv(spark, tmp_path):
     assert main(["run", "nope"]) == 2
 
 
+def test_check_contract(spark, capsys, tmp_path):
+    assert main(["check", "--sf-dir", SF_DIR_SMALL]) == 0
+    assert "contract OK" in capsys.readouterr().out
+    # drifted dir -> nonzero exit, problems on stderr
+    ev = spark.read.parquet(os.path.join(SF_DIR_SMALL, "events.parquet"))
+    ev.drop("value").write.parquet(str(tmp_path / "events.parquet"))
+    assert main(["check", "--sf-dir", str(tmp_path)]) == 1
+    assert "events.value: MISSING" in capsys.readouterr().err
+
+
 def test_sql_over_registered_surface(spark, capsys):
     rc = main(
         [
