@@ -378,9 +378,11 @@ def _geofence_stream_bench(spark) -> dict:
             "user_id", "event_id", unix_millis(col("ts")).alias("ts_ms"),
             "lat", "lng",
         )
-        n_rows = ge.count()
         src = os.path.join(work, "in")
         ge.repartition(4).write.parquet(src)  # 4 arrival files (setup)
+        # count from the written files (metadata-only) — counting the
+        # plan would re-run the md5 lat/lng derivation a second time
+        n_rows = spark.read.parquet(src).count()
         schema = spark.read.parquet(src).schema
         fences = [
             (r["geofence_idx"], r["glat"], r["glng"], r["radius_m"])

@@ -18,8 +18,9 @@ of the reference's hand-rolled RDD patterns:
 - business-hours / consecutive-pair filters (P7): hour() predicates +
   lag window replace per-group Scala loops
   (batch/GoodData.scala:26-48).
-- sessionization (T4-adjacent): gap-based session ids via running sum
-  over a lag window.
+- sessionization (T4-adjacent): Spark's native ``session_window``
+  aggregation (gap semantics probed identical to the oracle; see
+  user_sessions).
 
 Scale notes: all windows partition by ``user_id`` (high cardinality →
 even shuffle); percentile uses the exact ``percentile`` aggregate for

@@ -88,16 +88,36 @@ EXPECTED: dict[str, dict[str, str]] = {
 }
 
 
+def _check_catalog_sync() -> None:
+    """EXPECTED must track the table catalog exactly — a table added
+    to sources/tables.TABLES without a schema contract would silently
+    escape the drift gate."""
+    from pulsar_spark_spark.sources.tables import TABLES
+
+    assert set(EXPECTED) == set(TABLES), (
+        f"contracts.EXPECTED out of sync with tables.TABLES: "
+        f"missing={set(TABLES) - set(EXPECTED)}, "
+        f"stale={set(EXPECTED) - set(TABLES)}"
+    )
+
+
 def fixture_contract_report(spark: SparkSession, sf_dir: str) -> list[str]:
     """Every contract violation under ``sf_dir``, one message each.
 
     Checks only tables present on disk (partial dirs are a supported
-    input). Empty list = contract holds.
+    input) — but reports a violation if NO contract table exists at
+    all: a nonexistent or typo'd ``sf_dir`` must not read as a clean
+    contract. Empty list = contract holds.
     """
     import os
 
+    _check_catalog_sync()
     from pulsar_spark_spark.sources.tables import load_table
 
+    if not any(
+        os.path.exists(os.path.join(sf_dir, f"{t}.parquet")) for t in EXPECTED
+    ):
+        return [f"no fixture tables found under {sf_dir}"]
     problems: list[str] = []
     for table, expected in EXPECTED.items():
         if not os.path.exists(os.path.join(sf_dir, f"{table}.parquet")):

@@ -280,10 +280,27 @@ def _return_type(spark: SparkSession, params, col: Column) -> str:
     return probe.select(col).schema[0].dataType.simpleString()
 
 
-def register_functions(spark: SparkSession) -> list[str]:
-    """Register the scalar library for spark.sql use; returns the
-    registered names (expression UDFs first, then the pandas UDFs)."""
-    names: list[str] = []
+# procedural kernels registered as Arrow pandas UDFs (the slow path —
+# per-batch Python crossing; prefer hav_m/geohash7 when exact
+# Vincenty/var-precision semantics aren't required)
+_PANDAS_FUNCTIONS: dict = {
+    "vincenty_m": (
+        "lat1 DOUBLE, lng1 DOUBLE, lat2 DOUBLE, lng2 DOUBLE",
+        "double",
+        vincenty_udf,
+    ),
+    "geohash_enc": ("lat DOUBLE, lng DOUBLE, precision INT", "string", geohash_udf),
+}
+
+
+def function_surface(spark: SparkSession) -> list[dict]:
+    """The full registered-function surface as data: one dict per
+    function with name/signature/return type/tier, the derived SQL
+    body for expression functions, and the callable for pandas
+    functions. SINGLE source of truth — :func:`register_functions`
+    registers from it and tools/gen_functions.py documents from it,
+    so the two can't drift."""
+    rows: list[dict] = []
     for name, spec in _EXPR_FUNCTIONS.items():
         params = spec[0]
         if len(spec) == 3:  # explicit body
@@ -294,18 +311,43 @@ def register_functions(spark: SparkSession) -> list[str]:
             col = builder(*cols)
             body = _rewrite_lambdas(_expr_sql(spark, col))
             rtype = _return_type(spark, params, col)
-        sig = ", ".join(f"{n} {t}" for n, t in params)
-        spark.sql(
-            f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({sig}) "
-            f"RETURNS {rtype} RETURN {body}"
+        rows.append(
+            {
+                "name": name,
+                "signature": ", ".join(f"{n} {t}" for n, t in params),
+                "returns": rtype,
+                "tier": "expression",
+                "body": body,
+            }
         )
-        names.append(name)
-    # procedural kernels: Arrow-batched pandas UDFs (the slow path —
-    # per-batch Python crossing; prefer hav_m/geohash7 when exact
-    # Vincenty/var-precision semantics aren't required).
-    spark.udf.register("vincenty_m", vincenty_udf)
-    spark.udf.register("geohash_enc", geohash_udf)
-    names += ["vincenty_m", "geohash_enc"]
+    for name, (sig, rtype, fn) in _PANDAS_FUNCTIONS.items():
+        rows.append(
+            {
+                "name": name,
+                "signature": sig,
+                "returns": rtype,
+                "tier": "pandas",
+                "body": None,
+                "fn": fn,
+            }
+        )
+    return rows
+
+
+def register_functions(spark: SparkSession) -> list[str]:
+    """Register the scalar library for spark.sql use; returns the
+    registered names (expression UDFs first, then the pandas UDFs)."""
+    names: list[str] = []
+    for row in function_surface(spark):
+        if row["tier"] == "expression":
+            spark.sql(
+                f"CREATE OR REPLACE TEMPORARY FUNCTION "
+                f"{row['name']}({row['signature']}) "
+                f"RETURNS {row['returns']} RETURN {row['body']}"
+            )
+        else:
+            spark.udf.register(row["name"], row["fn"])
+        names.append(row["name"])
     return names
 
 

@@ -34,6 +34,15 @@ def test_contract_flags_drift_and_missing_columns(spark, tmp_path):
         assert_fixture_contract(spark, str(tmp_path))
 
 
+def test_contract_flags_empty_or_typod_dir(spark, tmp_path):
+    # a dir with no fixture tables at all (typo'd path, empty dir)
+    # must be a violation, not a clean pass
+    problems = fixture_contract_report(spark, str(tmp_path / "nope"))
+    assert problems == [f"no fixture tables found under {tmp_path / 'nope'}"]
+    with pytest.raises(AssertionError, match="no fixture tables"):
+        assert_fixture_contract(spark, str(tmp_path / "nope"))
+
+
 def test_contract_ignores_absent_tables_and_extra_columns(spark, tmp_path):
     # partial dir with only documents (plus an extra column) is clean
     docs = spark.read.parquet(os.path.join(SF_DIR_SMALL, "documents.parquet"))
