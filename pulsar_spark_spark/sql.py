@@ -378,12 +378,14 @@ def register_derived(spark: SparkSession, sf_dir: str) -> list[str]:
     :func:`register_tables` does for tables."""
     from pulsar_spark_spark.plans.geo import geo_events, geofences
 
+    from pyspark.errors import AnalysisException
+
     names = []
     for name, fn in (("geo_events", geo_events), ("geofences", geofences)):
         try:
             fn(spark, sf_dir).createOrReplaceTempView(name)
-        except Exception:
-            continue
+        except AnalysisException:  # missing source table only —
+            continue  # anything else is a real bug and must surface
         names.append(name)
     return names
 
@@ -396,14 +398,16 @@ def register_queries(spark: SparkSession, sf_dir: str) -> list[str]:
     absent under ``sf_dir`` are skipped (partial fixture dirs are a
     supported input — :func:`register_tables` already guards them), so
     one missing parquet doesn't abort the rest of the surface."""
+    from pyspark.errors import AnalysisException
+
     from pulsar_spark_spark.plans import QUERIES
 
     names = []
     for name, fn in QUERIES.items():
         try:
             fn(spark, sf_dir).createOrReplaceTempView(name)
-        except Exception:
-            continue
+        except AnalysisException:  # missing source table only —
+            continue  # anything else is a real bug and must surface
         names.append(name)
     return names
 
