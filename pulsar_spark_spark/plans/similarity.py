@@ -82,16 +82,32 @@ def _srp_hyperplanes(n_bits: int, dim: int = _EMB_DIM, seed: str = "srp") -> lis
     ]
 
 
-def sign_bucket(a: Column, n_bits: int, seed: str = "srp") -> Column:
+def sign_bucket(a_sql: str, n_bits: int, seed: str = "srp") -> Column:
     """SRP-LSH bucket key: n_bits sign bits of ±1 hyperplane dots,
     computed with the same sequential fold as :func:`dot` so the
     oracle twin (:func:`_sql_bucket`) is bit-identical. ``seed``
-    selects an independent hyperplane family (one per hash table)."""
+    selects an independent hyperplane family (one per hash table).
+
+    ``a_sql`` is the embedding column as a SQL fragment (usually just
+    the column name): the expression is built as ONE Spark-SQL string
+    parsed JVM-side in a single call. Building it with the Column API
+    instead costs n_bits × (dim + ~6) py4j round-trips — measured
+    ~1.4 s of DRIVER time per plan build at 4 tables × 4 bits × 64
+    dims, dwarfing the 0.1 s of executor work it encodes.
+    """
     bits = []
     for row in _srp_hyperplanes(n_bits, seed=seed):
-        r = F.array(*[F.lit(v) for v in row])
-        bits.append(F.when(dot(r, a) >= 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat(*bits)
+        lit = "array(" + ", ".join(f"{v:.1f}D" for v in row) + ")"
+        # twin of dot(): zip_with(plane, vec, x*y) then sequential fold
+        d = (
+            f"aggregate(zip_with({lit}, {a_sql}, "
+            "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            "0.0D, (acc, x) -> acc + x)"
+        )
+        bits.append(f"(CASE WHEN {d} >= 0 THEN '1' ELSE '0' END)")
+    return F.expr("concat(" + ", ".join(bits) + ")")
+
+
 
 
 # DuckDB twins of the expression builders -----------------------------
@@ -299,17 +315,28 @@ def lsh_topk(
                  multiprobe is on (same cost, independent trials)
     ===========  =================================================
     """
+    # the 64-float embedding is NOT carried through the table explode —
+    # the rerank re-joins it by id, so the banded relation stays
+    # (id, tbl, bucket)-narrow. (A single fused aggregate computing all
+    # L·n_bits dots in one array-accumulator pass was tried and is ~5×
+    # SLOWER than these per-bit folds: deeply nested higher-order
+    # functions fall out of whole-stage codegen, while the per-bit
+    # zip_with/aggregate pairs stay in it.)
     tables = [
-        (j, sign_bucket(col("embedding"), n_bits, seed="srp" if j == 0 else f"srp{j}"))
+        (j, sign_bucket("embedding", n_bits, seed="srp" if j == 0 else f"srp{j}"))
         for j in range(n_tables)
     ]
     emb_b = emb.select(
         "vec_id",
-        "embedding",
         F.explode(
-            F.array(*[F.struct(F.lit(j).alias("tbl"), b.alias("bucket")) for j, b in tables])
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("tbl"), b.alias("bucket"))
+                    for j, b in tables
+                ]
+            )
         ).alias("tb"),
-    ).select("vec_id", "embedding", col("tb.tbl").alias("tbl"), col("tb.bucket").alias("bucket"))
+    ).select("vec_id", col("tb.tbl").alias("tbl"), col("tb.bucket").alias("bucket"))
     q = emb_b.filter(col("vec_id") < n_queries).select(
         col("vec_id").alias("query_id"),
         col("tbl").alias("q_tbl"),
@@ -333,17 +360,28 @@ def lsh_topk(
         .select("query_id", col("vec_id").alias("neighbor_id"))
         .distinct()
     )
+    # norms are per-VECTOR quantities — compute them in the (small)
+    # side projections so a vector reached by several queries/tables
+    # pays its norm fold once, and the per-candidate work is one dot
     q_emb = emb.filter(col("vec_id") < n_queries).select(
-        col("vec_id").alias("query_id"), col("embedding").alias("q_emb")
+        col("vec_id").alias("query_id"),
+        col("embedding").alias("q_emb"),
+        l2_norm(col("embedding")).alias("q_norm"),
     )
-    n_emb = emb.select(col("vec_id").alias("neighbor_id"), col("embedding").alias("n_emb"))
+    n_emb = emb.select(
+        col("vec_id").alias("neighbor_id"),
+        col("embedding").alias("n_emb"),
+        l2_norm(col("embedding")).alias("n_norm"),
+    )
     scored = (
         cand.join(n_emb, "neighbor_id")
         .join(broadcast(q_emb), "query_id")
         .select(
             "query_id",
             "neighbor_id",
-            cosine(col("q_emb"), col("n_emb")).alias("cos_sim"),
+            (dot(col("q_emb"), col("n_emb")) / (col("q_norm") * col("n_norm"))).alias(
+                "cos_sim"
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc(), col("neighbor_id"))
@@ -382,7 +420,7 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the quadratic term.
     """
     emb = load_table(spark, "embeddings", sf_dir).withColumn(
-        "bucket", sign_bucket(col("embedding"), _LSH_BITS)
+        "bucket", sign_bucket("embedding", _LSH_BITS)
     )
     a = emb.select(
         col("vec_id").alias("vec_a"), col("embedding").alias("emb_a"), "bucket"

@@ -35,12 +35,13 @@ that is the training-data extension surface the brief asks for.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql.functions import col
 
 from pulsar_spark_spark.functions.text import (
     LANG_MARKERS,
     char_shingles,
+    clean_text,
     fingerprint64,
     lang_id,
     lsh_bands,
@@ -135,9 +136,20 @@ _N_HASHES = 16
 _N_BANDS = 4
 _ROWS_PER_BAND = 4
 _JACCARD_MIN = 0.8
+# Skew guard on the band self-join: a band bucket holding more than
+# _BAND_CAP DISTINCT texts is boilerplate (a bucket of k near-identical
+# headers generates k²/2 candidates), so it is dropped from candidate
+# generation — the same df-cap discipline as winnowing's hot-gram cap.
+# Exact duplicates never trip the cap: identical cleaned texts are
+# collapsed to ONE representative before banding, so a million-copy
+# page contributes one banded row and fans its pairs back out at the
+# end. Fixture band buckets max out at 5 reps (sf0.1), so 64 changes
+# nothing at test scale; at crawl scale it bounds per-bucket work at
+# CAP²/2 candidates.
+_BAND_CAP = 64
 
 
-def _near_dup_oracle() -> str:
+def _near_dup_oracle(band_cap: int = _BAND_CAP) -> str:
     from pulsar_spark_spark.functions.text import MINHASH_P, _mh_constants
 
     sigs = [
@@ -149,104 +161,228 @@ def _near_dup_oracle() -> str:
         f"{(b + 1) * _ROWS_PER_BAND}], ','))"
         for b in range(_N_BANDS)
     )
+    jac = (
+        "len(list_intersect(sa.hv, sb.hv))::DOUBLE"
+        " / len(list_distinct(list_concat(sa.hv, sb.hv)))"
+    )
     return f"""
-        WITH sh AS (
-            SELECT doc_id,
+        WITH keyed AS (
+            SELECT doc_id, md5({_SQL_CLEAN}) AS ckey FROM documents
+        ), grp AS (
+            SELECT ckey, min(doc_id) AS rep, count(*) AS grp_n
+            FROM keyed GROUP BY ckey
+        ), sh AS (
+            SELECT g.ckey, g.rep, g.grp_n,
                    list_distinct(list_transform(
                        {_sql_shingles(_SHINGLE_K)},
                        s -> {_sql_md5_i64('s')} % {MINHASH_P})) AS hv
-            FROM documents
+            FROM grp g JOIN documents d ON d.doc_id = g.rep
         ), sig AS (
-            SELECT doc_id, [{', '.join(sigs)}] AS sig
+            SELECT rep, [{', '.join(sigs)}] AS sig
             FROM sh
         ), banded AS (
-            SELECT doc_id, unnest([{band_exprs}]) AS band_key FROM sig
+            SELECT rep, unnest([{band_exprs}]) AS band_key FROM sig
+        ), capped AS (
+            SELECT rep, band_key FROM banded
+            QUALIFY count(*) OVER (PARTITION BY band_key) <= {band_cap}
         ), cand AS (
-            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM banded a JOIN banded b
-              ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+            SELECT DISTINCT a.rep AS rep_a, b.rep AS rep_b
+            FROM capped a JOIN capped b
+              ON a.band_key = b.band_key AND a.rep < b.rep
+            UNION ALL
+            SELECT rep, rep FROM sh WHERE grp_n > 1
+        ), verified AS (
+            SELECT sa.ckey AS ckey_a, sb.ckey AS ckey_b,
+                   c.rep_a, c.rep_b, {jac} AS j
+            FROM cand c
+            JOIN sh sa ON sa.rep = c.rep_a
+            JOIN sh sb ON sb.rep = c.rep_b
+            WHERE {jac} >= {_JACCARD_MIN}
         )
-        SELECT
-            c.doc_a AS doc_a,
-            c.doc_b AS doc_b,
-            round(len(list_intersect(sa.hv, sb.hv))::DOUBLE
-                  / len(list_distinct(list_concat(sa.hv, sb.hv))), 4)
-                AS jaccard
-        FROM cand c
-        JOIN sh sa ON sa.doc_id = c.doc_a
-        JOIN sh sb ON sb.doc_id = c.doc_b
-        WHERE len(list_intersect(sa.hv, sb.hv))::DOUBLE
-              / len(list_distinct(list_concat(sa.hv, sb.hv)))
-              >= {_JACCARD_MIN}
+        SELECT least(ma.doc_id, mb.doc_id)    AS doc_a,
+               greatest(ma.doc_id, mb.doc_id) AS doc_b,
+               round(v.j, 4)                  AS jaccard
+        FROM verified v
+        JOIN keyed ma ON ma.ckey = v.ckey_a
+        JOIN keyed mb ON mb.ckey = v.ckey_b
+        WHERE v.rep_a <> v.rep_b OR ma.doc_id < mb.doc_id
         ORDER BY doc_a, doc_b
     """
 
 
-def near_dup_pairs(docs: DataFrame) -> DataFrame:
-    """Near-duplicate pairs: MinHash → LSH bands → exact-Jaccard verify.
+def near_dup_pairs(docs: DataFrame, band_cap: int = _BAND_CAP) -> DataFrame:
+    """Near-duplicate pairs: exact-text collapse → MinHash → capped LSH
+    bands → exact-Jaccard verify → fan out to member pairs.
 
-    The 100 TB shape: the ONLY join key is the band hash (4 bands × 4
-    rows over 16 minhashes — candidate prob ≈ 0.99 at J=0.9, ≈ 0.88 at
-    J=0.8, <0.1% for unrelated docs once 8-char shingles decorrelate
-    them), so work is O(candidates), never O(n²). The exact-Jaccard
-    rerank runs only on candidate pairs. Both the signature scheme and
-    the banding are md5-based, hence bit-identical in the oracle.
+    The 100 TB shape, with BOTH skew guards a dirty crawl needs:
+
+    1. **Exact-duplicate collapse.** Identical cleaned texts share
+       every band by construction, so a k-copy page would put k rows
+       in the same band bucket and make the band self-join emit k²/2
+       candidate rows *through the shuffle*. Instead, docs are grouped
+       by md5(cleaned text) first and ONE representative per group is
+       shingled/banded; verified pairs fan back out to members at the
+       very end (within-group pairs go through the same Jaccard verify
+       via a (rep, rep) self-candidate, so their jaccard value is
+       computed by the identical expression, not assumed 1.0). The
+       expensive work (per-shingle md5, signatures, banding, rerank)
+       is paid once per UNIQUE text.
+    2. **Band-bucket cap.** Among distinct texts, a band bucket with
+       more than ``band_cap`` reps is boilerplate (shared headers /
+       templates) whose candidates are almost all false positives;
+       such buckets are dropped before the self-join — bounded
+       per-bucket work, the same discipline as winnowing's hot-gram
+       df cap. Any true pair in a dropped bucket can still surface
+       via its other ``_N_BANDS - 1`` bands.
+
+    After the guards, the ONLY join keys are the text hash and the
+    band hash (4 bands × 4 rows over 16 minhashes — candidate prob
+    ≈ 0.99 at J=0.9, ≈ 0.88 at J=0.8), so work is O(candidates) in
+    unique texts, never O(n²) in documents. Everything is md5-based,
+    hence bit-identical in the oracle (which mirrors the collapse,
+    cap, and fan-out step for step).
+    """
+    keyed, sh, cand = near_dup_candidates(docs, band_cap)
+    sa = sh.select(
+        col("rep").alias("rep_a"), col("hv").alias("sh_a"), col("ckey").alias("ckey_a")
+    )
+    sb = sh.select(
+        col("rep").alias("rep_b"), col("hv").alias("sh_b"), col("ckey").alias("ckey_b")
+    )
+    jac = F.size(F.array_intersect(col("sh_a"), col("sh_b"))).cast("double") / F.size(
+        F.array_union(col("sh_a"), col("sh_b"))
+    )
+    # verified is the tiny end of the funnel; materializing it means
+    # the downstream orderBy's range-sampling pass (and any other
+    # re-read) replays only the fan-out joins, not the whole
+    # LSH/verify chain
+    verified = (
+        cand.join(sa, "rep_a")
+        .join(sb, "rep_b")
+        .withColumn("jaccard", jac)
+        .filter(col("jaccard") >= _JACCARD_MIN)
+        .select("ckey_a", "ckey_b", "rep_a", "rep_b", "jaccard")
+        .transform(materialize)
+    )
+    ma = keyed.select(col("ckey").alias("ckey_a"), col("doc_id").alias("m_a"))
+    mb = keyed.select(col("ckey").alias("ckey_b"), col("doc_id").alias("m_b"))
+    # verified is candidate-sized (tiny vs the corpus) — broadcast it
+    # so the fan-out never shuffles the membership relation
+    return (
+        ma.join(F.broadcast(verified), "ckey_a")
+        .join(mb, "ckey_b")
+        .filter((col("rep_a") != col("rep_b")) | (col("m_a") < col("m_b")))
+        .select(
+            F.least("m_a", "m_b").alias("doc_a"),
+            F.greatest("m_a", "m_b").alias("doc_b"),
+            F.round("jaccard", 4).alias("jaccard"),
+        )
+    )
+
+
+def near_dup_candidates(
+    docs: DataFrame, band_cap: int = _BAND_CAP
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Candidate-generation stage of :func:`near_dup_pairs`, exposed so
+    the skew guards are testable in isolation.
+
+    Returns ``(keyed, sh, cand)``: the doc→text-group mapping, the
+    per-unique-text shingle-hash relation (ckey, rep, grp_n, hv), and
+    the candidate REP pairs (rep_a, rep_b) after exact-dup collapse and
+    the band-bucket cap — ``|cand|`` is the quantity the guards bound.
     """
     spark = docs.sparkSession
-    # The corpus arrives as few parquet splits, so without an explicit
-    # spread the md5-per-shingle map work runs in one task; repartition
-    # by doc_id before the expensive projection. The md5 is paid ONCE
-    # per shingle here (shingle_hashes) — Spark does not CSE through
-    # higher-order lambdas, so hashing inside each of the 16
-    # permutations would cost 16×. X4: the hashed relation then feeds
-    # three consumers (signature, left/right sides of the Jaccard
-    # rerank) — materialize it once via a LAZY localCheckpoint rather
-    # than .cache(): a catalog cache is pinned until someone calls
-    # unpersist (which a query that returns a lazy plan can never do),
-    # while checkpoint blocks are reclaimed by the ContextCleaner as
-    # soon as the plan is garbage-collected. Caveat at cluster scale:
-    # localCheckpoint blocks are not recomputable on executor loss —
-    # acceptable for a single-query scratch relation.
+    # doc → text-group membership, for the final fan-out. Narrow
+    # (doc_id, ckey) relation consumed by both fan-out sides —
+    # materialized so the corpus text is not re-scanned/re-hashed per
+    # consumer.
+    keyed = (
+        docs.select(col("doc_id"), F.md5(clean_text(col("text"))).alias("ckey"))
+        .transform(materialize)
+    )
+    # ONE text shuffle total (same count as the unguarded pipeline's
+    # doc_id spread, now keyed by ckey so copies co-locate), and it is
+    # an AGGREGATE, not a window: min_by/min/count all combine
+    # map-side, so a million-copy page ships one partial row per map
+    # task instead of a million rows into one sorted partition — the
+    # skew-safe shape for the collapse itself. min_by keeps the min-id
+    # member's text (any member's would do — identical cleaned text —
+    # but min_by keeps the plan deterministic).
+    # The explicit respread matters: AQE coalesces the small post-agg
+    # shuffle output to very few partitions, which would serialize the
+    # expensive md5-per-shingle projection below.
     n_spread = spark.sparkContext.defaultParallelism * 2
-    sh = (
-        docs.repartition(n_spread, col("doc_id"))
-        .select(
+    reps = (
+        docs.select(
             col("doc_id"),
+            col("text"),
+            F.md5(clean_text(col("text"))).alias("ckey"),
+        )
+        .groupBy("ckey")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("grp_n"),
+            F.min_by("text", "doc_id").alias("text"),
+        )
+        .repartition(n_spread, col("doc_id"))
+    )
+    # The md5 is paid ONCE per shingle here (shingle_hashes) — Spark
+    # does not CSE through higher-order lambdas, so hashing inside each
+    # of the 16 permutations would cost 16×. X4: the hashed relation
+    # then feeds four consumers (signature, both sides of the Jaccard
+    # rerank, the self-candidate arm) — materialize it once via a LAZY
+    # localCheckpoint rather than .cache(): a catalog cache is pinned
+    # until someone calls unpersist (which a query that returns a lazy
+    # plan can never do), while checkpoint blocks are reclaimed by the
+    # ContextCleaner as soon as the plan is garbage-collected. Caveat
+    # at cluster scale: localCheckpoint blocks are not recomputable on
+    # executor loss — acceptable for a single-query scratch relation.
+    sh = (
+        reps.select(
+            "ckey",
+            col("doc_id").alias("rep"),
+            "grp_n",
             shingle_hashes(char_shingles(col("text"), _SHINGLE_K)).alias("hv"),
         )
         .transform(materialize)
     )
     sig = sh.select(
-        "doc_id",
+        "rep",
         minhash_signature_from_hashes(col("hv"), _N_HASHES).alias("sig"),
     )
     banded = sig.select(
-        "doc_id",
+        "rep",
         F.explode(lsh_bands(col("sig"), _N_BANDS, _ROWS_PER_BAND)).alias("band_key"),
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    cand = (
+    # Hot-bucket cap: one count over the band key (the window shuffle
+    # pre-partitions both sides of the following self-join, which
+    # reuses the same hashpartitioning(band_key)).
+    capped = (
+        banded.withColumn(
+            "bn", F.count(F.lit(1)).over(Window.partitionBy("band_key"))
+        )
+        .filter(col("bn") <= band_cap)
+        .drop("bn")
+    )
+    a = capped.alias("a")
+    b = capped.alias("b")
+    cross = (
         a.join(
             b,
             (col("a.band_key") == col("b.band_key"))
-            & (col("a.doc_id") < col("b.doc_id")),
+            & (col("a.rep") < col("b.rep")),
         )
-        .select(col("a.doc_id").alias("doc_a"), col("b.doc_id").alias("doc_b"))
+        .select(col("a.rep").alias("rep_a"), col("b.rep").alias("rep_b"))
         .distinct()
     )
-    sa = sh.select(col("doc_id").alias("doc_a"), col("hv").alias("sh_a"))
-    sb = sh.select(col("doc_id").alias("doc_b"), col("hv").alias("sh_b"))
-    jac = F.size(F.array_intersect(col("sh_a"), col("sh_b"))).cast("double") / F.size(
-        F.array_union(col("sh_a"), col("sh_b"))
+    # multi-member groups verify once against themselves (rep, rep) —
+    # the fan-out in near_dup_pairs turns that row into all
+    # within-group pairs
+    self_cand = sh.filter(col("grp_n") > 1).select(
+        col("rep").alias("rep_a"), col("rep").alias("rep_b")
     )
-    return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("jaccard", jac)
-        .filter(col("jaccard") >= _JACCARD_MIN)
-        .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
-    )
+    cand = cross.unionByName(self_cand)
+    return keyed, sh, cand
 
 
 @query("doc_near_dup_pairs", oracle=_near_dup_oracle())

@@ -66,3 +66,76 @@ def test_dedup_corpus_keeps_canonical_per_cluster(spark):
     all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
     assert kept == all_ids - expect_dropped
     assert expect_dropped and expect_dropped.isdisjoint(kept)
+
+
+# ---------------------------------------------------------------------
+# near-dup skew guards (round-7: exact-dup collapse + band-bucket cap)
+# ---------------------------------------------------------------------
+def _copy_heavy_corpus(spark, n_copies=1000, n_distinct=50):
+    """Adversarial crawl shard: n_copies exact copies of one page plus
+    n_distinct unrelated docs — the shape that made the unguarded band
+    self-join quadratic (all copies share all 4 bands)."""
+    page = (
+        "breaking news local weather sports scores traffic updates "
+        "subscribe today for unlimited digital access to our journalism"
+    )
+    rows = [(i, page) for i in range(n_copies)]
+    for j in range(n_distinct):
+        # clean_text strips digits, so uniqueness must be alphabetic
+        tag = "".join(chr(ord("a") + int(c)) for c in str(j).zfill(3))
+        rows.append(
+            (
+                n_copies + j,
+                f"entirely unrelated document number{tag} covering topic{tag} "
+                f"with distinctive vocabulary item{tag}x item{tag}y item{tag}z",
+            )
+        )
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+def test_exact_dup_collapse_bounds_candidates(spark):
+    """1000 copies of one doc must contribute ONE banded representative
+    and ONE (rep, rep) self-candidate — never 1000²/2 pairs through the
+    band-join shuffle."""
+    from pulsar_spark_spark.plans.text import near_dup_candidates
+
+    docs = _copy_heavy_corpus(spark)
+    keyed, sh, cand = near_dup_candidates(docs)
+    assert sh.count() == 51  # one rep per unique text
+    cands = [(r["rep_a"], r["rep_b"]) for r in cand.collect()]
+    # the copy group appears exactly once, as its own self-candidate
+    assert cands.count((0, 0)) == 1
+    # total candidates bounded by unique-text pairs, not doc pairs
+    assert len(cands) <= 51 * 50 // 2 + 1
+
+
+def test_exact_dup_fanout_emits_all_member_pairs(spark):
+    """The collapse is an optimization, not a semantics change: every
+    within-group pair must still come out, at jaccard 1.0."""
+    from pulsar_spark_spark.plans.text import near_dup_pairs
+
+    docs = _copy_heavy_corpus(spark, n_copies=60, n_distinct=10)
+    out = near_dup_pairs(docs).collect()
+    pairs = {(r["doc_a"], r["doc_b"]) for r in out}
+    want = {(a, b) for a in range(60) for b in range(a + 1, 60)}
+    assert pairs == want
+    assert all(r["jaccard"] == 1.0 for r in out)
+
+
+def test_band_cap_drops_boilerplate_bucket(spark):
+    """More than band_cap DISTINCT texts in one band bucket → the
+    bucket is dropped from candidate generation (hot-template guard)."""
+    from pulsar_spark_spark.plans.text import near_dup_candidates
+
+    base = (
+        "terms of service privacy policy cookie preferences copyright "
+        "all rights reserved contact us careers advertise newsletter "
+        "signup follow us on social media download our mobile app"
+    )
+    rows = [(i, f"{base} page{chr(ord('a') + i)}") for i in range(12)]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    _, _, capped = near_dup_candidates(docs, band_cap=2)
+    _, _, uncapped = near_dup_candidates(docs, band_cap=10_000)
+    n_capped, n_uncapped = capped.count(), uncapped.count()
+    assert n_uncapped > 0  # near-identical texts do share band buckets
+    assert n_capped < n_uncapped  # the cap trims the hot buckets
