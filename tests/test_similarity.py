@@ -107,3 +107,52 @@ def test_lsh_bits_recall_tradeoff(spark, emb, exact):
     r6 = _recall(_lsh(emb, n_bits=6).collect(), exact)
     assert r2 >= r4 >= r6
     assert r2 >= 0.3  # 2 bits ≈ quarter-corpus buckets
+
+
+# ---------------------------------------------------------------------
+# on-disk IVF index cache (round-7: registered query = serving shape)
+# ---------------------------------------------------------------------
+def test_registered_ivf_matches_in_memory_build(spark, tmp_path):
+    """The cache-served registered query must return exactly the
+    in-memory construction demo's rows."""
+    from pulsar_spark_spark.plans import similarity as sim
+
+    served = sim.ensure_ivf_index(spark, SF_DIR, index_root=str(tmp_path))
+    emb = load_table(spark, "embeddings", SF_DIR)
+    from pyspark.sql.functions import col
+
+    queries = emb.filter(col("vec_id") < sim._N_QUERIES).select(
+        col("vec_id").alias("query_id"), col("embedding").alias("q_emb")
+    )
+    got = [tuple(r) for r in sim.ivf_probe_index(spark, served, queries).collect()]
+    want = [tuple(r) for r in ivf_topk(emb).collect()]
+    assert got == want
+
+
+def test_ivf_index_cache_reused_and_invalidated(spark, tmp_path, monkeypatch):
+    """Second ensure with an unchanged corpus must NOT rebuild; a
+    changed source fingerprint must."""
+    from pulsar_spark_spark.plans import similarity as sim
+
+    calls = []
+    real_build = sim.build_ivf_index
+
+    def counting_build(emb, index_dir, n_centroids=sim._N_CENTROIDS):
+        calls.append(index_dir)
+        real_build(emb, index_dir, n_centroids)
+
+    monkeypatch.setattr(sim, "build_ivf_index", counting_build)
+    root = str(tmp_path)
+    idx1 = sim.ensure_ivf_index(spark, SF_DIR, index_root=root)
+    assert len(calls) == 1
+    idx2 = sim.ensure_ivf_index(spark, SF_DIR, index_root=root)
+    assert idx2 == idx1 and len(calls) == 1  # cache hit, no rebuild
+    # simulate a corpus change: perturb the recorded fingerprint
+    import json, os
+
+    meta = os.path.join(idx1, "_SOURCE.json")
+    m = json.load(open(meta))
+    next(iter(m["files"].values()))[0] += 1
+    json.dump(m, open(meta, "w"))
+    sim.ensure_ivf_index(spark, SF_DIR, index_root=root)
+    assert len(calls) == 2  # stale fingerprint → rebuilt
