@@ -94,11 +94,13 @@ def _check_catalog_sync() -> None:
     escape the drift gate."""
     from pulsar_spark_spark.sources.tables import TABLES
 
-    assert set(EXPECTED) == set(TABLES), (
-        f"contracts.EXPECTED out of sync with tables.TABLES: "
-        f"missing={set(TABLES) - set(EXPECTED)}, "
-        f"stale={set(EXPECTED) - set(TABLES)}"
-    )
+    if set(EXPECTED) != set(TABLES):  # explicit raise: `python -O`
+        # strips asserts, and this gate must survive optimized runs
+        raise RuntimeError(
+            f"contracts.EXPECTED out of sync with tables.TABLES: "
+            f"missing={set(TABLES) - set(EXPECTED)}, "
+            f"stale={set(EXPECTED) - set(TABLES)}"
+        )
 
 
 def fixture_contract_report(spark: SparkSession, sf_dir: str) -> list[str]:

@@ -334,20 +334,78 @@ def function_surface(spark: SparkSession) -> list[dict]:
     return rows
 
 
+def _require_classic(spark: SparkSession) -> None:
+    """Fail with a diagnosable message on Spark Connect sessions: the
+    derivation rides classic-only private handles (spark._jsparkSession,
+    col._jc), which Connect replaces with opaque proxies."""
+    if not hasattr(spark, "_jsparkSession"):
+        raise RuntimeError(
+            "pulsar_spark_spark.sql requires a CLASSIC SparkSession: the "
+            "SQL-UDF bodies are derived from the live Column builders via "
+            "SparkSession.expression(...).sql(), which Spark Connect does "
+            "not expose. Use a non-remote session for register_all / "
+            "register_functions (the DataFrame surface works on either)."
+        )
+
+
+def _derivation_error(exc: Exception) -> RuntimeError:
+    import pyspark
+
+    return RuntimeError(
+        "pulsar_spark_spark.sql: SQL-surface derivation failed on pyspark "
+        f"{pyspark.__version__}. The surface is derived from live Column "
+        "builders through the private SparkSession.expression(...).sql() "
+        "renderer plus the lambdafunction(...) rewrite; a Spark "
+        "minor-version change to either breaks it. The DataFrame surface "
+        f"is unaffected. Underlying error: {exc!r}"
+    )
+
+
 def register_functions(spark: SparkSession) -> list[str]:
     """Register the scalar library for spark.sql use; returns the
-    registered names (expression UDFs first, then the pandas UDFs)."""
+    registered names (expression UDFs first, then the pandas UDFs).
+
+    Guarded three ways against Spark-version drift (the bodies are
+    derived through a private API — see module docstring): Connect
+    sessions are rejected up front with a clear message; any failure
+    while rendering or re-parsing a derived body raises a loud
+    RuntimeError naming the pyspark version instead of a bare
+    AttributeError/ParseException; and two known-value probes (one
+    plain expression, one lambda-bearing) run after registration so a
+    rendering change that PARSES but mis-translates is also caught at
+    register time, never silently at query time."""
+    _require_classic(spark)
     names: list[str] = []
-    for row in function_surface(spark):
+    try:
+        rows = function_surface(spark)
+    except Exception as e:  # noqa: BLE001 — private-API breakage surfaces here
+        raise _derivation_error(e) from e
+    for row in rows:
         if row["tier"] == "expression":
-            spark.sql(
-                f"CREATE OR REPLACE TEMPORARY FUNCTION "
-                f"{row['name']}({row['signature']}) "
-                f"RETURNS {row['returns']} RETURN {row['body']}"
-            )
+            try:
+                spark.sql(
+                    f"CREATE OR REPLACE TEMPORARY FUNCTION "
+                    f"{row['name']}({row['signature']}) "
+                    f"RETURNS {row['returns']} RETURN {row['body']}"
+                )
+            except Exception as e:  # noqa: BLE001
+                raise _derivation_error(e) from e
         else:
             spark.udf.register(row["name"], row["fn"])
         names.append(row["name"])
+    # value probes: clean_text is a plain expression; cos_sim carries
+    # zip_with/aggregate lambdas through the rewrite. Exact equality —
+    # 25.0/(5.0*5.0) is exactly 1.0 in binary floating point.
+    probes = (
+        ("SELECT clean_text('A1b c!')", "ab c"),
+        ("SELECT cos_sim(array(3.0F, 4.0F), array(3.0F, 4.0F))", 1.0),
+    )
+    for sql_text, want in probes:
+        got = spark.sql(sql_text).first()[0]
+        if got != want:
+            raise _derivation_error(
+                AssertionError(f"probe {sql_text!r} returned {got!r}, want {want!r}")
+            )
     return names
 
 
@@ -368,6 +426,22 @@ def register_tables(spark: SparkSession, sf_dir: str) -> list[str]:
     return names
 
 
+_MISSING_INPUT_CLASSES = {"PATH_NOT_FOUND", "TABLE_OR_VIEW_NOT_FOUND"}
+
+
+def _is_missing_input(e: Exception) -> bool:
+    """True only for the absent-source AnalysisExceptions that a
+    partial fixture dir legitimately produces; every other analysis
+    error (unresolved column, bad view SQL) is a real plan bug and is
+    re-raised by the callers."""
+    from pyspark.errors import AnalysisException
+
+    return (
+        isinstance(e, AnalysisException)
+        and (e.getErrorClass() or "") in _MISSING_INPUT_CLASSES
+    )
+
+
 def register_derived(spark: SparkSession, sf_dir: str) -> list[str]:
     """Temp views for the engine's derived relations — the ones SQL
     users actually want to query: ``geo_events`` (events + the
@@ -378,14 +452,14 @@ def register_derived(spark: SparkSession, sf_dir: str) -> list[str]:
     :func:`register_tables` does for tables."""
     from pulsar_spark_spark.plans.geo import geo_events, geofences
 
-    from pyspark.errors import AnalysisException
-
     names = []
     for name, fn in (("geo_events", geo_events), ("geofences", geofences)):
         try:
             fn(spark, sf_dir).createOrReplaceTempView(name)
-        except AnalysisException:  # missing source table only —
-            continue  # anything else is a real bug and must surface
+        except Exception as e:
+            if not _is_missing_input(e):  # real plan bug → surface
+                raise
+            continue
         names.append(name)
     return names
 
@@ -398,16 +472,16 @@ def register_queries(spark: SparkSession, sf_dir: str) -> list[str]:
     absent under ``sf_dir`` are skipped (partial fixture dirs are a
     supported input — :func:`register_tables` already guards them), so
     one missing parquet doesn't abort the rest of the surface."""
-    from pyspark.errors import AnalysisException
-
     from pulsar_spark_spark.plans import QUERIES
 
     names = []
     for name, fn in QUERIES.items():
         try:
             fn(spark, sf_dir).createOrReplaceTempView(name)
-        except AnalysisException:  # missing source table only —
-            continue  # anything else is a real bug and must surface
+        except Exception as e:
+            if not _is_missing_input(e):  # real plan bug → surface
+                raise
+            continue
         names.append(name)
     return names
 

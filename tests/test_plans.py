@@ -62,10 +62,10 @@ def test_interval_join_is_equi_join_with_range_residual(spark):
 
 def test_user_sessions_single_shuffle_for_both_windows(spark):
     plan = plan_of(QUERIES["user_sessions"](spark, SF_DIR))
-    # both window passes AND the (user_id, session_id) aggregate share
-    # ONE hashpartitioning(user_id) exchange (partitioning by a key
-    # subset satisfies the aggregate's clustering); the only other
-    # exchange is the final presentation sort
+    # the session_window aggregate and the session-numbering
+    # row_number window share ONE hashpartitioning(user_id) exchange
+    # (partitioning by a key subset satisfies the aggregate's
+    # clustering); the only other exchange is the presentation sort
     assert plan.count("hashpartitioning(user_id") == 1, plan
 
 

@@ -416,3 +416,85 @@ def test_query_views_compose(sql_spark):
         "GROUP BY user_id ORDER BY n_sessions DESC, user_id LIMIT 5"
     ).collect()
     assert len(top) == 5 and all(r["n_sessions"] >= 1 for r in top)
+
+
+# ---------------------------------------------------------------------
+# version-drift guards (round 7): the derivation rides a private API;
+# any change must fail LOUDLY at registration, never silently
+# ---------------------------------------------------------------------
+def test_connect_session_rejected_with_clear_error():
+    from pulsar_spark_spark import sql as psql
+
+    class FakeConnectSession:  # no _jsparkSession attribute
+        pass
+
+    with pytest.raises(RuntimeError, match="CLASSIC SparkSession"):
+        psql._require_classic(FakeConnectSession())
+
+
+def test_rendering_change_fails_loudly_not_silently(spark, monkeypatch):
+    """Simulate a Catalyst rendering change: lambdas left in the
+    unparseable lambdafunction(...) form. register_functions must
+    raise the versioned RuntimeError (from the CREATE parse failure),
+    not register a broken surface."""
+    from pulsar_spark_spark import sql as psql
+
+    monkeypatch.setattr(psql, "_rewrite_lambdas", lambda s: s)
+    with pytest.raises(RuntimeError, match="derivation failed on pyspark"):
+        psql.register_functions(spark)
+    # restore a working surface for later tests in the session
+    monkeypatch.undo()
+    assert "cos_sim" in psql.register_functions(spark)
+
+
+def test_private_api_loss_fails_loudly(spark, monkeypatch):
+    from pulsar_spark_spark import sql as psql
+
+    def broken(spark_, col_):
+        raise AttributeError("'SparkSession' object has no attribute 'expression'")
+
+    monkeypatch.setattr(psql, "_expr_sql", broken)
+    with pytest.raises(RuntimeError, match="derivation failed on pyspark"):
+        psql.register_functions(spark)
+
+
+def test_semantic_drift_probe_catches_wrong_values(spark, monkeypatch):
+    """A rendering change that still parses AND type-checks but alters
+    semantics must trip the known-value probes."""
+    from pulsar_spark_spark import sql as psql
+
+    real_surface = psql.function_surface
+
+    def tampered_surface(spark_):
+        rows = real_surface(spark_)
+        for r in rows:
+            if r["name"] == "clean_text":
+                # type-valid (STRING->STRING), registers fine, wrong values
+                r["body"] = f"upper({r['body']})"
+        return rows
+
+    monkeypatch.setattr(psql, "function_surface", tampered_surface)
+    with pytest.raises(RuntimeError, match="probe"):
+        psql.register_functions(spark)
+    monkeypatch.undo()
+    psql.register_functions(spark)  # leave the session surface healthy
+
+
+def test_register_queries_reraises_real_plan_bugs(spark, monkeypatch, tmp_path):
+    """Only missing-input AnalysisExceptions are skipped; a genuine
+    plan bug (unresolved column) must propagate."""
+    from pulsar_spark_spark import sql as psql
+    from pulsar_spark_spark.plans import QUERIES
+
+    def broken_query(spark_, sf_dir_):
+        from pulsar_spark_spark.sources.tables import load_table
+
+        return load_table(spark_, "events", sf_dir_).select("no_such_column")
+
+    monkeypatch.setitem(QUERIES, "zz_broken_probe", broken_query)
+    with pytest.raises(Exception, match="no_such_column|UNRESOLVED"):
+        psql.register_queries(spark, SF_DIR_SMALL)
+    monkeypatch.undo()
+    # and a missing-source dir still skips quietly (partial fixtures)
+    names = psql.register_queries(spark, str(tmp_path))
+    assert names == []
