@@ -193,7 +193,7 @@ def main(filters) -> None:
     if have_sf10:
         tail += (
             f" — **100×: geomean ×{summary.get('geomean_ratio_sf10')}, "
-            f"worst ×{summary.get('worst_ratio_sf10')}** (subset, single run)"
+            f"worst ×{summary.get('worst_ratio_sf10')}** (all heavy queries, single pass)"
         )
     lines += [tail + ".", ""]
     with open(os.path.join(ROOT, "SCALE.md"), "w") as f:
