@@ -102,3 +102,123 @@ def save_kernel_points(
     save_bucketed(
         points, table, "user_id", n_buckets, sort_cols=("user_id",), path=path
     )
+
+
+# ---------------------------------------------------------------------
+# Bucketed keyed-upsert state (round 7): the streaming state table as
+# a bucketed layout, so the per-batch merge never reshuffles the state
+# ---------------------------------------------------------------------
+def _versions_meta(path_base: str):
+    import os
+
+    from pulsar_spark_spark.sources.sinks import _POINTER, _current_version
+
+    os.makedirs(path_base, exist_ok=True)
+    return _POINTER, _current_version(path_base)
+
+
+def merge_with_state(
+    state: DataFrame, new_rows: DataFrame, key: str, version_col: str
+) -> DataFrame:
+    """The keyed merge at the heart of :func:`upsert_bucketed`: a
+    full-outer join on the key, per-column winner by (version, new
+    wins ties). Exposed so the plan shape is pinnable in tests — with
+    a bucketed ``state`` the join's state side carries NO Exchange."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.functions import col
+
+    cols = new_rows.columns
+    n = new_rows.alias("n")
+    s = state.alias("s")
+    take_new = col(f"n.{version_col}").isNotNull() & (
+        col(f"s.{version_col}").isNull()
+        | (col(f"n.{version_col}") >= col(f"s.{version_col}"))
+    )
+    return s.join(n, [key], "full_outer").select(
+        col(key),
+        *[
+            F.when(take_new, col(f"n.{c}")).otherwise(col(f"s.{c}")).alias(c)
+            for c in cols
+            if c != key
+        ],
+    )
+
+
+def upsert_bucketed(
+    new_rows: DataFrame,
+    table_base: str,
+    path_base: str,
+    key: str,
+    version_col: str,
+    n_buckets: int = 16,
+) -> None:
+    """Keyed upsert where the state side is a BUCKETED table.
+
+    Same versioned-pointer crash-safety contract as
+    sources/sinks.py::upsert_parquet (write new version → atomic
+    pointer replace → prune with one grace version), but the merge is
+    a full-outer JOIN on the key instead of a union+window: the
+    existing state arrives bucket-partitioned from the catalog scan —
+    ZERO Exchange on the state side, pinned in tests/test_bucketed.py
+    — and only the (small) micro-batch shuffles, to the bucket count.
+    At 100 TB state vs MB-sized batches this deletes the dominant
+    per-batch shuffle of the plain sink, which re-partitions the whole
+    accumulated state every batch. The new version is written back
+    bucketed on the same key, so the NEXT batch gets the same
+    property — the state never pays a hash Exchange again after its
+    first write.
+
+    Contract difference vs upsert_parquet: ``new_rows`` must be unique
+    per key (both engine producers — the rescore record and the dedup
+    upsert — aggregate per key before the sink). New rows win version
+    ties, matching the plain sink's replay idempotence.
+    """
+    import shutil
+    import uuid
+
+    spark = new_rows.sparkSession
+    import os
+
+    pointer_name, current = _versions_meta(path_base)
+    if current is not None:
+        state = spark.table(f"{table_base}_{current}")
+        merged = merge_with_state(state, new_rows, key, version_col)
+    else:
+        merged = new_rows
+    vid = f"v_{uuid.uuid4().hex}"
+    save_bucketed(
+        merged,
+        f"{table_base}_{vid}",
+        key,
+        n_buckets,
+        sort_cols=(key,),
+        path=os.path.join(path_base, vid),
+    )
+    ptr_tmp = os.path.join(path_base, f".{pointer_name}.{uuid.uuid4().hex}")
+    with open(ptr_tmp, "w", encoding="utf-8") as f:
+        f.write(vid)
+    os.replace(ptr_tmp, os.path.join(path_base, pointer_name))
+    # prune superseded versions (keep the grace predecessor), catalog
+    # entries included
+    keep = {vid, current, pointer_name}
+    for entry in os.listdir(path_base):
+        if entry in keep:
+            continue
+        full = os.path.join(path_base, entry)
+        if os.path.isdir(full):
+            spark.sql(f"DROP TABLE IF EXISTS {table_base}_{entry}")
+            shutil.rmtree(full, ignore_errors=True)
+        elif entry.startswith(f".{pointer_name}."):
+            os.remove(full)
+
+
+def read_upsert_bucketed(spark: SparkSession, table_base: str, path_base: str) -> DataFrame:
+    """Read back the current version of an upsert_bucketed state table
+    (bucket metadata rides the catalog, so downstream key-joins and
+    aggregates skip their Exchange)."""
+    from pulsar_spark_spark.sources.sinks import _current_version
+
+    current = _current_version(path_base)
+    if current is None:
+        raise FileNotFoundError(f"no committed state under {path_base}")
+    return spark.table(f"{table_base}_{current}")

@@ -210,6 +210,8 @@ def run_geotag_rescore_stream(
     state_path: str,
     checkpoint_dir: str,
     history_cap: int = 100,
+    state_table: str | None = None,
+    n_buckets: int = 16,
 ) -> StreamingQuery:
     """The reference's flagship streaming app, composed end-to-end:
     point stream → per-key history merge → G1 re-score → keyed upsert
@@ -234,8 +236,20 @@ def run_geotag_rescore_stream(
        batch rebuilds identical records at the same version, and new
        rows win version ties, so the T3 commit-after-write contract
        holds without the reference's failure window.
+
+    With ``state_table`` set, the state lives as a BUCKETED catalog
+    table (sources/bucketed.py::upsert_bucketed): both the step-1
+    semi-join and the step-4 merge then read the accumulated state
+    bucket-partitioned on user_id with ZERO hash Exchange — only the
+    micro-batch shuffles. At 100 TB of state vs MB-scale batches,
+    that is the dominant per-batch shuffle deleted (pinned in
+    tests/test_bucketed.py).
     """
     from pulsar_spark_spark.operators.grouped import apply_best_latlng
+    from pulsar_spark_spark.sources.bucketed import (
+        read_upsert_bucketed,
+        upsert_bucketed,
+    )
     from pulsar_spark_spark.sources.sinks import read_upsert_table
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -244,7 +258,11 @@ def run_geotag_rescore_stream(
             "user_id", "event_id", "ts_ms", "lat", "lng", "accuracy"
         )
         try:
-            state = read_upsert_table(spark, state_path)
+            state = (
+                read_upsert_bucketed(spark, state_table, state_path)
+                if state_table
+                else read_upsert_table(spark, state_path)
+            )
             state_pts = (
                 state.join(new_pts.select("user_id").distinct(), "user_id")
                 .select(
@@ -289,7 +307,16 @@ def run_geotag_rescore_stream(
             .join(apply_best_latlng(capped), "user_id")
             .withColumn("version", F.lit(batch_id))
         )
-        upsert_parquet(record, state_path, ["user_id"], "version")
+        if state_table:
+            # X4/T6 at scale: the state side of the merge arrives
+            # bucket-partitioned from the catalog — no Exchange on the
+            # accumulated state, only the MB-sized batch shuffles
+            upsert_bucketed(
+                record, state_table, state_path, "user_id", "version",
+                n_buckets=n_buckets,
+            )
+        else:
+            upsert_parquet(record, state_path, ["user_id"], "version")
 
     return (
         points.writeStream.foreachBatch(process_batch)

@@ -128,39 +128,63 @@ def geofence_alert_stream(
 
         (user_id,) = key
         last_gf, n_seen = state.get if state.exists else (OUTER, 0)
-        batch = pd.concat(list(pdfs), ignore_index=True)
-        batch = batch.sort_values(["ts_ms", "event_id"]).reset_index(drop=True)
-        # Vectorized change-point scan: a transition row is one whose
-        # geofence differs from its predecessor; only the first row's
-        # predecessor is procedural (the carried state — the stateful
-        # seam). After a transition, last_gf IS the previous row's
-        # cur_gf, so the shifted comparison reproduces the walk exactly.
-        cur = batch["cur_gf"]
-        prev = cur.shift(1)
-        if len(prev):
-            prev.iloc[0] = last_gf
-        idx = np.flatnonzero((cur != prev).to_numpy())
-        prev_t = prev.iloc[idx].to_numpy(dtype=object)
-        cur_t = cur.iloc[idx].to_numpy(dtype=object)
-        alerts = [_alerts(p, c, src_gf, dest_gf) for p, c in zip(prev_t, cur_t)]
-        out = pd.DataFrame(
-            {
-                "user_id": np.full(len(idx), user_id, dtype="int64"),
-                "event_id": batch["event_id"].iloc[idx].to_numpy(),
-                "prev_gf": prev_t,
-                "cur_gf": cur_t,
-                "exit_alert": np.array([a[0] for a in alerts], dtype=object),
-                "entry_alert": np.array([a[1] for a in alerts], dtype=object),
-                # the walk increments n_seen per event, so a transition
-                # at batch position i reports n_seen + i + 1
-                "n_events_seen": n_seen + idx + 1,
-            },
-            columns=[f.name for f in _OUTPUT_SCHEMA.fields],
+        # Per-group Python overhead is THE cost of this operator (the
+        # bench's locate expression is pure JVM; profiling attributes
+        # the streaming wall time to thousands of tiny per-user
+        # groups), so the walk stays numpy-only: no pandas concat for
+        # the common single-chunk case, lexsort instead of
+        # DataFrame.sort_values, and NOTHING yielded for the (typical)
+        # group with zero transitions — Arrow batch assembly for empty
+        # frames was pure waste.
+        chunks = list(pdfs)
+        batch = (
+            chunks[0]
+            if len(chunks) == 1
+            else pd.concat(chunks, ignore_index=True)
         )
-        if len(cur):
-            last_gf = cur.iloc[-1]
-        state.update((last_gf, n_seen + len(cur)))
-        yield out
+        ts = batch["ts_ms"].to_numpy()
+        order = np.lexsort((batch["event_id"].to_numpy(), ts))
+        cur = batch["cur_gf"].to_numpy(dtype=object)[order]
+        n = len(cur)
+        if n:
+            # Vectorized change-point scan: a transition row is one
+            # whose geofence differs from its predecessor; only the
+            # first row's predecessor is procedural (the carried
+            # state — the stateful seam). After a transition, last_gf
+            # IS the previous row's cur_gf, so the shifted comparison
+            # reproduces the walk exactly.
+            prev = np.empty(n, dtype=object)
+            prev[0] = last_gf
+            prev[1:] = cur[:-1]
+            idx = np.flatnonzero(cur != prev)
+            if len(idx):
+                prev_t = prev[idx]
+                cur_t = cur[idx]
+                alerts = [
+                    _alerts(p, c, src_gf, dest_gf)
+                    for p, c in zip(prev_t, cur_t)
+                ]
+                yield pd.DataFrame(
+                    {
+                        "user_id": np.full(len(idx), user_id, dtype="int64"),
+                        "event_id": batch["event_id"].to_numpy()[order][idx],
+                        "prev_gf": prev_t,
+                        "cur_gf": cur_t,
+                        "exit_alert": np.array(
+                            [a[0] for a in alerts], dtype=object
+                        ),
+                        "entry_alert": np.array(
+                            [a[1] for a in alerts], dtype=object
+                        ),
+                        # the walk increments n_seen per event, so a
+                        # transition at batch position i reports
+                        # n_seen + i + 1
+                        "n_events_seen": n_seen + idx + 1,
+                    },
+                    columns=[f.name for f in _OUTPUT_SCHEMA.fields],
+                )
+            last_gf = cur[-1]
+        state.update((last_gf, n_seen + n))
 
     return located.groupBy("user_id").applyInPandasWithState(
         walk,

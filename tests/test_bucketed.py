@@ -116,3 +116,125 @@ def test_unbucketed_join_needs_exchange_control(spark):
     af = a.filter(col("va") % 2 == 0)  # defeat trivial self-join reuse
     plan = _plan(af.join(b, "k"))
     assert "Exchange" in plan or "BroadcastExchange" in plan
+
+
+def test_upsert_bucketed_merge_values_and_state_side_no_exchange(spark, tmp_path):
+    """Round-7 bucketed state sink: values follow the upsert contract
+    (new wins >= version; absent keys pass through) and the merge
+    plan's STATE side arrives bucket-partitioned — exactly ONE shuffle
+    Exchange in the whole merge (the micro-batch side)."""
+    from pulsar_spark_spark.sources.bucketed import (
+        merge_with_state,
+        read_upsert_bucketed,
+        upsert_bucketed,
+    )
+
+    base = str(tmp_path / "state")
+    tb = "t_upsert_bucketed"
+    try:
+        df1 = spark.range(1000).select(
+            col("id").alias("user_id"),
+            (col("id") * 2).alias("val"),
+            F.lit(0).alias("version"),
+        )
+        upsert_bucketed(df1, tb, base, "user_id", "version", n_buckets=4)
+        got = {
+            r["user_id"]: (r["val"], r["version"])
+            for r in read_upsert_bucketed(spark, tb, base).collect()
+        }
+        assert len(got) == 1000 and got[7] == (14, 0)
+
+        # update half the keys at version 1, add new keys
+        df2 = spark.range(500, 1200).select(
+            col("id").alias("user_id"),
+            F.lit(-1).alias("val"),
+            F.lit(1).alias("version"),
+        )
+        # plan pin BEFORE executing: state side (bucketed scan) must
+        # not shuffle; batch side must (to the bucket count)
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            state = read_upsert_bucketed(spark, tb, base)
+            plan = _plan(merge_with_state(state, df2, "user_id", "version"))
+            assert _n_shuffles(plan) == 1, plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+        upsert_bucketed(df2, tb, base, "user_id", "version", n_buckets=4)
+        got = {
+            r["user_id"]: (r["val"], r["version"])
+            for r in read_upsert_bucketed(spark, tb, base).collect()
+        }
+        assert len(got) == 1200
+        assert got[7] == (14, 0)        # untouched key survives
+        assert got[600] == (-1, 1)      # updated key took the new row
+        assert got[1100] == (-1, 1)     # fresh key inserted
+        # replay idempotence: same batch again -> identical state
+        upsert_bucketed(df2, tb, base, "user_id", "version", n_buckets=4)
+        again = {
+            r["user_id"]: (r["val"], r["version"])
+            for r in read_upsert_bucketed(spark, tb, base).collect()
+        }
+        assert again == got
+    finally:
+        for t in [r["tableName"] for r in spark.sql("SHOW TABLES").collect()]:
+            if t.startswith(tb):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_rescore_stream_bucketed_state_matches_plain(spark, tmp_path):
+    """The bucketed-state flagship stream must produce the same final
+    records as the plain-sink run over the same arrivals."""
+    import os
+
+    from pulsar_spark_spark.functions.time import ts_millis
+    from pulsar_spark_spark.plans.geo import geo_events
+    from pulsar_spark_spark.sources.bucketed import read_upsert_bucketed
+    from pulsar_spark_spark.sources.sinks import read_upsert_table
+    from pulsar_spark_spark.streaming.pipeline import run_geotag_rescore_stream
+    from tests.conftest import SF_DIR_SMALL
+
+    pts = geo_events(spark, SF_DIR_SMALL).select(
+        "user_id", "event_id", ts_millis("ts").alias("ts_ms"),
+        "lat", "lng", "accuracy",
+    )
+    src = str(tmp_path / "in")
+    pts.repartition(2).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def run(tag, **kw):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = run_geotag_rescore_stream(
+            stream,
+            str(tmp_path / f"state_{tag}"),
+            str(tmp_path / f"ckpt_{tag}"),
+            **kw,
+        )
+        assert q.awaitTermination(300)
+
+    tb = "t_rescore_bucketed_state"
+    try:
+        run("plain")
+        run("bucketed", state_table=tb, n_buckets=4)
+        plain = {
+            r["user_id"]: (r["best_lat"], r["best_lng"], len(r["history"]))
+            for r in read_upsert_table(
+                spark, str(tmp_path / "state_plain")
+            ).collect()
+        }
+        bucketed = {
+            r["user_id"]: (r["best_lat"], r["best_lng"], len(r["history"]))
+            for r in read_upsert_bucketed(
+                spark, tb, str(tmp_path / "state_bucketed")
+            ).collect()
+        }
+        assert bucketed == plain and plain
+    finally:
+        for t in [r["tableName"] for r in spark.sql("SHOW TABLES").collect()]:
+            if t.startswith(tb):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
