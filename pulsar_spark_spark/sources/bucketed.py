@@ -18,6 +18,20 @@ Sizing rule: pick n_buckets so one bucket of the LARGER table is
 ~100-200 MB (compressed); both sides of a co-located join need the
 same bucket count (or an exact multiple, with
 ``spark.sql.bucketing.coalesceBucketsInJoin.enabled``).
+
+Shared-metastore hygiene (cluster deployments): this module's tests
+and benches use a session-local derby catalog, where table names are
+private. On a real shared Hive metastore (1) prefix table names with
+the job/team namespace or use a dedicated database —
+``spark.sql("USE engine_db")`` — since ``saveAsTable`` collides
+globally; (2) always pass ``path=`` so tables are EXTERNAL: dropping
+a stale definition then never deletes the 100 TB layout, and the
+parquet stays readable path-wise by non-Spark tools (bucket metadata,
+however, lives only in the catalog — a path-based read loses the
+no-shuffle property); (3) the versioned upsert tables below
+(:func:`upsert_bucketed`) create one definition per version — their
+pruning drops superseded definitions, but a crashed job can leave an
+orphan to be swept by the next upsert on the same ``path_base``.
 """
 
 from __future__ import annotations
