@@ -242,28 +242,7 @@ def near_dup_pairs(docs: DataFrame, band_cap: int = _BAND_CAP) -> DataFrame:
     hence bit-identical in the oracle (which mirrors the collapse,
     cap, and fan-out step for step).
     """
-    keyed, sh, cand = near_dup_candidates(docs, band_cap)
-    sa = sh.select(
-        col("rep").alias("rep_a"), col("hv").alias("sh_a"), col("ckey").alias("ckey_a")
-    )
-    sb = sh.select(
-        col("rep").alias("rep_b"), col("hv").alias("sh_b"), col("ckey").alias("ckey_b")
-    )
-    jac = F.size(F.array_intersect(col("sh_a"), col("sh_b"))).cast("double") / F.size(
-        F.array_union(col("sh_a"), col("sh_b"))
-    )
-    # verified is the tiny end of the funnel; materializing it means
-    # the downstream orderBy's range-sampling pass (and any other
-    # re-read) replays only the fan-out joins, not the whole
-    # LSH/verify chain
-    verified = (
-        cand.join(sa, "rep_a")
-        .join(sb, "rep_b")
-        .withColumn("jaccard", jac)
-        .filter(col("jaccard") >= _JACCARD_MIN)
-        .select("ckey_a", "ckey_b", "rep_a", "rep_b", "jaccard")
-        .transform(materialize)
-    )
+    keyed, sh, verified = verified_rep_pairs(docs, band_cap)
     ma = keyed.select(col("ckey").alias("ckey_a"), col("doc_id").alias("m_a"))
     mb = keyed.select(col("ckey").alias("ckey_b"), col("doc_id").alias("m_b"))
     # verified is candidate-sized (tiny vs the corpus) — broadcast it
@@ -383,6 +362,41 @@ def near_dup_candidates(
     )
     cand = cross.unionByName(self_cand)
     return keyed, sh, cand
+
+
+def verified_rep_pairs(
+    docs: DataFrame, band_cap: int = _BAND_CAP
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Candidate generation + exact-Jaccard verify, at REPRESENTATIVE
+    level: returns ``(keyed, sh, verified)`` where verified is
+    (ckey_a, ckey_b, rep_a, rep_b, jaccard) — cross-group pairs plus
+    one (rep, rep) row per verified multi-member group. This tiny
+    relation is the whole dedup signal; both the pair fan-out
+    (:func:`near_dup_pairs`) and the cluster builder
+    (:func:`doc_dedup_clusters`) start from it, so the expensive
+    LSH/verify chain runs once and nothing downstream is ever
+    quadratic in group size. Materialized via lazy localCheckpoint —
+    downstream sorts/iterations replay the checkpoint, not the chain.
+    """
+    keyed, sh, cand = near_dup_candidates(docs, band_cap)
+    sa = sh.select(
+        col("rep").alias("rep_a"), col("hv").alias("sh_a"), col("ckey").alias("ckey_a")
+    )
+    sb = sh.select(
+        col("rep").alias("rep_b"), col("hv").alias("sh_b"), col("ckey").alias("ckey_b")
+    )
+    jac = F.size(F.array_intersect(col("sh_a"), col("sh_b"))).cast("double") / F.size(
+        F.array_union(col("sh_a"), col("sh_b"))
+    )
+    verified = (
+        cand.join(sa, "rep_a")
+        .join(sb, "rep_b")
+        .withColumn("jaccard", jac)
+        .filter(col("jaccard") >= _JACCARD_MIN)
+        .select("ckey_a", "ckey_b", "rep_a", "rep_b", "jaccard")
+        .transform(materialize)
+    )
+    return keyed, sh, verified
 
 
 @query("doc_near_dup_pairs", oracle=_near_dup_oracle())
@@ -891,15 +905,21 @@ def connected_components_min_label(
 )
 def doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate CLUSTERS: connected components over the MinHash
-    near-dup pair graph, one row per component (keep-one-per-cluster is
-    then a trivial filter — see :func:`dedup_corpus`). The iterative
-    Spark side (min-label propagation with per-round checkpoints) is
-    hash-checked against a DuckDB recursive-CTE transitive closure —
-    both converge to component = min(doc_id)."""
-    pairs = near_dup_pairs(load_table(spark, "documents", sf_dir)).select(
-        "doc_a", "doc_b"
-    )
-    comp = connected_components_min_label(pairs)
+    near-dup graph, one row per component (keep-one-per-cluster is
+    then a trivial filter — see :func:`dedup_corpus`).
+
+    Round-7 scale shape: the component walk runs at REPRESENTATIVE
+    level (:func:`doc_components`) — one node per unique text, cross
+    edges only — and group members attach to their rep's component at
+    the very end. A million-copy page is ONE node in the iterative
+    graph instead of 10¹²/2 edges; the fan-out happens once, in the
+    final aggregation, where it is output-sized by definition. The
+    iterative Spark side (min-label propagation with per-round
+    checkpoints) is hash-checked against a DuckDB recursive-CTE
+    transitive closure over the FULL member-pair graph — both converge
+    to component = min(doc_id), which the rep-level walk preserves
+    because every rep is already the min id of its group."""
+    comp = doc_components(load_table(spark, "documents", sf_dir))
     ids_str = F.array_join(
         F.transform(F.sort_array(F.collect_list("node")), lambda x: x.cast("string")),
         ",",
@@ -911,18 +931,48 @@ def doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_components(docs: DataFrame, band_cap: int = _BAND_CAP) -> DataFrame:
+    """(node=doc_id, component=min doc_id in its near-dup cluster) for
+    every CLUSTERED document — the rep-level decomposition underlying
+    :func:`doc_dedup_clusters` and :func:`dedup_corpus`.
+
+    Identical result to running connected components over the full
+    :func:`near_dup_pairs` output (every rep is its group's min id, so
+    the min label over reps IS the min doc id over members), but the
+    iterative part touches one node per unique text: cross-group
+    verified pairs are the edges; a verified (rep, rep) self-pair
+    marks a multi-member group as a cluster even with no cross edges;
+    members then join in via their text key.
+    """
+    keyed, sh, verified = verified_rep_pairs(docs, band_cap)
+    cross = verified.filter(col("rep_a") != col("rep_b"))
+    comp_rep = connected_components_min_label(cross, "rep_a", "rep_b")
+    self_only = (
+        verified.filter(col("rep_a") == col("rep_b"))
+        .select(col("rep_a").alias("node"))
+        .join(comp_rep.select("node"), "node", "left_anti")
+        .withColumn("component", col("node"))
+    )
+    rep_comp = comp_rep.unionByName(self_only)
+    rep_ckey = sh.select(col("rep").alias("node"), "ckey")
+    return (
+        rep_comp.join(rep_ckey, "node")
+        .join(keyed, "ckey")
+        .select(col("doc_id").alias("node"), "component")
+    )
+
+
 def dedup_corpus(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """The dedup pipeline's terminal step: the corpus with near-dup
     REMOVED, keeping the canonical (min-id) member of every cluster.
 
-    Shape: near-dup pairs → connected components → anti-join the
-    non-canonical members out of the corpus. Docs in no cluster pass
-    through untouched (they never enter the component graph). At scale
-    the anti-join key is the doc id — one shuffle against a relation
-    whose size is the number of DUPLICATES, not the corpus.
+    Shape: rep-level components (:func:`doc_components`) → anti-join
+    the non-canonical members out of the corpus. Docs in no cluster
+    pass through untouched (they never enter the component graph). At
+    scale the anti-join key is the doc id — one shuffle against a
+    relation whose size is the number of DUPLICATES, not the corpus.
     """
-    pairs = near_dup_pairs(docs).select("doc_a", "doc_b")
-    comp = connected_components_min_label(pairs)
+    comp = doc_components(docs)
     losers = comp.filter(col("node") != col("component")).select(
         col("node").alias(id_col)
     )

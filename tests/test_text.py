@@ -139,3 +139,22 @@ def test_band_cap_drops_boilerplate_bucket(spark):
     n_capped, n_uncapped = capped.count(), uncapped.count()
     assert n_uncapped > 0  # near-identical texts do share band buckets
     assert n_capped < n_uncapped  # the cap trims the hot buckets
+
+
+def test_dedup_clusters_rep_level_on_copy_heavy_corpus(spark):
+    """Clusters over a copy-flooded corpus: the iterative CC graph
+    sees ONE node for the 400-copy group (rep level), yet the output
+    cluster contains all 400 members with the min id as label."""
+    from pulsar_spark_spark.plans.text import (
+        doc_components,
+        verified_rep_pairs,
+    )
+
+    docs = _copy_heavy_corpus(spark, n_copies=400, n_distinct=20)
+    _, _, verified = verified_rep_pairs(docs)
+    # the whole verified relation is rep-level: one self-pair row for
+    # the copy group, nothing quadratic
+    v = [(r["rep_a"], r["rep_b"]) for r in verified.collect()]
+    assert (0, 0) in v and len(v) <= 21
+    comp = {r["node"]: r["component"] for r in doc_components(docs).collect()}
+    assert {n for n in comp if comp[n] == 0} == set(range(400))
