@@ -380,6 +380,50 @@ def _ivf_probe_bench(spark) -> tuple[float, dict]:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _lsh_probe_bench(spark) -> tuple[float, dict]:
+    """Serve-path timing for the on-disk SRP-LSH index (round 7) —
+    the oblivious-hashing twin of the IVF layout. Build untimed
+    (offline); the timed part is the probe: per-table bucket + flips
+    for the query set, partition-pruned scan of only the probed
+    (tbl, bucket) directories, dedup, exact rerank."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql.functions import col
+
+    from pulsar_spark_spark.plans import similarity as sim
+    from pulsar_spark_spark.sources.tables import load_table
+
+    work = tempfile.mkdtemp(prefix="bench_lsh_")
+    try:
+        emb = load_table(spark, "embeddings", SF_DIR)
+        idx = os.path.join(work, "lsh")
+        tb = time.perf_counter()
+        sim.build_lsh_index(emb, idx)
+        build_sec = round(time.perf_counter() - tb, 3)
+        queries = emb.filter(col("vec_id") < sim._N_QUERIES).select(
+            col("vec_id").alias("query_id"), col("embedding").alias("q_emb")
+        )
+        t0 = time.perf_counter()
+        sim.lsh_probe_index(spark, idx, queries).collect()
+        probe_sec = round(time.perf_counter() - t0, 3)
+        detail = {
+            "probe_sec": probe_sec,
+            "index_build_sec": build_sec,
+            "n_tables": sim._LSH_TABLES,
+            "n_bits": sim._LSH_BITS,
+            "note": (
+                "partition-pruned (tbl, bucket) scan; a single query "
+                f"reads ~(n_bits+1)/2^n_bits = {sim._LSH_BITS + 1}/"
+                f"{2 ** sim._LSH_BITS} of each table's bytes. Results "
+                "identical to ann_topk_lsh (pinned in pytest)."
+            ),
+        }
+        return probe_sec, detail
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def _geofence_stream_bench(spark) -> dict:
     """Stateful geofence-machine throughput (G9/A10 path) — the
     reference's core streaming identity (TripTracker): broadcast
@@ -591,6 +635,11 @@ def main() -> None:
     ivf_probe_sec, ivf_detail = _ivf_probe_bench(spark)
     timings["ivf_probe_index"] = ivf_probe_sec
     knob_notes["ivf_probe_index"] = "single timed probe over the on-disk index"
+    lsh_probe_sec, lsh_detail = _lsh_probe_bench(spark)
+    timings["lsh_probe_index"] = lsh_probe_sec
+    knob_notes["lsh_probe_index"] = (
+        "single timed probe over the on-disk (tbl, bucket) LSH layout"
+    )
     bucketed_sec, bucketed_detail = _bucketed_kernel_bench(spark)
     timings["best_latlng_bucketed"] = bucketed_sec
     knob_notes["best_latlng_bucketed"] = (
@@ -646,6 +695,7 @@ def main() -> None:
                     "streaming_rescore_detail": rescore,
                     "streaming_geofence_detail": geofence,
                     "ivf_probe_detail": ivf_detail,
+                    "lsh_probe_detail": lsh_detail,
                     "bucketed_kernel_detail": bucketed_detail,
                     "scale_slope": scale_slope,
                 }

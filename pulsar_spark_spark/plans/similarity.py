@@ -750,3 +750,142 @@ def ivf_topk(
         .select("query_id", "neighbor_id", "rank", F.round("cos_sim", 6).alias("cos_sim"))
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------
+# SRP-LSH on-disk serving layout (round 7) — the second index shape,
+# complementary to the IVF one: oblivious hashing vs adaptive cells
+# ---------------------------------------------------------------------
+def build_lsh_index(
+    emb: DataFrame,
+    index_dir: str,
+    n_tables: int = _LSH_TABLES,
+    n_bits: int = _LSH_BITS,
+) -> None:
+    """Materialize the multi-table SRP-LSH corpus as a DISK LAYOUT:
+    one directory per (table, bucket) — ``tbl=<j>/bucket=b<bits>/`` —
+    with the embedding stored alongside, plus an ``_LSH.json`` knob
+    record. A probe then reads ONLY its (n_bits+1)·n_tables probe
+    directories per query via partition pruning, ~(n_bits+1)/2^n_bits
+    of the corpus bytes — the same write-once-serve-many contract as
+    :func:`build_ivf_index`. The 'b' prefix on the bucket value stops
+    partition-value inference from coercing bit strings like '0011'
+    to integers on read-back.
+    """
+    import json
+    import os
+
+    tables = [
+        (j, sign_bucket("embedding", n_bits, seed="srp" if j == 0 else f"srp{j}"))
+        for j in range(n_tables)
+    ]
+    emb_b = emb.select(
+        "vec_id",
+        "embedding",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("tbl"), b.alias("bucket"))
+                    for j, b in tables
+                ]
+            )
+        ).alias("tb"),
+    ).select(
+        "vec_id",
+        "embedding",
+        col("tb.tbl").alias("tbl"),
+        F.concat(F.lit("b"), col("tb.bucket")).alias("bucket"),
+    )
+    emb_b.write.mode("overwrite").partitionBy("tbl", "bucket").parquet(
+        f"{index_dir}/corpus"
+    )
+    with open(os.path.join(index_dir, "_LSH.json"), "w") as fh:
+        json.dump({"n_tables": n_tables, "n_bits": n_bits}, fh)
+
+
+def lsh_probe_index(
+    spark: SparkSession,
+    index_dir: str,
+    queries: DataFrame,
+    top_k: int = _TOP_K,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Serve ANN queries from a :func:`build_lsh_index` layout.
+
+    ``queries``: (query_id, q_emb). Each query's per-table bucket (and
+    its Hamming-1 flips under ``multiprobe``) is computed with the
+    same md5-seeded hyperplanes as the build; the tiny probe set is
+    collected and pushed into the corpus scan as a partition filter —
+    only the probed (tbl, bucket) directories are read. Candidates are
+    deduplicated across tables/probes before the exact-cosine rerank,
+    so results are identical to :func:`lsh_topk` at the same knobs
+    (pinned in tests/test_similarity.py).
+    """
+    import json
+    import os
+
+    with open(os.path.join(index_dir, "_LSH.json")) as fh:
+        knobs = json.load(fh)
+    n_tables, n_bits = knobs["n_tables"], knobs["n_bits"]
+    tables = [
+        (j, sign_bucket("q_emb", n_bits, seed="srp" if j == 0 else f"srp{j}"))
+        for j in range(n_tables)
+    ]
+    q = queries.select(
+        "query_id",
+        "q_emb",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("tbl"), b.alias("bucket"))
+                    for j, b in tables
+                ]
+            )
+        ).alias("tb"),
+    ).select(
+        "query_id", "q_emb", col("tb.tbl").alias("tbl"), col("tb.bucket").alias("bucket")
+    )
+    if multiprobe:
+        probes_arr = F.array(
+            col("bucket"),
+            *[_flip_bit(col("bucket"), i, n_bits) for i in range(n_bits)],
+        )
+        q = q.withColumn("bucket", F.explode(probes_arr))
+    q = q.withColumn("bucket", F.concat(F.lit("b"), col("bucket")))
+    # the probe set is |queries|·n_tables·(n_bits+1) rows by
+    # construction — collecting it is what turns the serve into a
+    # partition-pruned scan (manual DPP, same idiom as the IVF probe)
+    probe_rows = q.select("tbl", "bucket").distinct().collect()
+    probe_cells = {(r["tbl"], r["bucket"]) for r in probe_rows}
+    cond = None
+    for t in sorted({t for t, _ in probe_cells}):
+        buckets = sorted(b for tt, b in probe_cells if tt == t)
+        leg = (col("tbl") == t) & col("bucket").isin(buckets)
+        cond = leg if cond is None else (cond | leg)
+    corpus = spark.read.parquet(f"{index_dir}/corpus").filter(cond)
+    cand = (
+        corpus.join(
+            broadcast(q.select("query_id", "tbl", "bucket")),
+            ["tbl", "bucket"],
+        )
+        .filter(col("vec_id") != col("query_id"))
+        .groupBy("query_id", col("vec_id").alias("neighbor_id"))
+        .agg(F.any_value("embedding").alias("n_emb"))
+    )
+    q_emb = queries.select(
+        "query_id", col("q_emb").alias("qv"), l2_norm(col("q_emb")).alias("q_norm")
+    )
+    scored = cand.join(broadcast(q_emb), "query_id").select(
+        "query_id",
+        "neighbor_id",
+        (dot(col("qv"), col("n_emb")) / (col("q_norm") * l2_norm(col("n_emb")))).alias(
+            "cos_sim"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc(), col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(col("rank") <= top_k)
+        .select("query_id", "neighbor_id", "rank", F.round("cos_sim", 6).alias("cos_sim"))
+        .orderBy("query_id", "rank")
+    )

@@ -156,3 +156,39 @@ def test_ivf_index_cache_reused_and_invalidated(spark, tmp_path, monkeypatch):
     json.dump(m, open(meta, "w"))
     sim.ensure_ivf_index(spark, SF_DIR, index_root=root)
     assert len(calls) == 2  # stale fingerprint → rebuilt
+
+
+def test_lsh_probe_index_matches_in_memory(spark, tmp_path, emb):
+    """The on-disk LSH layout must serve exactly the in-memory
+    lsh_topk results at the same knobs, via a partition-pruned scan."""
+    from pyspark.sql.functions import col
+
+    from pulsar_spark_spark.plans.similarity import (
+        _LSH_TABLES,
+        _N_QUERIES,
+        build_lsh_index,
+        lsh_probe_index,
+    )
+
+    idx = str(tmp_path / "lsh")
+    build_lsh_index(emb, idx)
+    queries = emb.filter(col("vec_id") < _N_QUERIES).select(
+        col("vec_id").alias("query_id"), col("embedding").alias("q_emb")
+    )
+    got = [tuple(r) for r in lsh_probe_index(spark, idx, queries).collect()]
+    want = [
+        tuple(r)
+        for r in lsh_topk(emb, multiprobe=True, n_tables=_LSH_TABLES).collect()
+    ]
+    assert got == want and got
+    # pruning: the partition filter must reach the scan
+    import contextlib, io
+
+    df = lsh_probe_index(spark, idx, queries)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters", 1)[1][:300]
+    assert "bucket" in seg, seg
