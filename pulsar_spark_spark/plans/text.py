@@ -851,29 +851,29 @@ def connected_components_min_label(
         .withColumn("label", col("node"))
         .transform(materialize)
     )
+    # Convergence by label SUM: labels only ever decrease under
+    # min-propagation, so the sum is strictly decreasing until the
+    # fixpoint — one scalar read per round replaces the second
+    # (labels ⋈ neighbor_min) join the changed-flag variant needed.
+    prev_sum = None
     for _ in range(max_iter):
-        neighbor_min = (
-            sym.join(labels, sym.dst == labels.node)
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr_label"))
+        nbr = sym.join(labels, sym.dst == labels.node).select(
+            col("src").alias("node"), col("label")
         )
-        new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
-            .select(
-                "node",
-                F.least(
-                    col("label"), F.coalesce(col("nbr_label"), col("label"))
-                ).alias("label"),
-                (col("nbr_label") < col("label")).alias("changed"),
-            )
+        labels = (
+            labels.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
             .transform(materialize)
         )
-        changed = new_labels.agg(
-            F.sum(F.when(col("changed"), 1).otherwise(0))
+        # decimal sum: at 10^10 nodes × 10^10-scale ids a long sum
+        # could wrap and (pathologically) alias two distinct rounds
+        new_sum = labels.agg(
+            F.sum(col("label").cast("decimal(38,0)"))
         ).first()[0]
-        labels = new_labels.drop("changed")
-        if not changed:
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels.select("node", col("label").alias("component"))
 
 
@@ -959,6 +959,45 @@ def doc_components(docs: DataFrame, band_cap: int = _BAND_CAP) -> DataFrame:
         rep_comp.join(rep_ckey, "node")
         .join(keyed, "ckey")
         .select(col("doc_id").alias("node"), "component")
+    )
+
+
+@query(
+    "doc_dedup_corpus",
+    oracle=f"""
+        WITH RECURSIVE pairs AS (
+            {_near_dup_oracle().replace("ORDER BY doc_a, doc_b", "")}
+        ), sym AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION ALL
+            SELECT doc_b AS src, doc_a AS dst FROM pairs
+        ), closure AS (
+            SELECT src AS node, src AS reach FROM sym
+            UNION
+            SELECT c.node, s.dst AS reach
+            FROM closure c JOIN sym s ON c.reach = s.src
+        ), labels AS (
+            SELECT node, min(reach) AS component
+            FROM closure GROUP BY node
+        )
+        SELECT d.doc_id AS doc_id
+        FROM documents d
+        WHERE d.doc_id NOT IN (
+            SELECT node FROM labels WHERE node <> component
+        )
+        ORDER BY doc_id
+    """,
+)
+def doc_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's TERMINAL product as a registered query:
+    the surviving doc ids after near-dup removal (canonical min-id
+    member per cluster kept, unclustered docs untouched) — i.e. the
+    id set a training run would read. Value-checked against the
+    recursive-CTE closure over the full member-pair graph."""
+    return (
+        dedup_corpus(load_table(spark, "documents", sf_dir))
+        .select("doc_id")
+        .orderBy("doc_id")
     )
 
 
