@@ -616,7 +616,10 @@ def main() -> None:
         "ann_topk_ivf": (
             "nprobe=2 over 16 cells (recall 0.90); "
             "nprobe=1 -> 0.88, nprobe=4 -> 0.92, gated in "
-            "tests/test_similarity.py."
+            "tests/test_similarity.py. Round 7: the registered "
+            "query probes the CACHED on-disk index "
+            "(ensure_ivf_index; fingerprint-invalidated), so this "
+            "row is probe cost -- the build is offline/amortized."
         ),
         "media_feature_extract": (
             "fused feature+resize single Arrow pass (round "
@@ -681,14 +684,19 @@ def main() -> None:
                             "workers warmed outside timing; back-to-back "
                             "since round 6 -- see the timing-loop comment)",
                     "knob_notes": knob_notes,
-                    "round6_note": (
-                        "vs round 5: ann_topk_lsh runs the promoted "
-                        "production config (recall 0.96 vs 0.10; "
-                        "~+1.5s by design, see knob_notes); "
-                        "delivery/cluster queries now round centroid "
-                        "outputs to 6dp (oracle surface, negligible "
-                        "cost); streaming section adds the flagship "
-                        "rescore pipeline row."
+                    "round7_note": (
+                        "vs round 6: ann_topk_lsh ~-35% (SQL-string "
+                        "plan build, narrow explode, norm precompute "
+                        "at unchanged recall 0.96); ann_topk_ivf now "
+                        "SERVES from the cached on-disk index (probe "
+                        "cost only; build amortized+fingerprinted); "
+                        "doc_near_dup_pairs/doc_dedup_clusters pay "
+                        "~+0.7-1s for the skew guards (exact-dup "
+                        "collapse + band cap + rep-level clustering "
+                        "-- the dirty-corpus insurance, see SCALE.md); "
+                        "new rows: lsh_probe_index (on-disk LSH "
+                        "serve) and the bucketed-state rescore "
+                        "variant in streaming_rescore_detail."
                     ),
                     "streaming_ingest_detail": ingest,
                     "streaming_session_detail": session,
