@@ -46,7 +46,7 @@ _AUTO_SCAN = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
 def save_bucketed(
     df: DataFrame,
     table: str,
-    key: str,
+    key: str | list[str],
     n_buckets: int = 16,
     sort_cols: tuple[str, ...] = (),
     path: str | None = None,
@@ -55,8 +55,15 @@ def save_bucketed(
     Sorting within buckets additionally enables shuffle-free
     sort-merge joins (no per-task sort at read time). ``path`` makes
     the table external (data at ``path``, bucket spec in the catalog)
-    — the normal shape for a shared 100 TB layout."""
-    w = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, key)
+    — the normal shape for a shared 100 TB layout. ``key`` may be a
+    composite (list): downstream joins/aggregates skip their Exchange
+    when they cluster on ALL bucket columns."""
+    keys = [key] if isinstance(key, str) else list(key)
+    w = (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, keys[0], *keys[1:])
+    )
     if sort_cols:
         w = w.sortBy(*sort_cols)
     if path:
@@ -132,15 +139,17 @@ def _versions_meta(path_base: str):
 
 
 def merge_with_state(
-    state: DataFrame, new_rows: DataFrame, key: str, version_col: str
+    state: DataFrame, new_rows: DataFrame, key: str | list[str], version_col: str
 ) -> DataFrame:
     """The keyed merge at the heart of :func:`upsert_bucketed`: a
-    full-outer join on the key, per-column winner by (version, new
-    wins ties). Exposed so the plan shape is pinnable in tests — with
-    a bucketed ``state`` the join's state side carries NO Exchange."""
+    full-outer join on the key (single or composite), per-column
+    winner by (version, new wins ties). Exposed so the plan shape is
+    pinnable in tests — with a bucketed ``state`` the join's state
+    side carries NO Exchange."""
     import pyspark.sql.functions as F
     from pyspark.sql.functions import col
 
+    keys = [key] if isinstance(key, str) else list(key)
     cols = new_rows.columns
     n = new_rows.alias("n")
     s = state.alias("s")
@@ -148,12 +157,12 @@ def merge_with_state(
         col(f"s.{version_col}").isNull()
         | (col(f"n.{version_col}") >= col(f"s.{version_col}"))
     )
-    return s.join(n, [key], "full_outer").select(
-        col(key),
+    return s.join(n, keys, "full_outer").select(
+        *[col(k) for k in keys],
         *[
             F.when(take_new, col(f"n.{c}")).otherwise(col(f"s.{c}")).alias(c)
             for c in cols
-            if c != key
+            if c not in keys
         ],
     )
 
@@ -162,7 +171,7 @@ def upsert_bucketed(
     new_rows: DataFrame,
     table_base: str,
     path_base: str,
-    key: str,
+    key: str | list[str],
     version_col: str,
     n_buckets: int = 16,
 ) -> None:
@@ -200,12 +209,13 @@ def upsert_bucketed(
     else:
         merged = new_rows
     vid = f"v_{uuid.uuid4().hex}"
+    keys = [key] if isinstance(key, str) else list(key)
     save_bucketed(
         merged,
         f"{table_base}_{vid}",
-        key,
+        keys,
         n_buckets,
-        sort_cols=(key,),
+        sort_cols=tuple(keys),
         path=os.path.join(path_base, vid),
     )
     ptr_tmp = os.path.join(path_base, f".{pointer_name}.{uuid.uuid4().hex}")

@@ -155,6 +155,8 @@ def run_dedup_upsert_stream(
     events: DataFrame,
     state_path: str,
     checkpoint_dir: str,
+    state_table: str | None = None,
+    n_buckets: int = 16,
 ) -> StreamingQuery:
     """A2-dedup each micro-batch and upsert into keyed parquet state.
 
@@ -165,6 +167,12 @@ def run_dedup_upsert_stream(
     commit) re-apply the same winners: idempotent, hence the
     commit-after-write guarantee of the reference (T3) without its
     failure window.
+
+    With ``state_table`` set, the state is a (user_id, event_type)-
+    bucketed catalog table (sources/bucketed.py::upsert_bucketed): the
+    per-batch merge reads the accumulated state bucket-partitioned —
+    no Exchange on the state side — and only the micro-batch's
+    deduped winners shuffle. Same opt-in as the rescore stream's.
     """
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -193,9 +201,17 @@ def run_dedup_upsert_stream(
             )
             .withColumn("version", F.unix_micros("ts"))
         )
-        upsert_parquet(
-            latest, state_path, ["user_id", "event_type"], "version"
-        )
+        if state_table:
+            from pulsar_spark_spark.sources.bucketed import upsert_bucketed
+
+            upsert_bucketed(
+                latest, state_table, state_path,
+                ["user_id", "event_type"], "version", n_buckets=n_buckets,
+            )
+        else:
+            upsert_parquet(
+                latest, state_path, ["user_id", "event_type"], "version"
+            )
 
     return (
         events.writeStream.foreachBatch(process_batch)

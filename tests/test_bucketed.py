@@ -238,3 +238,107 @@ def test_rescore_stream_bucketed_state_matches_plain(spark, tmp_path):
         for t in [r["tableName"] for r in spark.sql("SHOW TABLES").collect()]:
             if t.startswith(tb):
                 spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_upsert_bucketed_composite_key(spark, tmp_path):
+    """Composite-key state: merge joins on BOTH key columns, the
+    bucketed state side still carries no Exchange, and the ingest
+    dedup stream's bucketed variant matches the plain sink."""
+    import os
+
+    from pulsar_spark_spark.sources.bucketed import (
+        merge_with_state,
+        read_upsert_bucketed,
+        upsert_bucketed,
+    )
+
+    base = str(tmp_path / "state")
+    tb = "t_upsert_bucketed_composite"
+    try:
+        df1 = spark.range(200).select(
+            (col("id") % 50).alias("user_id"),
+            (col("id") / 50).cast("long").alias("event_type"),
+            col("id").alias("payload"),
+            F.lit(0).alias("version"),
+        )  # (id%50, id//50) is unique by construction — no dedup shuffle
+        upsert_bucketed(
+            df1, tb, base, ["user_id", "event_type"], "version", n_buckets=4
+        )
+        df2 = spark.range(40).select(
+            (col("id") % 10).alias("user_id"),
+            (col("id") / 10).cast("long").alias("event_type"),
+            F.lit(-1).alias("payload"),
+            F.lit(5).alias("version"),
+        )  # unique (id%10, id//10) pairs
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            state = read_upsert_bucketed(spark, tb, base)
+            plan = _plan(
+                merge_with_state(state, df2, ["user_id", "event_type"], "version")
+            )
+            assert _n_shuffles(plan) == 1, plan
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        upsert_bucketed(
+            df2, tb, base, ["user_id", "event_type"], "version", n_buckets=4
+        )
+        got = {
+            (r["user_id"], r["event_type"]): (r["payload"], r["version"])
+            for r in read_upsert_bucketed(spark, tb, base).collect()
+        }
+        updated = {(r["user_id"], r["event_type"]) for r in df2.collect()}
+        assert got[(5, 1)] == (-1, 5)            # updated pair
+        assert all(got[k] == (-1, 5) for k in updated)
+        assert any(v[1] == 0 for v in got.values())  # untouched rows survive
+        assert len(got) == 200
+    finally:
+        for t in [r["tableName"] for r in spark.sql("SHOW TABLES").collect()]:
+            if t.startswith(tb):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_dedup_stream_bucketed_state_matches_plain(spark, tmp_path):
+    from pulsar_spark_spark.sources.bucketed import read_upsert_bucketed
+    from pulsar_spark_spark.sources.sinks import read_upsert_table
+    from pulsar_spark_spark.sources.tables import load_table
+    from pulsar_spark_spark.streaming.pipeline import (
+        run_dedup_upsert_stream,
+        stream_events,
+    )
+    from tests.conftest import SF_DIR_SMALL
+
+    ev = load_table(spark, "events", SF_DIR_SMALL)
+    src = str(tmp_path / "in")
+    ev.repartition(4).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def run(tag, **kw):
+        q = run_dedup_upsert_stream(
+            stream_events(spark, src, schema, max_files_per_trigger=2),
+            str(tmp_path / f"state_{tag}"),
+            str(tmp_path / f"ckpt_{tag}"),
+            **kw,
+        )
+        assert q.awaitTermination(300)
+
+    tb = "t_dedup_bucketed_state"
+    try:
+        run("plain")
+        run("bucketed", state_table=tb, n_buckets=4)
+        key = lambda r: (r["user_id"], r["event_type"])
+        plain = {
+            key(r): (r["event_id"], r["version"])
+            for r in read_upsert_table(spark, str(tmp_path / "state_plain")).collect()
+        }
+        bucketed = {
+            key(r): (r["event_id"], r["version"])
+            for r in read_upsert_bucketed(
+                spark, tb, str(tmp_path / "state_bucketed")
+            ).collect()
+        }
+        assert bucketed == plain and plain
+    finally:
+        for t in [r["tableName"] for r in spark.sql("SHOW TABLES").collect()]:
+            if t.startswith(tb):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
