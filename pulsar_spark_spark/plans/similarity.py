@@ -398,9 +398,8 @@ def lsh_topk(
 # ---------------------------------------------------------------------
 # embedding-cosine near-dup pairs (bucketed, never all-pairs)
 # ---------------------------------------------------------------------
-@query(
-    "embedding_near_dup_pairs",
-    oracle=f"""
+def _emb_near_dup_oracle() -> str:
+    return f"""
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                round({_sql_cosine('a.embedding', 'b.embedding')}, 6) AS cos_sim
         FROM embeddings a
@@ -410,8 +409,10 @@ def lsh_topk(
              = {_sql_bucket('b.embedding', _LSH_BITS)}
         WHERE {_sql_cosine('a.embedding', 'b.embedding')} >= {_NEAR_DUP_COS}
         ORDER BY vec_a, vec_b
-    """,
-)
+    """
+
+
+@query("embedding_near_dup_pairs", oracle=_emb_near_dup_oracle())
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs via LSH bucket join + cosine gate.
 
@@ -421,6 +422,13 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the verifier. At 100 TB the bucket key shards both the shuffle and
     the quadratic term.
     """
+    return _emb_near_dup_pairs(spark, sf_dir).orderBy("vec_a", "vec_b")
+
+
+def _emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unordered pair relation shared by the registered pairs query
+    (which adds the presentation sort) and the cluster builder (which
+    must not pay the sort's sampling re-execution)."""
     emb = load_table(spark, "embeddings", sf_dir).withColumn(
         "bucket", sign_bucket("embedding", _LSH_BITS)
     )
@@ -436,7 +444,58 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cos_sim", cosine(col("emb_a"), col("emb_b")))
         .filter(col("cos_sim") >= _NEAR_DUP_COS)
         .select("vec_a", "vec_b", F.round("cos_sim", 6).alias("cos_sim"))
-        .orderBy("vec_a", "vec_b")
+    )
+
+
+@query(
+    "embedding_dedup_clusters",
+    oracle=f"""
+        WITH RECURSIVE pairs AS (
+            {_emb_near_dup_oracle().replace("ORDER BY vec_a, vec_b", "")}
+        ), sym AS (
+            SELECT vec_a AS src, vec_b AS dst FROM pairs
+            UNION ALL
+            SELECT vec_b AS src, vec_a AS dst FROM pairs
+        ), closure AS (
+            SELECT src AS node, src AS reach FROM sym
+            UNION
+            SELECT c.node, s.dst AS reach
+            FROM closure c JOIN sym s ON c.reach = s.src
+        ), labels AS (
+            SELECT node, min(reach) AS component
+            FROM closure GROUP BY node
+        )
+        SELECT component                                    AS cluster_id,
+               count(*)                                     AS n_vecs,
+               string_agg(node::VARCHAR, ',' ORDER BY node) AS vec_ids
+        FROM labels
+        GROUP BY component
+        ORDER BY cluster_id
+    """,
+)
+def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup CLUSTERS: connected components over
+    the :func:`embedding_near_dup_pairs` graph — the consumer shape an
+    embedding-dedup pipeline actually keys on (keep one vector per
+    cluster). Reuses the text pipeline's min-label-propagation
+    operator (plans/text.py::connected_components_min_label — per-round
+    lazy checkpoints, sum-scalar convergence); hash-checked against a
+    DuckDB recursive-CTE transitive closure, both converging to
+    component = min(vec_id)."""
+    from pulsar_spark_spark.plans.text import connected_components_min_label
+
+    pairs = _emb_near_dup_pairs(spark, sf_dir).select("vec_a", "vec_b")
+    comp = connected_components_min_label(pairs, "vec_a", "vec_b")
+    ids_str = F.array_join(
+        F.transform(
+            F.sort_array(F.collect_list("node")), lambda x: x.cast("string")
+        ),
+        ",",
+    )
+    return (
+        comp.groupBy(col("component").alias("cluster_id"))
+        .agg(F.count(F.lit(1)).alias("n_vecs"), ids_str.alias("vec_ids"))
+        .orderBy("cluster_id")
     )
 
 
