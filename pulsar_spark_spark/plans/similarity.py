@@ -34,6 +34,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql.functions import broadcast, col
 
+from pulsar_spark_spark.operators.checkpoint import materialize
 from pulsar_spark_spark.plans.registry import query
 from pulsar_spark_spark.sources.tables import load_table
 
@@ -396,54 +397,243 @@ def lsh_topk(
 
 
 # ---------------------------------------------------------------------
-# embedding-cosine near-dup pairs (bucketed, never all-pairs)
+# embedding-cosine near-dup pairs (collapsed + multi-table + capped)
 # ---------------------------------------------------------------------
-def _emb_near_dup_oracle() -> str:
+# Candidate-generation knobs for the embedding dedup family — the same
+# skew-guard stack as the MinHash text dedup (plans/text.py):
+#   1. identical embeddings collapse to ONE representative before any
+#      bucketing (a million-copy vector is one banded row; its member
+#      pairs fan back out only at the very end, output-sized);
+#   2. 4 independent SRP tables × 8 bits give 256 buckets per table
+#      (the old single 4-bit table had 16 — a constant 16× off
+#      all-pairs, not a scale shape), with recall recovered by table
+#      union (at cos ≥ 0.9, per-pair candidate prob ≈ 0.74 vs 0.54);
+#   3. a per-(table, bucket) cap drops boilerplate-hot buckets from
+#      candidate generation, bounding per-bucket work at CAP²/2.
+# Fixture embeddings are all-distinct, so the collapse is a no-op at
+# test scale (adversarial pytest covers it); the cap IS live at sf0.1.
+_EMB_TABLES = 4
+_EMB_BITS = 8
+_EMB_BUCKET_CAP = 64
+
+
+def _emb_seed(t: int) -> str:
+    """Hyperplane-family seed for table ``t`` (shared with lsh_topk)."""
+    return "srp" if t == 0 else f"srp{t}"
+
+
+def _emb_near_dup_oracle(
+    n_tables: int = _EMB_TABLES,
+    n_bits: int = _EMB_BITS,
+    bucket_cap: int = _EMB_BUCKET_CAP,
+) -> str:
+    banded = " UNION ALL ".join(
+        f"SELECT rep, {t} AS tbl, "
+        f"{_sql_bucket('g.embedding', n_bits, _emb_seed(t))} AS bucket FROM grp g"
+        for t in range(n_tables)
+    )
+    cs = _sql_cosine("ea.embedding", "eb.embedding")
     return f"""
-        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-               round({_sql_cosine('a.embedding', 'b.embedding')}, 6) AS cos_sim
-        FROM embeddings a
-        JOIN embeddings b
-          ON a.vec_id < b.vec_id
-         AND {_sql_bucket('a.embedding', _LSH_BITS)}
-             = {_sql_bucket('b.embedding', _LSH_BITS)}
-        WHERE {_sql_cosine('a.embedding', 'b.embedding')} >= {_NEAR_DUP_COS}
+        WITH grp AS (
+            SELECT embedding, min(vec_id) AS rep, count(*) AS grp_n
+            FROM embeddings GROUP BY embedding
+        ), mem AS (
+            SELECT e.vec_id, g.rep
+            FROM embeddings e JOIN grp g ON e.embedding = g.embedding
+        ), banded AS (
+            {banded}
+        ), capped AS (
+            SELECT rep, tbl, bucket FROM banded
+            QUALIFY count(*) OVER (PARTITION BY tbl, bucket) <= {bucket_cap}
+        ), cand AS (
+            SELECT DISTINCT a.rep AS rep_a, b.rep AS rep_b
+            FROM capped a JOIN capped b
+              ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.rep < b.rep
+            UNION ALL
+            SELECT rep, rep FROM grp WHERE grp_n > 1
+        ), verified AS (
+            SELECT c.rep_a, c.rep_b, {cs} AS cs
+            FROM cand c
+            JOIN embeddings ea ON ea.vec_id = c.rep_a
+            JOIN embeddings eb ON eb.vec_id = c.rep_b
+            WHERE {cs} >= {_NEAR_DUP_COS}
+        )
+        SELECT least(ma.vec_id, mb.vec_id)    AS vec_a,
+               greatest(ma.vec_id, mb.vec_id) AS vec_b,
+               round(v.cs, 6)                 AS cos_sim
+        FROM verified v
+        JOIN mem ma ON ma.rep = v.rep_a
+        JOIN mem mb ON mb.rep = v.rep_b
+        WHERE v.rep_a <> v.rep_b OR ma.vec_id < mb.vec_id
         ORDER BY vec_a, vec_b
     """
 
 
 @query("embedding_near_dup_pairs", oracle=_emb_near_dup_oracle())
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-duplicate pairs via LSH bucket join + cosine gate.
+    """Embedding near-duplicate pairs: exact-embedding collapse →
+    multi-table SRP LSH with a per-bucket cap → exact-cosine verify →
+    fan out to member pairs.
 
-    Same bucketed shape as the MinHash text dedup (plans/text.py):
-    the candidate generator is an equi-join on the LSH key — pairs
-    across buckets are never scored. The within-bucket exact cosine is
-    the verifier. At 100 TB the bucket key shards both the shuffle and
-    the quadratic term.
+    The 100 TB shape, with the same skew guards as the MinHash text
+    dedup (plans/text.py::near_dup_pairs) — identical embeddings (the
+    actual dedup target) are collapsed to one representative before
+    bucketing, so they can never form a hot bucket; among distinct
+    vectors the per-(table, bucket) cap bounds the self-join at
+    CAP²/2 candidates per bucket. The only join keys are the vector
+    hash and the (table, bucket) pair; work is O(candidates) in unique
+    vectors, never O(n²) in rows.
     """
-    return _emb_near_dup_pairs(spark, sf_dir).orderBy("vec_a", "vec_b")
+    return emb_near_dup_pairs(load_table(spark, "embeddings", sf_dir)).orderBy(
+        "vec_a", "vec_b"
+    )
 
 
-def _emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unordered pair relation shared by the registered pairs query
-    (which adds the presentation sort) and the cluster builder (which
-    must not pay the sort's sampling re-execution)."""
-    emb = load_table(spark, "embeddings", sf_dir).withColumn(
-        "bucket", sign_bucket("embedding", _LSH_BITS)
+def emb_near_dup_candidates(
+    emb: DataFrame,
+    n_tables: int = _EMB_TABLES,
+    n_bits: int = _EMB_BITS,
+    bucket_cap: int = _EMB_BUCKET_CAP,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Candidate-generation stage of :func:`emb_near_dup_pairs`,
+    exposed so the skew guards are testable in isolation.
+
+    Returns ``(keyed, reps, cand)``: the vec→vector-group mapping
+    (vec_id, vkey), the per-unique-vector relation (vkey, rep, grp_n,
+    embedding), and the candidate REP pairs (rep_a, rep_b) after the
+    exact collapse and the bucket cap — ``|cand|`` is the quantity the
+    guards bound.
+
+    The collapse key is md5(to_json(embedding)) — Spark-internal only
+    (the oracle groups by the embedding list directly; only the
+    grouping semantics must match, not the key bytes). The collapse is
+    an AGGREGATE (min/min_by/count, all map-side combinable), not a
+    window: a million-copy vector ships one partial row per map task.
+    """
+    spark = emb.sparkSession
+    vkey = F.md5(F.to_json(F.struct(col("embedding").alias("e"))))
+    # narrow (vec_id, vkey) relation for the final fan-out — consumed
+    # by both fan-out sides, materialized so the vectors are not
+    # re-hashed per consumer
+    keyed = emb.select("vec_id", vkey.alias("vkey")).transform(materialize)
+    # explicit respread after the collapse: AQE coalesces the small
+    # post-agg shuffle, which would serialize the 32-hyperplane bucket
+    # projection below (the documented trap from plans/text.py)
+    n_spread = spark.sparkContext.defaultParallelism * 2
+    reps = (
+        emb.select("vec_id", "embedding", vkey.alias("vkey"))
+        .groupBy("vkey")
+        .agg(
+            F.min("vec_id").alias("rep"),
+            F.count(F.lit(1)).alias("grp_n"),
+            F.min_by("embedding", "vec_id").alias("embedding"),
+        )
+        .repartition(n_spread, col("rep"))
+        .transform(materialize)
     )
-    a = emb.select(
-        col("vec_id").alias("vec_a"), col("embedding").alias("emb_a"), "bucket"
+    # one (rep, tbl, bucket) row per table — the 64-float embedding is
+    # consumed by the bucket expressions but NOT carried through the
+    # explode (the lsh_topk plan-size lesson)
+    tables = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                sign_bucket("embedding", n_bits, seed=_emb_seed(t)).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ]
     )
-    b = emb.select(
-        col("vec_id").alias("vec_b"), col("embedding").alias("emb_b"),
-        col("bucket").alias("bucket_b"),
+    banded = reps.select("rep", F.explode(tables).alias("tb")).select(
+        "rep", col("tb.tbl").alias("tbl"), col("tb.bucket").alias("bucket")
     )
-    return (
-        a.join(b, (col("bucket") == col("bucket_b")) & (col("vec_a") < col("vec_b")))
+    # hot-bucket cap: one count over the (table, bucket) key — the
+    # window shuffle pre-partitions both sides of the self-join below
+    capped = (
+        banded.withColumn(
+            "bn", F.count(F.lit(1)).over(Window.partitionBy("tbl", "bucket"))
+        )
+        .filter(col("bn") <= bucket_cap)
+        .drop("bn")
+    )
+    a = capped.alias("a")
+    b = capped.alias("b")
+    cross = (
+        a.join(
+            b,
+            (col("a.tbl") == col("b.tbl"))
+            & (col("a.bucket") == col("b.bucket"))
+            & (col("a.rep") < col("b.rep")),
+        )
+        .select(col("a.rep").alias("rep_a"), col("b.rep").alias("rep_b"))
+        .distinct()
+    )
+    # multi-member groups verify once against themselves (rep, rep) —
+    # the fan-out turns that row into all within-group pairs
+    self_cand = reps.filter(col("grp_n") > 1).select(
+        col("rep").alias("rep_a"), col("rep").alias("rep_b")
+    )
+    return keyed, reps, cross.unionByName(self_cand)
+
+
+def emb_verified_rep_pairs(
+    emb: DataFrame,
+    n_tables: int = _EMB_TABLES,
+    n_bits: int = _EMB_BITS,
+    bucket_cap: int = _EMB_BUCKET_CAP,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Candidate generation + exact-cosine verify at REPRESENTATIVE
+    level: returns ``(keyed, reps, verified)`` where verified is (vkey_a,
+    vkey_b, rep_a, rep_b, cos_sim) — cross-group pairs plus one
+    (rep, rep) row per multi-member group. This tiny relation is the
+    whole dedup signal; both the pair fan-out and the cluster builder
+    start from it, so nothing downstream is ever quadratic in group
+    size. The (rep, rep) self-pair goes through the same cosine
+    expression as cross pairs (cos(v, v) is computed, not assumed
+    1.0), keeping the oracle bit-identical."""
+    keyed, reps, cand = emb_near_dup_candidates(emb, n_tables, n_bits, bucket_cap)
+    ea = reps.select(
+        col("rep").alias("rep_a"),
+        col("embedding").alias("emb_a"),
+        col("vkey").alias("vkey_a"),
+    )
+    eb = reps.select(
+        col("rep").alias("rep_b"),
+        col("embedding").alias("emb_b"),
+        col("vkey").alias("vkey_b"),
+    )
+    verified = (
+        cand.join(ea, "rep_a")
+        .join(eb, "rep_b")
         .withColumn("cos_sim", cosine(col("emb_a"), col("emb_b")))
         .filter(col("cos_sim") >= _NEAR_DUP_COS)
-        .select("vec_a", "vec_b", F.round("cos_sim", 6).alias("cos_sim"))
+        .select("vkey_a", "vkey_b", "rep_a", "rep_b", "cos_sim")
+        .transform(materialize)
+    )
+    return keyed, reps, verified
+
+
+def emb_near_dup_pairs(
+    emb: DataFrame,
+    n_tables: int = _EMB_TABLES,
+    n_bits: int = _EMB_BITS,
+    bucket_cap: int = _EMB_BUCKET_CAP,
+) -> DataFrame:
+    """Member-level near-dup pairs (vec_a, vec_b, cos_sim): the
+    verified rep pairs fanned back out to group members. The verified
+    relation is candidate-sized (tiny vs the corpus) — broadcast it so
+    the fan-out never shuffles the membership relation."""
+    keyed, _, verified = emb_verified_rep_pairs(emb, n_tables, n_bits, bucket_cap)
+    ma = keyed.select(col("vkey").alias("vkey_a"), col("vec_id").alias("m_a"))
+    mb = keyed.select(col("vkey").alias("vkey_b"), col("vec_id").alias("m_b"))
+    return (
+        ma.join(F.broadcast(verified), "vkey_a")
+        .join(mb, "vkey_b")
+        .filter((col("rep_a") != col("rep_b")) | (col("m_a") < col("m_b")))
+        .select(
+            F.least("m_a", "m_b").alias("vec_a"),
+            F.greatest("m_a", "m_b").alias("vec_b"),
+            F.round("cos_sim", 6).alias("cos_sim"),
+        )
     )
 
 
@@ -475,17 +665,18 @@ def _emb_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup CLUSTERS: connected components over
-    the :func:`embedding_near_dup_pairs` graph — the consumer shape an
-    embedding-dedup pipeline actually keys on (keep one vector per
-    cluster). Reuses the text pipeline's min-label-propagation
-    operator (plans/text.py::connected_components_min_label — per-round
-    lazy checkpoints, sum-scalar convergence); hash-checked against a
-    DuckDB recursive-CTE transitive closure, both converging to
-    component = min(vec_id)."""
-    from pulsar_spark_spark.plans.text import connected_components_min_label
+    the near-dup graph — the consumer shape an embedding-dedup
+    pipeline actually keys on (keep one vector per cluster).
 
-    pairs = _emb_near_dup_pairs(spark, sf_dir).select("vec_a", "vec_b")
-    comp = connected_components_min_label(pairs, "vec_a", "vec_b")
+    Round-8 scale shape: like the text family, the component walk runs
+    at REPRESENTATIVE level (:func:`emb_components`) — one node per
+    unique embedding, cross edges only — and group members attach to
+    their rep's component at the very end, so a million-copy vector is
+    ONE node in the iterative graph. Hash-checked against a DuckDB
+    recursive-CTE transitive closure over the full member-pair graph;
+    both converge to component = min(vec_id), which the rep-level walk
+    preserves because every rep is already the min id of its group."""
+    comp = emb_components(load_table(spark, "embeddings", sf_dir))
     ids_str = F.array_join(
         F.transform(
             F.sort_array(F.collect_list("node")), lambda x: x.cast("string")
@@ -496,6 +687,39 @@ def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         comp.groupBy(col("component").alias("cluster_id"))
         .agg(F.count(F.lit(1)).alias("n_vecs"), ids_str.alias("vec_ids"))
         .orderBy("cluster_id")
+    )
+
+
+def emb_components(
+    emb: DataFrame,
+    n_tables: int = _EMB_TABLES,
+    n_bits: int = _EMB_BITS,
+    bucket_cap: int = _EMB_BUCKET_CAP,
+) -> DataFrame:
+    """(node=vec_id, component=min vec_id in its near-dup cluster) for
+    every CLUSTERED vector — the rep-level decomposition underlying
+    :func:`embedding_dedup_clusters`, twin of plans/text.py's
+    ``doc_components``: cross-group verified pairs are the edges; a
+    verified (rep, rep) self-pair marks a multi-member group as a
+    cluster even with no cross edges; members then join in via their
+    vector key."""
+    from pulsar_spark_spark.plans.text import connected_components_min_label
+
+    keyed, reps, verified = emb_verified_rep_pairs(emb, n_tables, n_bits, bucket_cap)
+    cross = verified.filter(col("rep_a") != col("rep_b"))
+    comp_rep = connected_components_min_label(cross, "rep_a", "rep_b")
+    self_only = (
+        verified.filter(col("rep_a") == col("rep_b"))
+        .select(col("rep_a").alias("node"))
+        .join(comp_rep.select("node"), "node", "left_anti")
+        .withColumn("component", col("node"))
+    )
+    rep_comp = comp_rep.unionByName(self_only)
+    rep_vkey = reps.select(col("rep").alias("node"), "vkey")
+    return (
+        rep_comp.join(rep_vkey, "node")
+        .join(keyed, "vkey")
+        .select(col("vec_id").alias("node"), "component")
     )
 
 

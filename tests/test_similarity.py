@@ -192,3 +192,93 @@ def test_lsh_probe_index_matches_in_memory(spark, tmp_path, emb):
     assert "PartitionFilters" in plan
     seg = plan.split("PartitionFilters", 1)[1][:300]
     assert "bucket" in seg, seg
+
+
+# ---------------------------------------------------------------------
+# embedding near-dup skew guards (round-8: exact collapse + multi-table
+# banding + per-bucket cap — twin of tests/test_text.py's guard tests)
+# ---------------------------------------------------------------------
+def _copy_heavy_embeddings(spark, n_copies=500, n_distinct=30):
+    """Adversarial shard: n_copies exact copies of one vector (the
+    dedup target — identical embeddings) plus n_distinct random
+    vectors (cos ≈ 0 pairwise, below the near-dup threshold)."""
+    import numpy as np
+
+    rng = np.random.default_rng(8)
+    page = rng.standard_normal(64).astype("float32")
+    rows = [(i, [float(x) for x in page]) for i in range(n_copies)]
+    for j in range(n_distinct):
+        v = rng.standard_normal(64).astype("float32")
+        rows.append((n_copies + j, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_emb_exact_dup_collapse_bounds_candidates(spark):
+    """500 copies of one vector must contribute ONE banded
+    representative and ONE (rep, rep) self-candidate — never 500²/2
+    pairs through the bucket-join shuffle."""
+    from pulsar_spark_spark.plans.similarity import emb_near_dup_candidates
+
+    emb = _copy_heavy_embeddings(spark)
+    keyed, reps, cand = emb_near_dup_candidates(emb)
+    assert reps.count() == 31  # one rep per unique vector
+    cands = [(r["rep_a"], r["rep_b"]) for r in cand.collect()]
+    assert cands.count((0, 0)) == 1
+    # total candidates bounded by unique-vector pairs, not row pairs
+    assert len(cands) <= 31 * 30 // 2 + 1
+
+
+def test_emb_exact_dup_fanout_emits_all_member_pairs(spark):
+    """The collapse is an optimization, not a semantics change: every
+    within-group pair must still come out, at cos_sim 1.0."""
+    from pulsar_spark_spark.plans.similarity import emb_near_dup_pairs
+
+    emb = _copy_heavy_embeddings(spark, n_copies=60, n_distinct=10)
+    out = emb_near_dup_pairs(emb).collect()
+    pairs = {(r["vec_a"], r["vec_b"]) for r in out}
+    want = {(a, b) for a in range(60) for b in range(a + 1, 60)}
+    assert want <= pairs
+    in_group = [r for r in out if r["vec_a"] < 60 and r["vec_b"] < 60]
+    assert all(r["cos_sim"] == 1.0 for r in in_group)
+
+
+def test_emb_bucket_cap_drops_hot_bucket(spark):
+    """More than bucket_cap DISTINCT near-identical vectors in one
+    (table, bucket) → the bucket is dropped from candidate generation
+    (the boilerplate guard; near-identical ≠ identical, so the exact
+    collapse alone cannot help here)."""
+    import numpy as np
+
+    from pulsar_spark_spark.plans.similarity import emb_near_dup_candidates
+
+    rng = np.random.default_rng(9)
+    base = rng.standard_normal(64).astype("float32") * 10.0
+    rows = []
+    for i in range(12):
+        v = base.copy()
+        v[0] += 0.001 * (i + 1)  # distinct but same SRP signs
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    _, _, capped = emb_near_dup_candidates(emb, bucket_cap=2)
+    _, _, uncapped = emb_near_dup_candidates(emb, bucket_cap=10_000)
+    n_capped, n_uncapped = capped.count(), uncapped.count()
+    assert n_uncapped > 0  # near-identical vectors share buckets
+    assert n_capped < n_uncapped  # the cap trims the hot buckets
+
+
+def test_emb_clusters_rep_level_on_copy_heavy(spark):
+    """Components over a copy-flooded corpus: the iterative CC graph
+    sees ONE node for the 400-copy group (rep level), yet every member
+    lands in the cluster with the min id as its label."""
+    from pulsar_spark_spark.plans.similarity import (
+        emb_components,
+        emb_verified_rep_pairs,
+    )
+
+    emb = _copy_heavy_embeddings(spark, n_copies=400, n_distinct=20)
+    _, _, verified = emb_verified_rep_pairs(emb)
+    # the copy group enters the walk as a single self-pair node
+    assert verified.filter("rep_a = 0 AND rep_b = 0").count() == 1
+    comp = emb_components(emb).collect()
+    got = {r["node"]: r["component"] for r in comp}
+    assert {n for n, c in got.items() if c == 0} == set(range(400))
