@@ -55,6 +55,10 @@ HEAVY = [
     "ann_topk_bruteforce",
     "ann_topk_lsh",
     "ann_topk_ivf",
+    # round 8: the embedding dedup family, measured once its skew
+    # guards (exact collapse + multi-table banding + bucket cap) landed
+    "embedding_near_dup_pairs",
+    "embedding_dedup_clusters",
 ]
 
 # Round 7: the 100x column is measured for EVERY heavy query (the
@@ -93,7 +97,14 @@ def main(filters) -> None:
     from bench import _warm_python_workers
 
     _warm_python_workers(spark)
+    # A filtered run MERGES into the existing sidecar (re-measuring
+    # only the named queries) so SCALE.md never loses its other rows.
     results: dict = {}
+    sidecar = os.path.join(ROOT, "scale_slope.json")
+    if filters and os.path.exists(sidecar):
+        with open(sidecar) as f:
+            results = json.load(f).get("queries", {})
+        results = {n: r for n, r in results.items() if n in HEAVY}
     for name in names:
         t_base = _time_query(spark, name, BASE[1], RUNS)
         rec = {f"{BASE[0]}_sec": round(t_base, 3)}
@@ -181,7 +192,10 @@ def main(filters) -> None:
         "pruned probe slope. `doc_near_dup_pairs`/`doc_dedup_clusters`",
         "carry the round-7 skew guards (exact-text collapse + band-",
         "bucket cap), which bound per-bucket candidate work as the",
-        "corpus grows dirtier. Kernel-bound queries (delivery_*,",
+        "corpus grows dirtier; `embedding_near_dup_pairs`/`_clusters`",
+        "carry the round-8 port of the same guards (exact-embedding",
+        "collapse + 4×8-bit SRP tables + per-bucket cap). Kernel-bound",
+        "queries (delivery_*,",
         "best_latlng) drop well below K× at 100× because 100× more",
         "users finally saturate all 32 cores.",
     ]
