@@ -64,8 +64,7 @@ HEADLINE = [
     "skewed_type_revenue_salted",
     "events_asof_join",
     "event_rollup_multires",
-    "doc_decontamination",
-    "doc_stratified_sample",
+    "doc_curation",  # round-8 merge of decontamination + stratified sample
 ]
 
 

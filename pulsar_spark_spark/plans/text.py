@@ -894,39 +894,73 @@ def connected_components_min_label(
         ), labels AS (
             SELECT node, min(reach) AS component
             FROM closure GROUP BY node
+        ), clusters AS (
+            SELECT component AS cluster_id,
+                   count(*)  AS nd,
+                   string_agg(node::VARCHAR, ',' ORDER BY node) AS ids
+            FROM labels GROUP BY component
         )
-        SELECT component                                   AS cluster_id,
-               count(*)                                    AS n_docs,
-               string_agg(node::VARCHAR, ',' ORDER BY node) AS doc_ids
-        FROM labels
-        GROUP BY component
+        SELECT d.doc_id                           AS cluster_id,
+               COALESCE(c.nd, 1)                  AS n_docs,
+               COALESCE(c.ids, d.doc_id::VARCHAR) AS doc_ids
+        FROM documents d
+        LEFT JOIN clusters c ON c.cluster_id = d.doc_id
+        WHERE d.doc_id NOT IN (
+            SELECT node FROM labels WHERE node <> component
+        )
         ORDER BY cluster_id
     """,
 )
 def doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate CLUSTERS: connected components over the MinHash
-    near-dup graph, one row per component (keep-one-per-cluster is
-    then a trivial filter — see :func:`dedup_corpus`).
+    """Near-dup clusters + the dedup pipeline's TERMINAL keep-set in
+    one relation: one row per SURVIVING document (the id set a
+    training run would read), carrying its cluster membership —
+    ``n_docs``/``doc_ids`` cover the whole near-dup cluster for kept
+    cluster canonicals, and degenerate to (1, own id) for docs in no
+    cluster. The pre-round-8 clusters view is the ``n_docs > 1``
+    filter; the keep-set is the ``cluster_id`` column (round 8 folded
+    the former ``doc_dedup_corpus`` registration in here so every
+    registered query fits the driver's 50-row gate).
 
-    Round-7 scale shape: the component walk runs at REPRESENTATIVE
+    Scale shape (round 7): the component walk runs at REPRESENTATIVE
     level (:func:`doc_components`) — one node per unique text, cross
     edges only — and group members attach to their rep's component at
     the very end. A million-copy page is ONE node in the iterative
     graph instead of 10¹²/2 edges; the fan-out happens once, in the
     final aggregation, where it is output-sized by definition. The
+    keep-set arm is an anti-join against the LOSERS relation (sized
+    by the number of duplicates, not the corpus) plus a left join of
+    the kept ids against the output-sized cluster relation. The
     iterative Spark side (min-label propagation with per-round
     checkpoints) is hash-checked against a DuckDB recursive-CTE
     transitive closure over the FULL member-pair graph — both converge
     to component = min(doc_id), which the rep-level walk preserves
     because every rep is already the min id of its group."""
-    comp = doc_components(load_table(spark, "documents", sf_dir))
+    docs = load_table(spark, "documents", sf_dir)
+    # one component walk feeds both arms (clusters + losers)
+    comp = doc_components(docs).transform(materialize)
     ids_str = F.array_join(
         F.transform(F.sort_array(F.collect_list("node")), lambda x: x.cast("string")),
         ",",
     )
+    clusters = comp.groupBy(col("component").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n_docs"), ids_str.alias("doc_ids")
+    )
+    losers = comp.filter(col("node") != col("component")).select(
+        col("node").alias("doc_id")
+    )
+    kept = docs.select("doc_id").join(losers, "doc_id", "left_anti")
     return (
-        comp.groupBy(col("component").alias("cluster_id"))
-        .agg(F.count(F.lit(1)).alias("n_docs"), ids_str.alias("doc_ids"))
+        kept.join(
+            clusters, kept["doc_id"] == clusters["cluster_id"], "left"
+        )
+        .select(
+            col("doc_id").alias("cluster_id"),
+            F.coalesce(col("n_docs"), F.lit(1)).alias("n_docs"),
+            F.coalesce(col("doc_ids"), col("doc_id").cast("string")).alias(
+                "doc_ids"
+            ),
+        )
         .orderBy("cluster_id")
     )
 
@@ -959,45 +993,6 @@ def doc_components(docs: DataFrame, band_cap: int = _BAND_CAP) -> DataFrame:
         rep_comp.join(rep_ckey, "node")
         .join(keyed, "ckey")
         .select(col("doc_id").alias("node"), "component")
-    )
-
-
-@query(
-    "doc_dedup_corpus",
-    oracle=f"""
-        WITH RECURSIVE pairs AS (
-            {_near_dup_oracle().replace("ORDER BY doc_a, doc_b", "")}
-        ), sym AS (
-            SELECT doc_a AS src, doc_b AS dst FROM pairs
-            UNION ALL
-            SELECT doc_b AS src, doc_a AS dst FROM pairs
-        ), closure AS (
-            SELECT src AS node, src AS reach FROM sym
-            UNION
-            SELECT c.node, s.dst AS reach
-            FROM closure c JOIN sym s ON c.reach = s.src
-        ), labels AS (
-            SELECT node, min(reach) AS component
-            FROM closure GROUP BY node
-        )
-        SELECT d.doc_id AS doc_id
-        FROM documents d
-        WHERE d.doc_id NOT IN (
-            SELECT node FROM labels WHERE node <> component
-        )
-        ORDER BY doc_id
-    """,
-)
-def doc_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The dedup pipeline's TERMINAL product as a registered query:
-    the surviving doc ids after near-dup removal (canonical min-id
-    member per cluster kept, unclustered docs untouched) — i.e. the
-    id set a training run would read. Value-checked against the
-    recursive-CTE closure over the full member-pair graph."""
-    return (
-        dedup_corpus(load_table(spark, "documents", sf_dir))
-        .select("doc_id")
-        .orderBy("doc_id")
     )
 
 

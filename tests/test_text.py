@@ -48,24 +48,30 @@ def test_without_cap_stop_phrase_goes_quadratic(spark):
 
 
 def test_dedup_corpus_keeps_canonical_per_cluster(spark):
-    """dedup_corpus must drop exactly the non-canonical members of
-    every near-dup cluster and pass untouched docs through."""
+    """The merged doc_dedup_clusters relation (round 8): its rows ARE
+    the keep-set (cluster_id column == dedup_corpus output), cluster
+    rows carry full membership with the min id as canonical, and
+    singleton rows degenerate to (1, own id)."""
     from pulsar_spark_spark.plans import QUERIES
     from pulsar_spark_spark.plans.text import dedup_corpus
     from pulsar_spark_spark.sources.tables import load_table
     from tests.conftest import SF_DIR
 
     docs = load_table(spark, "documents", SF_DIR)
-    clusters = QUERIES["doc_dedup_clusters"](spark, SF_DIR).collect()
+    rows = QUERIES["doc_dedup_clusters"](spark, SF_DIR).collect()
     expect_dropped = set()
-    for r in clusters:
+    for r in rows:
         ids = sorted(int(x) for x in r["doc_ids"].split(","))
         assert r["cluster_id"] == ids[0]  # canonical = min id
+        assert r["n_docs"] == len(ids)
         expect_dropped.update(ids[1:])
     kept = {r["doc_id"] for r in dedup_corpus(docs).select("doc_id").collect()}
     all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
     assert kept == all_ids - expect_dropped
     assert expect_dropped and expect_dropped.isdisjoint(kept)
+    # the registered relation's row set IS the keep-set
+    assert {r["cluster_id"] for r in rows} == kept
+    assert any(r["n_docs"] > 1 for r in rows)  # real clusters present
 
 
 # ---------------------------------------------------------------------

@@ -95,9 +95,9 @@ def test_rollup_day_equals_reaggregated_hours(spark):
 
 
 def test_decontamination_flags_planted_dup_not_benchmark(spark):
-    from pulsar_spark_spark.plans.curation import _BENCH_MOD
+    from pulsar_spark_spark.plans.curation import _BENCH_MOD, doc_decontamination
 
-    pdf = QUERIES["doc_decontamination"](spark, SF_DIR).toPandas()
+    pdf = doc_decontamination(spark, SF_DIR).toPandas()
     # benchmark docs are never flagged (they are not corpus members)
     assert (pdf["doc_id"] % _BENCH_MOD != 0).all()
     # the fixture's planted near-copy of a benchmark doc dominates
@@ -106,10 +106,10 @@ def test_decontamination_flags_planted_dup_not_benchmark(spark):
 
 
 def test_stratified_sample_is_deterministic_and_keeps_small_strata(spark):
-    from pulsar_spark_spark.plans.curation import _SAMPLE_TARGET
+    from pulsar_spark_spark.plans.curation import _SAMPLE_TARGET, doc_stratified_sample
 
-    a = QUERIES["doc_stratified_sample"](spark, SF_DIR).toPandas()
-    b = QUERIES["doc_stratified_sample"](spark, SF_DIR).toPandas()
+    a = doc_stratified_sample(spark, SF_DIR).toPandas()
+    b = doc_stratified_sample(spark, SF_DIR).toPandas()
     assert a.equals(b)  # pure function of doc_id — no RNG state
     # strata at or under the target are kept whole (rate clamps to 1)
     small = a[a["n_stratum"] <= _SAMPLE_TARGET]
@@ -123,3 +123,27 @@ def test_stratified_sample_is_deterministic_and_keeps_small_strata(spark):
     if len(big):
         frac = len(big) / big.drop_duplicates(["source", "lang"])["n_stratum"].sum()
         assert frac < 1.0
+
+
+def test_doc_curation_carries_both_stage_column_families(spark):
+    """The round-8 merged registration must be exactly the full-outer
+    join of its two stages: every decontamination row and every sample
+    row appears once, with the other family null when absent."""
+    from pulsar_spark_spark.plans.curation import (
+        doc_decontamination,
+        doc_stratified_sample,
+    )
+
+    merged = QUERIES["doc_curation"](spark, SF_DIR).toPandas()
+    decon = doc_decontamination(spark, SF_DIR).toPandas()
+    samp = doc_stratified_sample(spark, SF_DIR).toPandas()
+    assert set(merged["doc_id"]) == set(decon["doc_id"]) | set(samp["doc_id"])
+    d = merged[merged["n_bench_hits"].notna()]
+    assert sorted(d["doc_id"]) == sorted(decon["doc_id"])
+    m = merged.set_index("doc_id")
+    assert (
+        m.loc[sorted(decon["doc_id"]), "max_shared"].to_numpy()
+        == decon.sort_values("doc_id")["max_shared"].to_numpy()
+    ).all()
+    s = merged[merged["n_stratum"].notna()]
+    assert sorted(s["doc_id"]) == sorted(samp["doc_id"])

@@ -35,7 +35,7 @@ _CHECKPOINTED = {
     "doc_dedup_clusters",
     "smart_address_candidates",
     "doc_winnow_fingerprints",
-    "doc_decontamination",
+    "doc_curation",
     "event_rollup_multires",
 }
 
@@ -45,7 +45,6 @@ _FLAGSHIP = [
     "purchase_click_attribution",
     "events_asof_join",
     "geofence_containment",
-    "doc_stratified_sample",
 ]
 
 
