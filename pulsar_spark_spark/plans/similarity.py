@@ -546,15 +546,11 @@ def emb_near_dup_candidates(
     banded = reps.select("rep", F.explode(tables).alias("tb")).select(
         "rep", col("tb.tbl").alias("tbl"), col("tb.bucket").alias("bucket")
     )
-    # hot-bucket cap: one count over the (table, bucket) key — the
-    # window shuffle pre-partitions both sides of the self-join below
-    capped = (
-        banded.withColumn(
-            "bn", F.count(F.lit(1)).over(Window.partitionBy("tbl", "bucket"))
-        )
-        .filter(col("bn") <= bucket_cap)
-        .drop("bn")
-    )
+    # hot-bucket cap over the (table, bucket) key — shared guard with
+    # the text band cap (window-vs-agg trade documented there)
+    from pulsar_spark_spark.plans.text import cap_hot_buckets
+
+    capped = cap_hot_buckets(banded, ["tbl", "bucket"], bucket_cap)
     a = capped.alias("a")
     b = capped.alias("b")
     cross = (

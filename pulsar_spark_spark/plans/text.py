@@ -210,6 +210,41 @@ def _near_dup_oracle(band_cap: int = _BAND_CAP) -> str:
     """
 
 
+# Hot-bucket cap implementation. "window" = count-window over the
+# bucket key (its shuffle pre-partitions the following self-join);
+# "agg" = map-side-combinable count aggregate, over-cap keys broadcast
+# back as a left-anti join (no sort, but the self-join re-shuffles).
+# Round-8 same-session interleaved A/B (min-of-2, sf0.1 AND 10x data):
+# window wins doc_near_dup_pairs by 41%/22% (sf0.1/10x),
+# doc_dedup_clusters by 13%/4%, embedding_near_dup_pairs by 10% at
+# 10x (the one agg win, 13% at sf0.1, is inside the noise band) —
+# the exchange reuse into the self-join beats avoiding the sort, so
+# the WINDOW IS OPTIMAL here and stays the default; "agg" is kept
+# for re-measurement on other data shapes.
+_CAP_MODE = "window"
+
+
+def cap_hot_buckets(banded: DataFrame, keys: list, cap: int) -> DataFrame:
+    """Drop rows of ``banded`` whose bucket (the ``keys`` tuple) holds
+    more than ``cap`` rows — the boilerplate guard shared by the text
+    band cap and the embedding (table, bucket) cap."""
+    if _CAP_MODE == "window":
+        return (
+            banded.withColumn(
+                "bn", F.count(F.lit(1)).over(Window.partitionBy(*keys))
+            )
+            .filter(col("bn") <= cap)
+            .drop("bn")
+        )
+    hot = (
+        banded.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .filter(col("bn") > cap)
+        .select(*keys)
+    )
+    return banded.join(F.broadcast(hot), keys, "left_anti")
+
+
 def near_dup_pairs(docs: DataFrame, band_cap: int = _BAND_CAP) -> DataFrame:
     """Near-duplicate pairs: exact-text collapse → MinHash → capped LSH
     bands → exact-Jaccard verify → fan out to member pairs.
@@ -333,16 +368,8 @@ def near_dup_candidates(
         "rep",
         F.explode(lsh_bands(col("sig"), _N_BANDS, _ROWS_PER_BAND)).alias("band_key"),
     )
-    # Hot-bucket cap: one count over the band key (the window shuffle
-    # pre-partitions both sides of the following self-join, which
-    # reuses the same hashpartitioning(band_key)).
-    capped = (
-        banded.withColumn(
-            "bn", F.count(F.lit(1)).over(Window.partitionBy("band_key"))
-        )
-        .filter(col("bn") <= band_cap)
-        .drop("bn")
-    )
+    # Hot-bucket cap (see cap_hot_buckets for the window-vs-agg trade)
+    capped = cap_hot_buckets(banded, ["band_key"], band_cap)
     a = capped.alias("a")
     b = capped.alias("b")
     cross = (
