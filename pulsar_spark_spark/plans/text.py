@@ -862,6 +862,13 @@ def connected_components_min_label(
 
     Convergence is detected by an aggregate over the changed flags (a
     driver-side scalar read per round, never a collect of the data).
+
+    Exhausting ``max_iter`` without reaching the fixpoint RAISES
+    (round 8) instead of silently returning partially-propagated
+    labels — a chained component with diameter > max_iter is exactly
+    the case where the result would be wrong. For such graphs use
+    :func:`connected_components_star`, which converges in ~log
+    rounds regardless of diameter.
     """
     spark = edges.sparkSession
     # the edge relation is read in EVERY round's join plus the label
@@ -883,6 +890,7 @@ def connected_components_min_label(
     # fixpoint — one scalar read per round replaces the second
     # (labels ⋈ neighbor_min) join the changed-flag variant needed.
     prev_sum = None
+    converged = False
     for _ in range(max_iter):
         nbr = sym.join(labels, sym.dst == labels.node).select(
             col("src").alias("node"), col("label")
@@ -899,9 +907,109 @@ def connected_components_min_label(
             F.sum(col("label").cast("decimal(38,0)"))
         ).first()[0]
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
+    if not converged:
+        raise RuntimeError(
+            f"min-label propagation did not converge in {max_iter} rounds "
+            "(component diameter exceeds the iteration budget); use "
+            "connected_components_star for deep/chained graphs"
+        )
     return labels.select("node", col("label").alias("component"))
+
+
+def connected_components_star(
+    edges: DataFrame,
+    a: str = "doc_a",
+    b: str = "doc_b",
+    max_iter: int = 40,
+    stats: dict | None = None,
+) -> DataFrame:
+    """(node, component) via alternating large-star/small-star rounds
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the deep-graph twin of :func:`connected_components_min_label`.
+
+    Where min-label propagation needs O(component diameter) rounds (a
+    chained boilerplate cluster A~B~C~… at crawl scale can be
+    arbitrarily deep), the star operations contract whole neighborhood
+    trees per round and converge in ~log(diameter) rounds: large-star
+    hangs every strictly-larger neighbor of a node off the minimum of
+    its closed neighborhood; small-star does the same for the
+    smaller-or-equal neighbors. Each phase is one aggregate + one join
+    on the edge relation — the same per-round plan shape as min-label
+    — with a lazy localCheckpoint per round so lineage stays flat, and
+    convergence detected by (count, decimal-sum) scalar reads, never a
+    data collect. Both converge to component = min(id); parity is
+    pinned in pytest, and the path-graph test measures the round
+    count at ~log2(diameter).
+
+    Contract matches min-label: nodes appearing only in self-loop
+    edges are dropped (callers pass cross edges and handle self-pairs
+    separately). ``stats``, if given, receives ``{"rounds": n}``.
+    """
+
+    def canon(e: DataFrame) -> DataFrame:
+        return (
+            e.filter(col("x") != col("y"))
+            .select(F.least("x", "y").alias("u"), F.greatest("x", "y").alias("v"))
+            .distinct()
+        )
+
+    E = canon(
+        edges.select(col(a).alias("x"), col(b).alias("y"))
+    ).transform(materialize)
+    prev = None
+    rounds = 0
+    for _ in range(max_iter):
+        # large-star: center at every node n; attach strictly larger
+        # neighbors to m = min(closed neighborhood of n)
+        sym = E.unionByName(
+            E.select(col("v").alias("u"), col("u").alias("v"))
+        )
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("u", col("mn")).alias("m"))
+        )
+        large = canon(
+            sym.filter(col("v") > col("u"))
+            .join(mins, "u")
+            .select(col("v").alias("x"), col("m").alias("y"))
+        )
+        # small-star: center at the larger endpoint; attach the
+        # smaller neighbors (and the center) to their minimum
+        ori = large.select(col("v").alias("u"), col("u").alias("v"))  # v < u
+        smins = ori.groupBy("u").agg(F.min("v").alias("m"))
+        E = canon(
+            ori.join(smins, "u")
+            .select(col("v").alias("x"), col("m").alias("y"))
+            .unionByName(
+                smins.select(col("u").alias("x"), col("m").alias("y"))
+            )
+        ).transform(materialize)
+        rounds += 1
+        sig = E.agg(
+            F.count(F.lit(1)),
+            F.sum(col("u").cast("decimal(38,0)")),
+            F.sum(col("v").cast("decimal(38,0)")),
+        ).first()
+        sig = tuple(sig)
+        if sig == prev:
+            break
+        prev = sig
+    if stats is not None:
+        stats["rounds"] = rounds
+    # fixpoint E is a union of stars centered at each component's min
+    sym = E.unionByName(E.select(col("v").alias("u"), col("u").alias("v")))
+    return (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .select(
+            col("u").alias("node"),
+            F.least("u", col("mn")).alias("component"),
+        )
+    )
 
 
 @query(

@@ -164,3 +164,67 @@ def test_dedup_clusters_rep_level_on_copy_heavy_corpus(spark):
     assert (0, 0) in v and len(v) <= 21
     comp = {r["node"]: r["component"] for r in doc_components(docs).collect()}
     assert {n for n in comp if comp[n] == 0} == set(range(400))
+
+
+# ---------------------------------------------------------------------
+# large-star/small-star CC (round 8: deep-graph scale path)
+# ---------------------------------------------------------------------
+def test_star_cc_path_graph_log_rounds(spark):
+    """A 256-node path (diameter 255) — the chained-boilerplate shape —
+    must fully converge in ~log2(diameter) star rounds, never
+    O(diameter)."""
+    from pulsar_spark_spark.plans.text import connected_components_star
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(255)], "doc_a long, doc_b long"
+    )
+    stats = {}
+    labels = connected_components_star(edges, stats=stats).collect()
+    assert {r["node"] for r in labels} == set(range(256))
+    assert all(r["component"] == 0 for r in labels)
+    assert stats["rounds"] <= 12  # ~log2(255) + slack; O(diameter) = 255
+
+
+def test_star_cc_matches_min_label_on_shallow_graph(spark):
+    """Parity with min-label propagation on a multi-component graph
+    (the near-dup regime both operators serve)."""
+    import random
+
+    from pulsar_spark_spark.plans.text import (
+        connected_components_min_label,
+        connected_components_star,
+    )
+
+    rng = random.Random(8)
+    edges = []
+    for base in range(0, 100, 10):  # 10 clique-ish components
+        ids = list(range(base, base + 10))
+        for _ in range(15):
+            x, y = rng.sample(ids, 2)
+            edges.append((x, y))
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    a = {
+        (r["node"], r["component"])
+        for r in connected_components_min_label(df).collect()
+    }
+    b = {
+        (r["node"], r["component"])
+        for r in connected_components_star(df).collect()
+    }
+    assert a == b
+    # every label stays inside its own 10-id block (no cross merges)
+    assert all(c // 10 == n // 10 for n, c in a)
+
+
+def test_min_label_raises_beyond_iteration_budget(spark):
+    """Exhausting max_iter must be LOUD (round 8), never silently
+    wrong labels: a 30-hop chain cannot converge in 5 rounds."""
+    import pytest as _pytest
+
+    from pulsar_spark_spark.plans.text import connected_components_min_label
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "doc_a long, doc_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components_min_label(edges, max_iter=5)
