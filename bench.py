@@ -271,7 +271,7 @@ def _geotag_rescore_bench(spark) -> dict:
             wall = time.perf_counter() - t0
             return q, finished, wall
 
-        q, finished, wall = drive("plain")
+        q, finished, wall = drive("plain", state_table=None)
         if not finished:
             q.stop()
             return {"timed_out": True, "wall_sec": round(wall, 3)}
@@ -289,6 +289,8 @@ def _geotag_rescore_bench(spark) -> dict:
                 "bucketed", state_table=tb, n_buckets=int(CPUS)
             )
             bucketed_rps = int(n_rows / wall_b) if fin_b else None
+            if not fin_b:
+                qb.stop()  # never leave a live stream mutating state
         finally:
             for t in [r["tableName"] for r in spark.sql("SHOW TABLES").collect()]:
                 if t.startswith(tb):

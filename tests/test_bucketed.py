@@ -219,7 +219,7 @@ def test_rescore_stream_bucketed_state_matches_plain(spark, tmp_path):
 
     tb = "t_rescore_bucketed_state"
     try:
-        run("plain")
+        run("plain", state_table=None)
         run("bucketed", state_table=tb, n_buckets=4)
         plain = {
             r["user_id"]: (r["best_lat"], r["best_lng"], len(r["history"]))
