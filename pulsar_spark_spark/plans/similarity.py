@@ -823,12 +823,17 @@ def ensure_ivf_index(
     a ``_SOURCE.json`` fingerprint (per-file size + mtime) so a
     changed corpus rebuilds and an unchanged one never does — the
     standard index contract: build is amortized across every later
-    query. The build is staged into a ``.tmp`` sibling and swapped in
-    whole, so a crashed build never half-populates the cache.
+    query. The build is staged into a uuid-suffixed tmp sibling and
+    swapped in whole, so a crashed build never half-populates the
+    cache and CONCURRENT builders (parallel test workers, bench +
+    pytest) never share a staging dir: whoever renames last wins, and
+    a failed swap just means another builder already installed an
+    equivalent index (the fingerprint is re-checked before giving up).
     """
     import hashlib
     import json
     import shutil
+    import uuid
 
     root = (
         index_root
@@ -849,14 +854,24 @@ def ensure_ivf_index(
                     return index_dir
         except (OSError, ValueError):
             pass  # unreadable meta → rebuild
-    tmp = index_dir + ".tmp"
-    shutil.rmtree(tmp, ignore_errors=True)
+    tmp = f"{index_dir}.tmp.{uuid.uuid4().hex}"
     os.makedirs(tmp, exist_ok=True)
-    build_ivf_index(load_table(spark, "embeddings", sf_dir), tmp, n_centroids)
-    with open(os.path.join(tmp, "_SOURCE.json"), "w") as fh:
-        json.dump(want, fh)
-    shutil.rmtree(index_dir, ignore_errors=True)
-    os.rename(tmp, index_dir)
+    try:
+        build_ivf_index(load_table(spark, "embeddings", sf_dir), tmp, n_centroids)
+        with open(os.path.join(tmp, "_SOURCE.json"), "w") as fh:
+            json.dump(want, fh)
+        shutil.rmtree(index_dir, ignore_errors=True)
+        try:
+            os.rename(tmp, index_dir)
+        except OSError:
+            # another builder won the swap between our rmtree and
+            # rename; accept their index iff it matches the wanted
+            # fingerprint, else surface the race
+            with open(meta_path) as fh:
+                if json.load(fh) != want:
+                    raise
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
     return index_dir
 
 
@@ -1136,6 +1151,14 @@ def lsh_probe_index(
     # partition-pruned scan (manual DPP, same idiom as the IVF probe)
     probe_rows = q.select("tbl", "bucket").distinct().collect()
     probe_cells = {(r["tbl"], r["bucket"]) for r in probe_rows}
+    if not probe_cells:
+        # empty query set: a legitimate serving-path input — return an
+        # empty result with the contract schema instead of building a
+        # null filter
+        return spark.createDataFrame(
+            [],
+            "query_id long, neighbor_id long, rank int, cos_sim double",
+        )
     cond = None
     for t in sorted({t for t, _ in probe_cells}):
         buckets = sorted(b for tt, b in probe_cells if tt == t)

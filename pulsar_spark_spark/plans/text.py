@@ -146,6 +146,19 @@ _JACCARD_MIN = 0.8
 # end. Fixture band buckets max out at 5 reps (sf0.1), so 64 changes
 # nothing at test scale; at crawl scale it bounds per-bucket work at
 # CAP²/2 candidates.
+#
+# KNOWN RECALL TRADE (all-bands-hot): a cluster of more than _BAND_CAP
+# NEAR-identical — but not exactly-duplicate — texts shares all
+# _N_BANDS bands, so every one of its buckets trips the cap in every
+# band and the whole true cluster is dropped from candidate
+# generation; the "a true pair can still surface via its other bands"
+# escape does NOT hold for that shape. This is the cap doing its job
+# (such mega-clusters are overwhelmingly boilerplate templates whose
+# k²/2 candidates would dominate the run), but it is a deliberate
+# recall sacrifice, and because the oracle mirrors the cap, parity
+# tests cannot see it — use hot_bucket_stats() to OBSERVE what a cap
+# setting drops on real data before trusting it, and raise the cap
+# (or pre-strip the template text) when those buckets matter.
 _BAND_CAP = 64
 
 
@@ -243,6 +256,21 @@ def cap_hot_buckets(banded: DataFrame, keys: list, cap: int) -> DataFrame:
         .select(*keys)
     )
     return banded.join(F.broadcast(hot), keys, "left_anti")
+
+
+def hot_bucket_stats(banded: DataFrame, keys: list, cap: int) -> DataFrame:
+    """Observability twin of :func:`cap_hot_buckets`: one row per
+    OVER-cap bucket — (keys…, n_rows) — so an operator can see what a
+    cap setting silently drops (the all-bands-hot recall trade
+    documented at ``_BAND_CAP``) before trusting it on a new corpus.
+    Run it as its own action; it shares no state with the capped
+    pipeline."""
+    return (
+        banded.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .filter(col("n_rows") > cap)
+        .orderBy(col("n_rows").desc(), *keys)
+    )
 
 
 def near_dup_pairs(docs: DataFrame, band_cap: int = _BAND_CAP) -> DataFrame:

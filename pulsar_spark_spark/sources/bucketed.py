@@ -145,12 +145,26 @@ def merge_with_state(
     full-outer join on the key (single or composite), per-column
     winner by (version, new wins ties). Exposed so the plan shape is
     pinnable in tests — with a bucketed ``state`` the join's state
-    side carries NO Exchange."""
+    side carries NO Exchange.
+
+    The column sets must match exactly: the merged output projects
+    ``new_rows``' columns, so a column present only in the state
+    would be SILENTLY dropped from a durable table on the next
+    upsert — that schema-evolution footgun is a hard error here
+    (evolve the state explicitly, with a backfill, instead).
+    """
     import pyspark.sql.functions as F
     from pyspark.sql.functions import col
 
     keys = [key] if isinstance(key, str) else list(key)
     cols = new_rows.columns
+    if set(state.columns) != set(cols):
+        raise ValueError(
+            "merge_with_state: state/new_rows column mismatch — "
+            f"state-only {sorted(set(state.columns) - set(cols))}, "
+            f"batch-only {sorted(set(cols) - set(state.columns))}; "
+            "evolve the state table explicitly before upserting"
+        )
     n = new_rows.alias("n")
     s = state.alias("s")
     take_new = col(f"n.{version_col}").isNotNull() & (

@@ -342,3 +342,18 @@ def test_dedup_stream_bucketed_state_matches_plain(spark, tmp_path):
         for t in [r["tableName"] for r in spark.sql("SHOW TABLES").collect()]:
             if t.startswith(tb):
                 spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_merge_with_state_rejects_column_drift(spark):
+    """A column present in the durable state but missing from the
+    batch must be a hard error, never a silent drop."""
+    import pytest as _pytest
+
+    from pulsar_spark_spark.sources.bucketed import merge_with_state
+
+    state = spark.createDataFrame(
+        [(1, 10, 5, "x")], "k long, v long, version long, extra string"
+    )
+    batch = spark.createDataFrame([(1, 11, 6)], "k long, v long, version long")
+    with _pytest.raises(ValueError, match="column mismatch"):
+        merge_with_state(state, batch, "k", "version").collect()

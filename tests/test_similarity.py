@@ -282,3 +282,23 @@ def test_emb_clusters_rep_level_on_copy_heavy(spark):
     comp = emb_components(emb).collect()
     got = {r["node"]: r["component"] for r in comp}
     assert {n for n, c in got.items() if c == 0} == set(range(400))
+
+
+def test_lsh_probe_empty_query_set_returns_empty(spark, emb, tmp_path):
+    """An empty queries frame is a legitimate serving input: the probe
+    must return an empty result with the contract schema, not crash
+    building a null partition filter."""
+    from pulsar_spark_spark.plans.similarity import (
+        build_lsh_index,
+        lsh_probe_index,
+    )
+
+    index_dir = str(tmp_path / "lsh")
+    build_lsh_index(emb, index_dir)
+    out = lsh_probe_index(spark, index_dir, emb.limit(0).selectExpr(
+        "vec_id AS query_id", "embedding AS q_emb"
+    ))
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "query_id", "neighbor_id", "rank", "cos_sim",
+    ]

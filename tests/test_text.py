@@ -228,3 +228,21 @@ def test_min_label_raises_beyond_iteration_budget(spark):
     )
     with _pytest.raises(RuntimeError, match="did not converge"):
         connected_components_min_label(edges, max_iter=5)
+
+
+def test_hot_bucket_stats_reports_what_cap_drops(spark):
+    """The observability twin must surface exactly the over-cap
+    buckets (the all-bands-hot recall trade is visible, not silent)."""
+    from pulsar_spark_spark.plans.text import (
+        cap_hot_buckets,
+        hot_bucket_stats,
+    )
+
+    banded = spark.createDataFrame(
+        [("hot", i) for i in range(5)] + [("cold", 99)],
+        "band_key string, rep long",
+    )
+    stats = hot_bucket_stats(banded, ["band_key"], cap=3).collect()
+    assert [(r["band_key"], r["n_rows"]) for r in stats] == [("hot", 5)]
+    kept = cap_hot_buckets(banded, ["band_key"], cap=3).collect()
+    assert {r["band_key"] for r in kept} == {"cold"}
