@@ -65,6 +65,10 @@ HEADLINE = [
     "events_asof_join",
     "event_rollup_multires",
     "doc_curation",  # round-8 merge of decontamination + stratified sample
+    # round 8: the embedding dedup family joins the headline once its
+    # skew guards landed (collapse + 4x8-bit tables + bucket cap)
+    "embedding_near_dup_pairs",
+    "embedding_dedup_clusters",
 ]
 
 
@@ -626,6 +630,23 @@ def main() -> None:
             "fused feature+resize single Arrow pass (round "
             "5) - absorbs the former media_resize query."
         ),
+        "embedding_near_dup_pairs": (
+            "first benched round 8, WITH the guard stack (exact-"
+            "embedding collapse, 4 SRP tables x 8 bits with a "
+            "64-per-bucket cap, member fan-out) -- ~3.5x fewer "
+            "candidates than the old single 4-bit table at sf0.1 "
+            "and near-flat 100x slope (SCALE.md)."
+        ),
+        "embedding_dedup_clusters": (
+            "connected components at REPRESENTATIVE level over the "
+            "guarded pair graph (one node per unique embedding), "
+            "member attach in the final aggregation."
+        ),
+        "doc_curation": (
+            "round-8 merge: decontamination + stratified sample as "
+            "one full-outer-joined relation (registry fits the "
+            "driver's 50-row gate); both stages' plans unchanged."
+        ),
     }
     if {"delivery_refinement", "delivery_refined_history"} <= timings.keys():
         marginal = timings["delivery_refined_history"] - timings["delivery_refinement"]
@@ -671,6 +692,8 @@ def main() -> None:
         scale_slope = {
             "geomean_ratio_at_10x": s.get("geomean_ratio"),
             "worst_ratio_at_10x": s.get("worst_ratio"),
+            "geomean_ratio_at_100x": s.get("geomean_ratio_sf10"),
+            "worst_ratio_at_100x": s.get("worst_ratio_sf10"),
             "detail": "SCALE.md",
         }
 
@@ -685,19 +708,23 @@ def main() -> None:
                             "workers warmed outside timing; back-to-back "
                             "since round 6 -- see the timing-loop comment)",
                     "knob_notes": knob_notes,
-                    "round7_note": (
-                        "vs round 6: ann_topk_lsh ~-35% (SQL-string "
-                        "plan build, narrow explode, norm precompute "
-                        "at unchanged recall 0.96); ann_topk_ivf now "
-                        "SERVES from the cached on-disk index (probe "
-                        "cost only; build amortized+fingerprinted); "
-                        "doc_near_dup_pairs/doc_dedup_clusters pay "
-                        "~+0.7-1s for the skew guards (exact-dup "
-                        "collapse + band cap + rep-level clustering "
-                        "-- the dirty-corpus insurance, see SCALE.md); "
-                        "new rows: lsh_probe_index (on-disk LSH "
-                        "serve) and the bucketed-state rescore "
-                        "variant in streaming_rescore_detail."
+                    "round8_note": (
+                        "vs round 7: two NEW headline rows — "
+                        "embedding_near_dup_pairs/_clusters, benched "
+                        "for the first time now that they carry the "
+                        "text family's skew guards (exact-embedding "
+                        "collapse + 4x8-bit SRP tables + per-bucket "
+                        "cap; 100x slopes x2.92/x1.97, SCALE.md) — so "
+                        "the headline total includes ~8s of coverage "
+                        "that r7's 37-query total did not. "
+                        "doc_dedup_clusters now also emits the "
+                        "terminal keep-set (singleton rows) and "
+                        "doc_curation replaces the separate "
+                        "decontamination + stratified-sample rows "
+                        "(registry consolidated to the driver's "
+                        "50-row gate). Rescore stream defaults to "
+                        "bucketed state; its row is promoted into "
+                        "the headline streaming dict."
                     ),
                     "streaming_ingest_detail": ingest,
                     "streaming_session_detail": session,
@@ -720,6 +747,12 @@ def main() -> None:
             "ingest_rows_per_sec": ingest.get("rows_per_sec"),
             "session_rows_per_sec": session.get("rows_per_sec"),
             "rescore_rows_per_sec": rescore.get("rows_per_sec"),
+            # the (now default) bucketed-state variant, promoted into
+            # the headline line in round 8 so the driver's 2000-char
+            # tail capture can never truncate it away again
+            "rescore_bucketed_rows_per_sec": rescore.get(
+                "bucketed_state_rows_per_sec"
+            ),
             "geofence_rows_per_sec": geofence.get("rows_per_sec"),
         },
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
@@ -730,6 +763,11 @@ def main() -> None:
             scale_slope["geomean_ratio_at_10x"],
             scale_slope["worst_ratio_at_10x"],
         ]
+        if scale_slope.get("geomean_ratio_at_100x"):
+            headline["scale_100x"] = [
+                scale_slope["geomean_ratio_at_100x"],
+                scale_slope["worst_ratio_at_100x"],
+            ]
     line = json.dumps(headline, separators=(",", ":"))
     if len(line) > 1900:  # keep the whole line inside the tail capture
         headline.pop("streaming", None)
