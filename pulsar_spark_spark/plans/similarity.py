@@ -1191,3 +1191,251 @@ def lsh_probe_index(
         .select("query_id", "neighbor_id", "rank", F.round("cos_sim", 6).alias("cos_sim"))
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------
+# Incremental embedding pair-graph store (round-8 stretch): the
+# near-dup signal as persisted, incrementally-updatable state
+# ---------------------------------------------------------------------
+def update_emb_pair_graph(
+    emb_batch: DataFrame,
+    store_dir: str,
+    version: int,
+    table_prefix: str = "emb_graph",
+    n_tables: int = _EMB_TABLES,
+    n_bits: int = _EMB_BITS,
+    n_buckets: int = 16,
+) -> None:
+    """Extend the persisted embedding near-dup graph with one shard of
+    new vectors — serving parity for the dedup family (the ANN queries
+    got their on-disk index in round 7; this is the same economics for
+    the pair graph, which a full recompute would otherwise rebuild
+    from the whole 100 TB corpus per run).
+
+    Four keyed state tables under ``store_dir`` via the crash-safe
+    :func:`~pulsar_spark_spark.sources.bucketed.upsert_bucketed`
+    contract (versioned pointer, replay-idempotent, bucketed layout):
+
+    - ``keyed``   (key vec_id)           — vec → vector-group mapping
+    - ``reps``    (key vkey)             — one row per unique vector:
+      canonical rep id (min over ALL shards so far), group size,
+      embedding
+    - ``banded``  (key (vkey, tbl))      — the rep's SRP bucket per
+      table, so candidate generation for a new shard touches only the
+      stored rows whose (tbl, bucket) a NEW vector lands in
+    - ``pairs``   (key (vkey_a, vkey_b)) — verified rep-level pairs
+      (cross groups) plus (vkey, vkey) self-marks for multi-member
+      groups; member-level answers fan out through ``keyed``
+
+    Incremental work is O(batch + matched buckets), never O(corpus):
+    only NEW unique vectors are banded and joined (against the stored
+    banded relation on (tbl, bucket) plus themselves), and previously
+    verified pairs are never re-scored. Candidate semantics equal the
+    batch pipeline's UNCAPPED generator (a per-batch bucket cap would
+    depend on arrival order; callers wanting the boilerplate guard
+    apply it upstream by dropping template shards before ingest).
+
+    Crash/replay contract (single writer, whole-shard retries):
+    keyed/banded/pairs rows are pure functions of the data and
+    idempotent by key; the reps fold (which ACCUMULATES grp_n) is
+    version-gated and committed LAST, so a retry after a crash at any
+    point re-runs only idempotent writes and folds reps exactly once,
+    and replaying an already-committed shard is a no-op — the same T3
+    idempotence discipline as the streaming sinks, pinned in
+    tests/test_similarity.py. ``read_emb_components`` turns the stored graph
+    into member-level components equal to a from-scratch
+    :func:`emb_components` over the accumulated corpus (pinned in
+    tests/test_similarity.py).
+    """
+    from pulsar_spark_spark.sources.bucketed import (
+        read_upsert_bucketed,
+        upsert_bucketed,
+    )
+
+    spark = emb_batch.sparkSession
+    t = lambda name: f"{table_prefix}_{name}"
+    p = lambda name: os.path.join(store_dir, name)
+
+    vkey = F.md5(F.to_json(F.struct(col("embedding").alias("e"))))
+    keyed_new = emb_batch.select(
+        "vec_id", vkey.alias("vkey"), F.lit(version).alias("version")
+    )
+    bg = (
+        emb_batch.select("vec_id", "embedding", vkey.alias("vkey"))
+        .groupBy("vkey")
+        .agg(
+            F.min("vec_id").alias("rep_b"),
+            F.count(F.lit(1)).alias("cnt"),
+            F.min_by("embedding", "vec_id").alias("embedding"),
+        )
+        .transform(materialize)
+    )
+    try:
+        old = read_upsert_bucketed(spark, t("reps"), p("reps"))
+    except FileNotFoundError:
+        old = None
+    if old is not None:
+        # touch ONLY the batch's keys (the rescore-stream discipline)
+        touched = old.join(bg.select("vkey"), "vkey").select(
+            "vkey",
+            col("rep").alias("rep_o"),
+            col("grp_n").alias("grp_o"),
+            col("version").alias("version_o"),
+        )
+        # version gate: a shard already folded into reps (replay of a
+        # fully-committed ingest) must not double-count grp_n; reps is
+        # upserted LAST below, so any partial-failure replay re-runs
+        # the idempotent-by-key upserts and folds reps exactly once
+        already = col("version_o").isNotNull() & (col("version_o") >= version)
+        merged = (
+            bg.join(touched, "vkey", "left")
+            .select(
+                "vkey",
+                F.least(col("rep_b"), F.coalesce("rep_o", "rep_b")).alias("rep"),
+                F.when(already, col("grp_o"))
+                .otherwise(col("cnt") + F.coalesce("grp_o", F.lit(0)))
+                .alias("grp_n"),
+                "embedding",
+                F.lit(version).alias("version"),
+            )
+            .transform(materialize)
+        )
+        new_keys = bg.join(touched.select("vkey"), "vkey", "left_anti").select(
+            "vkey"
+        )
+    else:
+        merged = bg.select(
+            "vkey",
+            col("rep_b").alias("rep"),
+            col("cnt").alias("grp_n"),
+            "embedding",
+            F.lit(version).alias("version"),
+        ).transform(materialize)
+        new_keys = bg.select("vkey")
+    # band ONLY the never-seen-before unique vectors
+    tables = F.array(
+        *[
+            F.struct(
+                F.lit(tt).alias("tbl"),
+                sign_bucket("embedding", n_bits, seed=_emb_seed(tt)).alias(
+                    "bucket"
+                ),
+            )
+            for tt in range(n_tables)
+        ]
+    )
+    new_banded = (
+        merged.join(new_keys, "vkey")
+        .select("vkey", F.explode(tables).alias("tb"))
+        .select(
+            "vkey",
+            col("tb.tbl").alias("tbl"),
+            col("tb.bucket").alias("bucket"),
+            F.lit(version).alias("version"),
+        )
+        .transform(materialize)
+    )
+    try:
+        stored_banded = read_upsert_bucketed(
+            spark, t("banded"), p("banded")
+        ).select("vkey", "tbl", "bucket")
+    except FileNotFoundError:
+        stored_banded = None
+    both = (
+        new_banded.select("vkey", "tbl", "bucket")
+        if stored_banded is None
+        else stored_banded.unionByName(new_banded.select("vkey", "tbl", "bucket"))
+    )
+    a = new_banded.select(
+        col("vkey").alias("vkey_a"), "tbl", "bucket"
+    ).alias("a")
+    b = both.select(col("vkey").alias("vkey_b"), "tbl", "bucket").alias("b")
+    cand = (
+        a.join(b, ["tbl", "bucket"])
+        .filter(col("vkey_a") != col("vkey_b"))
+        .select(
+            F.least("vkey_a", "vkey_b").alias("vkey_a"),
+            F.greatest("vkey_a", "vkey_b").alias("vkey_b"),
+        )
+        .distinct()
+    )
+    # embeddings for both candidate sides: batch-touched from merged,
+    # the rest from stored reps (candidates are bucket-matched, tiny)
+    all_reps = (
+        merged.select("vkey", "embedding")
+        if old is None
+        else merged.select("vkey", "embedding").unionByName(
+            old.select("vkey", "embedding").join(
+                merged.select("vkey"), "vkey", "left_anti"
+            )
+        )
+    )
+    ea = all_reps.select(col("vkey").alias("vkey_a"), col("embedding").alias("emb_a"))
+    eb = all_reps.select(col("vkey").alias("vkey_b"), col("embedding").alias("emb_b"))
+    cross = (
+        cand.join(ea, "vkey_a")
+        .join(eb, "vkey_b")
+        .withColumn("cos_sim", cosine(col("emb_a"), col("emb_b")))
+        .filter(col("cos_sim") >= _NEAR_DUP_COS)
+        .select("vkey_a", "vkey_b", F.round("cos_sim", 6).alias("cos_sim"))
+    )
+    self_marks = merged.filter(col("grp_n") > 1).select(
+        col("vkey").alias("vkey_a"),
+        col("vkey").alias("vkey_b"),
+        F.round(cosine(col("embedding"), col("embedding")), 6).alias("cos_sim"),
+    )
+    pairs_new = cross.unionByName(self_marks).withColumn(
+        "version", F.lit(version)
+    )
+    # commit order matters: the three idempotent-by-key relations
+    # first, the version-gated reps fold LAST — a crash anywhere
+    # before the reps upsert makes a whole-shard retry re-run only
+    # idempotent writes, then fold reps exactly once
+    upsert_bucketed(
+        keyed_new, t("keyed"), p("keyed"), "vec_id", "version", n_buckets
+    )
+    upsert_bucketed(
+        new_banded, t("banded"), p("banded"), ["vkey", "tbl"], "version", n_buckets
+    )
+    upsert_bucketed(
+        pairs_new, t("pairs"), p("pairs"), ["vkey_a", "vkey_b"], "version", n_buckets
+    )
+    upsert_bucketed(merged, t("reps"), p("reps"), "vkey", "version", n_buckets)
+
+
+def read_emb_components(
+    spark: SparkSession, store_dir: str, table_prefix: str = "emb_graph"
+) -> DataFrame:
+    """Member-level (node=vec_id, component=min vec_id) from the
+    persisted pair-graph store — the serving-side twin of
+    :func:`emb_components` over the accumulated corpus."""
+    from pulsar_spark_spark.plans.text import connected_components_min_label
+    from pulsar_spark_spark.sources.bucketed import read_upsert_bucketed
+
+    t = lambda name: f"{table_prefix}_{name}"
+    p = lambda name: os.path.join(store_dir, name)
+    keyed = read_upsert_bucketed(spark, t("keyed"), p("keyed"))
+    reps = read_upsert_bucketed(spark, t("reps"), p("reps"))
+    pairs = read_upsert_bucketed(spark, t("pairs"), p("pairs"))
+    rep_of = reps.select("vkey", "rep")
+    cross = (
+        pairs.filter(col("vkey_a") != col("vkey_b"))
+        .join(rep_of.select(col("vkey").alias("vkey_a"), col("rep").alias("rep_a")), "vkey_a")
+        .join(rep_of.select(col("vkey").alias("vkey_b"), col("rep").alias("rep_b")), "vkey_b")
+        .select("rep_a", "rep_b")
+    )
+    comp_rep = connected_components_min_label(cross, "rep_a", "rep_b")
+    self_only = (
+        pairs.filter(col("vkey_a") == col("vkey_b"))
+        .join(rep_of.select(col("vkey").alias("vkey_a"), "rep"), "vkey_a")
+        .select(col("rep").alias("node"))
+        .distinct()
+        .join(comp_rep.select("node"), "node", "left_anti")
+        .withColumn("component", col("node"))
+    )
+    rep_comp = comp_rep.unionByName(self_only)
+    return (
+        rep_comp.join(rep_of.select(col("rep").alias("node"), "vkey"), "node")
+        .join(keyed.select("vec_id", "vkey"), "vkey")
+        .select(col("vec_id").alias("node"), "component")
+    )

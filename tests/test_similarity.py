@@ -302,3 +302,80 @@ def test_lsh_probe_empty_query_set_returns_empty(spark, emb, tmp_path):
     assert [f.name for f in out.schema.fields] == [
         "query_id", "neighbor_id", "rank", "cos_sim",
     ]
+
+
+def test_emb_pair_graph_incremental_equals_full_recompute(spark, tmp_path):
+    """Round-8 stretch: three shard ingests into the persisted pair
+    graph must yield the same member-level components as a from-
+    scratch emb_components over the accumulated corpus, and replaying
+    an already-committed shard must change nothing (version-gated
+    reps fold)."""
+    import numpy as np
+
+    from pulsar_spark_spark.plans.similarity import (
+        emb_components,
+        read_emb_components,
+        update_emb_pair_graph,
+    )
+
+    rng = np.random.default_rng(88)
+    base_a = rng.standard_normal(64).astype("float32") * 10
+    base_b = rng.standard_normal(64).astype("float32") * 10
+
+    def near(base, eps):
+        v = base.copy()
+        v[0] += eps
+        return [float(x) for x in v]
+
+    rows = []
+    # cluster A: copies + near-dups arriving across shards
+    for i, eps in [(0, 0.0), (1, 0.0), (2, 0.01), (20, 0.0), (21, 0.02)]:
+        rows.append((i, near(base_a, eps)))
+    # cluster B: split across shards 2 and 3
+    for i, eps in [(10, 0.0), (22, 0.01), (30, 0.0), (31, 0.03)]:
+        rows.append((i, near(base_b, eps)))
+    # noise vectors (pairwise cos ~ 0)
+    for j in range(8):
+        rows.append((40 + j, [float(x) for x in rng.standard_normal(64)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    store = str(tmp_path / "graph")
+    prefix = "t_emb_graph"
+    shards = [
+        emb.filter("vec_id < 10"),
+        emb.filter("vec_id >= 10 AND vec_id < 30"),
+        emb.filter("vec_id >= 30"),
+    ]
+    try:
+        for v, shard in enumerate(shards):
+            update_emb_pair_graph(shard, store, version=v, table_prefix=prefix)
+
+        got = {
+            (r["node"], r["component"])
+            for r in read_emb_components(spark, store, prefix).collect()
+        }
+        want = {
+            (r["node"], r["component"])
+            for r in emb_components(emb, bucket_cap=10_000).collect()
+        }
+        assert got == want and got
+        # the two planted clusters resolved to their min ids
+        comp = dict(got)
+        assert comp[21] == 0 and comp[31] == 10
+
+        # replay the last shard at its committed version: no-op
+        update_emb_pair_graph(shards[2], store, version=2, table_prefix=prefix)
+        again = {
+            (r["node"], r["component"])
+            for r in read_emb_components(spark, store, prefix).collect()
+        }
+        assert again == got
+        from pulsar_spark_spark.sources.bucketed import read_upsert_bucketed
+
+        reps = read_upsert_bucketed(spark, f"{prefix}_reps", store + "/reps")
+        n_members = reps.groupBy().sum("grp_n").first()[0]
+        assert n_members == emb.count()  # grp_n never double-counted
+    finally:
+        for t in [r["tableName"] for r in spark.sql("SHOW TABLES").collect()]:
+            if t.startswith(prefix):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
