@@ -269,8 +269,11 @@ def run_geotag_rescore_stream(
     read the accumulated state bucket-partitioned on user_id with
     ZERO hash Exchange — only the micro-batch shuffles. At 100 TB of
     state vs MB-scale batches that is the dominant per-batch shuffle
-    deleted (pinned in tests/test_bucketed.py; measured ~+33%
-    throughput at bench scale). ``state_table=None`` opts out to the
+    deleted (the no-Exchange plan is pinned in tests/test_bucketed.py;
+    at toy bench scale the wall is within noise of the plain sink —
+    the per-version catalog DDL costs about what the deleted shuffle
+    saves when state is MBs — the default is chosen for the scale
+    shape, not the fixture timing). ``state_table=None`` opts out to the
     plain versioned-parquet sink (no catalog dependency — e.g. a
     session whose metastore the job may not write to); any other
     string names the table base explicitly. The on-disk layout is
