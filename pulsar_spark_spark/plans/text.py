@@ -236,6 +236,15 @@ def _near_dup_oracle(band_cap: int = _BAND_CAP) -> str:
 # for re-measurement on other data shapes.
 _CAP_MODE = "window"
 
+# Min-label CC init: "nbr_min" seeds labels with the closed-
+# neighborhood minimum (one aggregate) so shallow components converge
+# a round earlier; "self" is the classic label=node seed, kept for
+# A/B re-measurement. Round-8 same-session interleaved A/B (min-of-2,
+# sf0.1): nbr_min wins doc_dedup_clusters by 8% and
+# embedding_dedup_clusters by 15% (one fewer join round on the
+# pair/triangle graphs the near-dup pipeline actually produces).
+_CC_INIT = "nbr_min"
+
 
 def cap_hot_buckets(banded: DataFrame, keys: list, cap: int) -> DataFrame:
     """Drop rows of ``banded`` whose bucket (the ``keys`` tuple) holds
@@ -907,12 +916,25 @@ def connected_components_min_label(
         .unionByName(edges.select(col(b).alias("src"), col(a).alias("dst")))
         .transform(materialize)
     )
-    labels = (
-        sym.select(col("src").alias("node"))
-        .distinct()
-        .withColumn("label", col("node"))
-        .transform(materialize)
-    )
+    # init label = min over the CLOSED neighborhood (one aggregate, no
+    # join) instead of label = self: pair/triangle components — the
+    # near-dup common case — then reach their fixpoint before the
+    # first propagation round, so the loop runs ONCE (the detect
+    # round) instead of twice.
+    if _CC_INIT == "nbr_min":
+        labels = (
+            sym.groupBy(col("src").alias("node"))
+            .agg(F.min("dst").alias("nbr_min"))
+            .select("node", F.least("node", col("nbr_min")).alias("label"))
+            .transform(materialize)
+        )
+    else:
+        labels = (
+            sym.select(col("src").alias("node"))
+            .distinct()
+            .withColumn("label", col("node"))
+            .transform(materialize)
+        )
     # Convergence by label SUM: labels only ever decrease under
     # min-propagation, so the sum is strictly decreasing until the
     # fixpoint — one scalar read per round replaces the second
