@@ -93,6 +93,50 @@ def _warm_python_workers(spark) -> None:
     spark.range(n * 8).repartition(n).mapInPandas(_warm, "id long").collect()
 
 
+
+def _emb_graph_bench(spark) -> dict:
+    """Incremental pair-graph store (round 8): ingest the embeddings
+    corpus as two shards into the persisted keyed/banded/pairs/reps
+    state and report per-shard wall — the serving economics vs the
+    batch pipeline's full recompute per run (shard-2 work is
+    O(batch + matched buckets), not O(corpus))."""
+    import shutil
+    import tempfile
+
+    from pulsar_spark_spark.plans import similarity as sim
+    from pulsar_spark_spark.sources.tables import load_table
+
+    work = tempfile.mkdtemp(prefix="bench_embgraph_")
+    prefix = "bench_emb_graph"
+    try:
+        emb = load_table(spark, "embeddings", SF_DIR)
+        n = emb.count()
+        cut = n // 2
+        store = os.path.join(work, "graph")
+        walls = []
+        for v, shard in enumerate(
+            (emb.filter(f"vec_id < {cut}"), emb.filter(f"vec_id >= {cut}"))
+        ):
+            t0 = time.perf_counter()
+            sim.update_emb_pair_graph(shard, store, version=v, table_prefix=prefix)
+            walls.append(round(time.perf_counter() - t0, 3))
+        return {
+            "rows": n,
+            "shard1_sec": walls[0],
+            "shard2_sec": walls[1],
+            "rows_per_sec": int(n / sum(walls)),
+            "note": "two-shard ingest into the persisted near-dup "
+                    "graph (upsert_bucketed state; only new unique "
+                    "vectors banded + joined; verified pairs never "
+                    "re-scored)",
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        for t in [r["tableName"] for r in spark.sql("SHOW TABLES").collect()]:
+            if t.startswith(prefix):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def _stream_ingest_bench(spark) -> dict:
     """Micro-batch ingest throughput — the reference's core identity.
 
@@ -674,6 +718,7 @@ def main() -> None:
         "layout amortizes: the shuffle AND the geo_events lat/lng "
         "derivation (the layout stores the derived columns)."
     )
+    emb_graph = _emb_graph_bench(spark)
     ingest = _stream_ingest_bench(spark)
     session = _session_stream_bench(spark)
     rescore = _geotag_rescore_bench(spark)
@@ -731,6 +776,7 @@ def main() -> None:
                     "streaming_rescore_detail": rescore,
                     "streaming_geofence_detail": geofence,
                     "ivf_probe_detail": ivf_detail,
+                    "emb_graph_detail": emb_graph,
                     "lsh_probe_detail": lsh_detail,
                     "bucketed_kernel_detail": bucketed_detail,
                     "scale_slope": scale_slope,
