@@ -691,6 +691,7 @@ def emb_components(
     n_tables: int = _EMB_TABLES,
     n_bits: int = _EMB_BITS,
     bucket_cap: int = _EMB_BUCKET_CAP,
+    cc: str = "min_label",
 ) -> DataFrame:
     """(node=vec_id, component=min vec_id in its near-dup cluster) for
     every CLUSTERED vector — the rep-level decomposition underlying
@@ -698,12 +699,21 @@ def emb_components(
     ``doc_components``: cross-group verified pairs are the edges; a
     verified (rep, rep) self-pair marks a multi-member group as a
     cluster even with no cross edges; members then join in via their
-    vector key."""
-    from pulsar_spark_spark.plans.text import connected_components_min_label
+    vector key. ``cc``: ``"min_label"`` or ``"star"`` (same trade as
+    ``doc_components``)."""
+    from pulsar_spark_spark.plans.text import (
+        connected_components_min_label,
+        connected_components_star,
+    )
 
+    walk = (
+        connected_components_star
+        if cc == "star"
+        else connected_components_min_label
+    )
     keyed, reps, verified = emb_verified_rep_pairs(emb, n_tables, n_bits, bucket_cap)
     cross = verified.filter(col("rep_a") != col("rep_b"))
-    comp_rep = connected_components_min_label(cross, "rep_a", "rep_b")
+    comp_rep = walk(cross, "rep_a", "rep_b")
     self_only = (
         verified.filter(col("rep_a") == col("rep_b"))
         .select(col("rep_a").alias("node"))

@@ -1150,7 +1150,9 @@ def doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def doc_components(docs: DataFrame, band_cap: int = _BAND_CAP) -> DataFrame:
+def doc_components(
+    docs: DataFrame, band_cap: int = _BAND_CAP, cc: str = "min_label"
+) -> DataFrame:
     """(node=doc_id, component=min doc_id in its near-dup cluster) for
     every CLUSTERED document — the rep-level decomposition underlying
     :func:`doc_dedup_clusters` and :func:`dedup_corpus`.
@@ -1162,10 +1164,21 @@ def doc_components(docs: DataFrame, band_cap: int = _BAND_CAP) -> DataFrame:
     verified pairs are the edges; a verified (rep, rep) self-pair
     marks a multi-member group as a cluster even with no cross edges;
     members then join in via their text key.
+
+    ``cc`` picks the component walk: ``"min_label"`` (default — fewest
+    rounds on the shallow graphs near-dup thresholds produce, raises
+    loudly if the graph turns out deeper than its budget) or
+    ``"star"`` (large-star/small-star, ~log(diameter) rounds — the
+    choice for corpora with chained boilerplate clusters).
     """
+    walk = (
+        connected_components_star
+        if cc == "star"
+        else connected_components_min_label
+    )
     keyed, sh, verified = verified_rep_pairs(docs, band_cap)
     cross = verified.filter(col("rep_a") != col("rep_b"))
-    comp_rep = connected_components_min_label(cross, "rep_a", "rep_b")
+    comp_rep = walk(cross, "rep_a", "rep_b")
     self_only = (
         verified.filter(col("rep_a") == col("rep_b"))
         .select(col("rep_a").alias("node"))

@@ -246,3 +246,41 @@ def test_hot_bucket_stats_reports_what_cap_drops(spark):
     assert [(r["band_key"], r["n_rows"]) for r in stats] == [("hot", 5)]
     kept = cap_hot_buckets(banded, ["band_key"], cap=3).collect()
     assert {r["band_key"] for r in kept} == {"cold"}
+
+
+def test_knob_branches_match_defaults(spark):
+    """The A/B knobs' non-default branches (agg-mode cap, self-seed CC
+    init) and the cc='star' wiring must produce exactly the default
+    results — they exist for re-measurement, not as divergent
+    semantics."""
+    from pulsar_spark_spark.plans import text
+    from pulsar_spark_spark.plans.text import doc_components, near_dup_candidates
+
+    docs = _copy_heavy_corpus(spark, n_copies=30, n_distinct=12)
+    want_cand = {
+        (r["rep_a"], r["rep_b"])
+        for r in near_dup_candidates(docs, band_cap=3)[2].collect()
+    }
+    want_comp = {
+        (r["node"], r["component"]) for r in doc_components(docs).collect()
+    }
+    try:
+        text._CAP_MODE = "agg"
+        got_cand = {
+            (r["rep_a"], r["rep_b"])
+            for r in near_dup_candidates(docs, band_cap=3)[2].collect()
+        }
+        text._CC_INIT = "self"
+        got_comp = {
+            (r["node"], r["component"]) for r in doc_components(docs).collect()
+        }
+    finally:
+        text._CAP_MODE = "window"
+        text._CC_INIT = "nbr_min"
+    assert got_cand == want_cand
+    assert got_comp == want_comp
+    star_comp = {
+        (r["node"], r["component"])
+        for r in doc_components(docs, cc="star").collect()
+    }
+    assert star_comp == want_comp
