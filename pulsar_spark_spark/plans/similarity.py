@@ -1237,6 +1237,11 @@ def update_emb_pair_graph(
       (cross groups) plus (vkey, vkey) self-marks for multi-member
       groups; member-level answers fan out through ``keyed``
 
+    Shards are APPEND-ONLY in vec_id: re-shipping an id with a
+    DIFFERENT embedding is undefined (keyed would repoint while the
+    old group's counts/pairs stand) — mutate-in-place corpora should
+    version ids upstream instead, like any ingest ledger.
+
     Incremental work is O(batch + matched buckets), never O(corpus):
     only NEW unique vectors are banded and joined (against the stored
     banded relation on (tbl, bucket) plus themselves), and previously
