@@ -98,8 +98,9 @@ def _emb_graph_bench(spark) -> dict:
     """Incremental pair-graph store (round 8): ingest the embeddings
     corpus as two shards into the persisted keyed/banded/pairs/reps
     state and report per-shard wall — the serving economics vs the
-    batch pipeline's full recompute per run (shard-2 work is
-    O(batch + matched buckets), not O(corpus))."""
+    batch pipeline's full recompute per run (shard-2 COMPUTE is
+    O(batch + matched buckets); the COW state rewrite still scales
+    with accumulated state — see update_emb_pair_graph)."""
     import shutil
     import tempfile
 
@@ -127,8 +128,10 @@ def _emb_graph_bench(spark) -> dict:
             "rows_per_sec": int(n / sum(walls)),
             "note": "two-shard ingest into the persisted near-dup "
                     "graph (upsert_bucketed state; only new unique "
-                    "vectors banded + joined; verified pairs never "
-                    "re-scored)",
+                    "vectors banded + joined + scored, verified "
+                    "pairs never re-scored; the state WRITE is "
+                    "copy-on-write per version, so shard I/O grows "
+                    "with accumulated state)",
         }
     finally:
         shutil.rmtree(work, ignore_errors=True)

@@ -56,7 +56,11 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """NULL — not an ANSI divide-by-zero error — when either vector
+    has zero norm: a NULL cosine fails every ``>=`` gate, so
+    degenerate (all-zero) embeddings never cluster and never crash a
+    pipeline mid-corpus."""
+    return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))
 
 
 _EMB_DIM = 64
@@ -422,6 +426,32 @@ def _emb_seed(t: int) -> str:
     return "srp" if t == 0 else f"srp{t}"
 
 
+def _emb_vkey() -> Column:
+    """THE collapse key for identical embeddings — one definition,
+    shared by the batch pipeline and the incremental store so their
+    vector-group identities can never drift apart. Spark-internal
+    only (oracles group by the embedding value directly)."""
+    return F.md5(F.to_json(F.struct(col("embedding").alias("e"))))
+
+
+def _emb_tables_expr(n_tables: int, n_bits: int) -> Column:
+    """THE per-table SRP banding array — (tbl, bucket) structs over
+    the ``embedding`` column, one per hash table; shared by the batch
+    pipeline and the incremental store (seed scheme drift between the
+    two would silently break their pinned parity)."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                sign_bucket("embedding", n_bits, seed=_emb_seed(t)).alias(
+                    "bucket"
+                ),
+            )
+            for t in range(n_tables)
+        ]
+    )
+
+
 def _emb_near_dup_oracle(
     n_tables: int = _EMB_TABLES,
     n_bits: int = _EMB_BITS,
@@ -511,7 +541,7 @@ def emb_near_dup_candidates(
     window: a million-copy vector ships one partial row per map task.
     """
     spark = emb.sparkSession
-    vkey = F.md5(F.to_json(F.struct(col("embedding").alias("e"))))
+    vkey = _emb_vkey()
     # narrow (vec_id, vkey) relation for the final fan-out — consumed
     # by both fan-out sides, materialized so the vectors are not
     # re-hashed per consumer
@@ -534,16 +564,9 @@ def emb_near_dup_candidates(
     # one (rep, tbl, bucket) row per table — the 64-float embedding is
     # consumed by the bucket expressions but NOT carried through the
     # explode (the lsh_topk plan-size lesson)
-    tables = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("tbl"),
-                sign_bucket("embedding", n_bits, seed=_emb_seed(t)).alias("bucket"),
-            )
-            for t in range(n_tables)
-        ]
-    )
-    banded = reps.select("rep", F.explode(tables).alias("tb")).select(
+    banded = reps.select(
+        "rep", F.explode(_emb_tables_expr(n_tables, n_bits)).alias("tb")
+    ).select(
         "rep", col("tb.tbl").alias("tbl"), col("tb.bucket").alias("bucket")
     )
     # hot-bucket cap over the (table, bucket) key — shared guard with
@@ -876,10 +899,16 @@ def ensure_ivf_index(
         except OSError:
             # another builder won the swap between our rmtree and
             # rename; accept their index iff it matches the wanted
-            # fingerprint, else surface the race
-            with open(meta_path) as fh:
-                if json.load(fh) != want:
-                    raise
+            # fingerprint, else surface the original rename failure
+            # (the confirmation read itself can race a third builder,
+            # so its own errors must not mask the OSError)
+            try:
+                with open(meta_path) as fh:
+                    theirs = json.load(fh)
+            except (OSError, ValueError):
+                theirs = None
+            if theirs != want:
+                raise
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     return index_dir
@@ -1242,10 +1271,16 @@ def update_emb_pair_graph(
     old group's counts/pairs stand) — mutate-in-place corpora should
     version ids upstream instead, like any ingest ledger.
 
-    Incremental work is O(batch + matched buckets), never O(corpus):
-    only NEW unique vectors are banded and joined (against the stored
-    banded relation on (tbl, bucket) plus themselves), and previously
-    verified pairs are never re-scored. Candidate semantics equal the
+    Incremental COMPUTE is O(batch + matched buckets), never
+    O(corpus): only NEW unique vectors are banded, bucket-joined
+    (against the stored banded relation plus themselves) and cosine-
+    scored — previously verified pairs are never re-scored. The state
+    WRITE, however, is copy-on-write per version (upsert_bucketed
+    rewrites each table into a new version dir, like a COW table
+    format without file-level pruning), so per-shard I/O still grows
+    with accumulated state; the production extension is a
+    merge-on-read or partition-level rewrite under the same pointer
+    contract. Candidate semantics equal the
     batch pipeline's UNCAPPED generator (a per-batch bucket cap would
     depend on arrival order; callers wanting the boilerplate guard
     apply it upstream by dropping template shards before ingest).
@@ -1271,7 +1306,7 @@ def update_emb_pair_graph(
     t = lambda name: f"{table_prefix}_{name}"
     p = lambda name: os.path.join(store_dir, name)
 
-    vkey = F.md5(F.to_json(F.struct(col("embedding").alias("e"))))
+    vkey = _emb_vkey()
     keyed_new = emb_batch.select(
         "vec_id", vkey.alias("vkey"), F.lit(version).alias("version")
     )
@@ -1328,19 +1363,15 @@ def update_emb_pair_graph(
         ).transform(materialize)
         new_keys = bg.select("vkey")
     # band ONLY the never-seen-before unique vectors
-    tables = F.array(
-        *[
-            F.struct(
-                F.lit(tt).alias("tbl"),
-                sign_bucket("embedding", n_bits, seed=_emb_seed(tt)).alias(
-                    "bucket"
-                ),
-            )
-            for tt in range(n_tables)
-        ]
-    )
+    tables = _emb_tables_expr(n_tables, n_bits)
+    # explicit respread before the 32-hyperplane banding projection:
+    # AQE coalesces the small post-collapse shuffle to very few
+    # partitions, which would serialize the expensive bucket
+    # expressions (the emb_near_dup_candidates trap, mirrored here)
+    n_spread = spark.sparkContext.defaultParallelism * 2
     new_banded = (
         merged.join(new_keys, "vkey")
+        .repartition(n_spread, col("vkey"))
         .select("vkey", F.explode(tables).alias("tb"))
         .select(
             "vkey",
@@ -1394,10 +1425,19 @@ def update_emb_pair_graph(
         .filter(col("cos_sim") >= _NEAR_DUP_COS)
         .select("vkey_a", "vkey_b", F.round("cos_sim", 6).alias("cos_sim"))
     )
-    self_marks = merged.filter(col("grp_n") > 1).select(
-        col("vkey").alias("vkey_a"),
-        col("vkey").alias("vkey_b"),
-        F.round(cosine(col("embedding"), col("embedding")), 6).alias("cos_sim"),
+    # self-marks go through the SAME verify gate as cross pairs (the
+    # batch pipeline filters (rep, rep) candidates too): a zero-norm
+    # vector yields cos(v, v) = NaN, which must not cluster — without
+    # the filter the store would diverge from emb_components here
+    self_marks = (
+        merged.filter(col("grp_n") > 1)
+        .withColumn("self_cos", cosine(col("embedding"), col("embedding")))
+        .filter(col("self_cos") >= _NEAR_DUP_COS)
+        .select(
+            col("vkey").alias("vkey_a"),
+            col("vkey").alias("vkey_b"),
+            F.round("self_cos", 6).alias("cos_sim"),
+        )
     )
     pairs_new = cross.unionByName(self_marks).withColumn(
         "version", F.lit(version)

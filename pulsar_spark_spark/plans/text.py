@@ -1010,7 +1010,9 @@ def connected_components_star(
         edges.select(col(a).alias("x"), col(b).alias("y"))
     ).transform(materialize)
     prev = None
+    prev_E = None
     rounds = 0
+    converged = False
     for _ in range(max_iter):
         # large-star: center at every node n; attach strictly larger
         # neighbors to m = min(closed neighborhood of n)
@@ -1045,9 +1047,25 @@ def connected_components_star(
             F.sum(col("v").cast("decimal(38,0)")),
         ).first()
         sig = tuple(sig)
-        if sig == prev:
+        # the (count, sum, sum) signature is a cheap NECESSARY
+        # condition, but unlike min-label's monotone label sum it is
+        # lossy for an edge SET ({(1,4),(2,3)} vs {(1,3),(2,4)}
+        # collide) — confirm the fixpoint exactly with a multiset
+        # difference before stopping
+        if (
+            sig == prev
+            and prev_E is not None
+            and E.exceptAll(prev_E).isEmpty()
+        ):
+            converged = True
             break
-        prev = sig
+        prev, prev_E = sig, E
+    if not converged:
+        raise RuntimeError(
+            f"star contraction did not converge in {max_iter} rounds — "
+            "raise max_iter (rounds grow ~log(diameter), so this "
+            "indicates either an extreme graph or a bug)"
+        )
     if stats is not None:
         stats["rounds"] = rounds
     # fixpoint E is a union of stars centered at each component's min

@@ -218,7 +218,10 @@ def upsert_bucketed(
 
     pointer_name, current = _versions_meta(path_base)
     if current is not None:
-        state = spark.table(f"{table_base}_{current}")
+        # via the reader so a cross-session restart (catalog gone,
+        # data on disk) merges from the path fallback — see
+        # read_upsert_bucketed
+        state = read_upsert_bucketed(spark, table_base, path_base)
         merged = merge_with_state(state, new_rows, key, version_col)
     else:
         merged = new_rows
@@ -253,10 +256,24 @@ def upsert_bucketed(
 def read_upsert_bucketed(spark: SparkSession, table_base: str, path_base: str) -> DataFrame:
     """Read back the current version of an upsert_bucketed state table
     (bucket metadata rides the catalog, so downstream key-joins and
-    aggregates skip their Exchange)."""
+    aggregates skip their Exchange).
+
+    Cross-session restart: with the default in-memory catalog the
+    table DEFINITIONS die with the SparkSession while the data (and
+    the version pointer) persist on disk. A catalog miss therefore
+    falls back to a plain path read of the current version — correct,
+    merely without the no-Exchange property — and the system
+    self-heals: the very next upsert saves the new version through the
+    catalog again. (On a persistent Hive metastore the fallback never
+    triggers.)"""
+    import os
+
     from pulsar_spark_spark.sources.sinks import _current_version
 
     current = _current_version(path_base)
     if current is None:
         raise FileNotFoundError(f"no committed state under {path_base}")
-    return spark.table(f"{table_base}_{current}")
+    table = f"{table_base}_{current}"
+    if spark.catalog.tableExists(table):
+        return spark.table(table)
+    return spark.read.parquet(os.path.join(path_base, current))

@@ -357,3 +357,43 @@ def test_merge_with_state_rejects_column_drift(spark):
     batch = spark.createDataFrame([(1, 11, 6)], "k long, v long, version long")
     with _pytest.raises(ValueError, match="column mismatch"):
         merge_with_state(state, batch, "k", "version").collect()
+
+
+def test_read_upsert_bucketed_survives_catalog_loss(spark, tmp_path):
+    """Cross-session restart: the default in-memory catalog loses the
+    table definitions while the data + pointer persist. The reader
+    must fall back to a path read, and the next upsert must re-catalog
+    (self-heal) — the bucketed-by-default rescore stream depends on
+    this to restart in a fresh session."""
+    from pulsar_spark_spark.sources.bucketed import (
+        read_upsert_bucketed,
+        upsert_bucketed,
+    )
+
+    base = str(tmp_path / "state")
+    tb = "t_catalog_loss"
+    try:
+        df1 = spark.range(100).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v"),
+            F.lit(0).alias("version"),
+        )
+        upsert_bucketed(df1, tb, base, "k", "version", n_buckets=4)
+        # simulate a fresh session: drop the catalog entries (EXTERNAL
+        # tables — data stays on disk)
+        for t in [r["tableName"] for r in spark.sql("SHOW TABLES").collect()]:
+            if t.startswith(tb):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+        got = {r["k"]: r["v"] for r in read_upsert_bucketed(spark, tb, base).collect()}
+        assert len(got) == 100 and got[7] == 14
+        # next upsert merges from the path fallback and re-catalogs
+        df2 = spark.range(50).select(
+            F.col("id").alias("k"), F.lit(-1).alias("v"),
+            F.lit(1).alias("version"),
+        )
+        upsert_bucketed(df2, tb, base, "k", "version", n_buckets=4)
+        got = {r["k"]: r["v"] for r in read_upsert_bucketed(spark, tb, base).collect()}
+        assert len(got) == 100 and got[7] == -1 and got[70] == 140
+    finally:
+        for t in [r["tableName"] for r in spark.sql("SHOW TABLES").collect()]:
+            if t.startswith(tb):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")

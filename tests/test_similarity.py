@@ -379,3 +379,31 @@ def test_emb_pair_graph_incremental_equals_full_recompute(spark, tmp_path):
         for t in [r["tableName"] for r in spark.sql("SHOW TABLES").collect()]:
             if t.startswith(prefix):
                 spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_emb_pair_graph_zero_norm_vectors_do_not_cluster(spark, tmp_path):
+    """cos(0-vector, 0-vector) is NaN — the batch pipeline's verify
+    filter rejects it, and the store's self-marks must apply the SAME
+    gate (a divergence here would break store==batch parity)."""
+    from pulsar_spark_spark.plans.similarity import (
+        emb_components,
+        read_emb_components,
+        update_emb_pair_graph,
+    )
+
+    zeros = [0.0] * 64
+    emb = spark.createDataFrame(
+        [(0, zeros), (1, zeros), (2, [1.0] * 64)],
+        "vec_id long, embedding array<float>",
+    )
+    store = str(tmp_path / "g0")
+    prefix = "t_emb_zero"
+    try:
+        update_emb_pair_graph(emb, store, version=0, table_prefix=prefix)
+        got = set(map(tuple, read_emb_components(spark, store, prefix).collect()))
+        want = set(map(tuple, emb_components(emb, bucket_cap=10_000).collect()))
+        assert got == want == set()  # NaN never passes the gate
+    finally:
+        for t in [r["tableName"] for r in spark.sql("SHOW TABLES").collect()]:
+            if t.startswith(prefix):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
