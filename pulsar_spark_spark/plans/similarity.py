@@ -386,9 +386,10 @@ def lsh_topk(
         .select(
             "query_id",
             "neighbor_id",
-            (dot(col("q_emb"), col("n_emb")) / (col("q_norm") * col("n_norm"))).alias(
-                "cos_sim"
-            ),
+            F.try_divide(
+                dot(col("q_emb"), col("n_emb")),
+                col("q_norm") * col("n_norm"),
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc(), col("neighbor_id"))
@@ -1219,9 +1220,10 @@ def lsh_probe_index(
     scored = cand.join(broadcast(q_emb), "query_id").select(
         "query_id",
         "neighbor_id",
-        (dot(col("qv"), col("n_emb")) / (col("q_norm") * l2_norm(col("n_emb")))).alias(
-            "cos_sim"
-        ),
+        F.try_divide(
+            dot(col("qv"), col("n_emb")),
+            col("q_norm") * l2_norm(col("n_emb")),
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc(), col("neighbor_id"))
     return (
