@@ -1253,9 +1253,11 @@ def update_emb_pair_graph(
     the pair graph, which a full recompute would otherwise rebuild
     from the whole 100 TB corpus per run).
 
-    Four keyed state tables under ``store_dir`` via the crash-safe
-    :func:`~pulsar_spark_spark.sources.bucketed.upsert_bucketed`
-    contract (versioned pointer, replay-idempotent, bucketed layout):
+    Four keyed state tables under ``store_dir`` via the append-log
+    (merge-on-read) arm of the bucketed state
+    (:func:`~pulsar_spark_spark.sources.bucketed.append_log_bucketed`:
+    each shard is its own bucketed segment, a manifest lists segments
+    atomically, and reads take the latest row per key):
 
     - ``keyed``   (key vec_id)           — vec → vector-group mapping
     - ``reps``    (key vkey)             — one row per unique vector:
@@ -1273,35 +1275,35 @@ def update_emb_pair_graph(
     old group's counts/pairs stand) — mutate-in-place corpora should
     version ids upstream instead, like any ingest ledger.
 
-    Incremental COMPUTE is O(batch + matched buckets), never
-    O(corpus): only NEW unique vectors are banded, bucket-joined
-    (against the stored banded relation plus themselves) and cosine-
-    scored — previously verified pairs are never re-scored. The state
-    WRITE, however, is copy-on-write per version (upsert_bucketed
-    rewrites each table into a new version dir, like a COW table
-    format without file-level pruning), so per-shard I/O still grows
-    with accumulated state; the production extension is a
-    merge-on-read or partition-level rewrite under the same pointer
-    contract. Candidate semantics equal the
+    Per-shard COMPUTE is O(batch + matched buckets) — only NEW
+    unique vectors are banded, bucket-joined (against the stored
+    banded relation plus themselves) and cosine-scored; previously
+    verified pairs are never re-scored — and per-shard WRITE I/O is
+    O(batch) too: the log arm appends one segment per table instead
+    of rewriting the accumulated state (the COW/MOR trade — reads pay
+    the latest-wins merge instead; compact a read-hot table to COW
+    with one upsert_bucketed of its merged view). Candidate semantics
+    equal the
     batch pipeline's UNCAPPED generator (a per-batch bucket cap would
     depend on arrival order; callers wanting the boilerplate guard
     apply it upstream by dropping template shards before ingest).
 
     Crash/replay contract (single writer, whole-shard retries):
-    keyed/banded/pairs rows are pure functions of the data and
-    idempotent by key; the reps fold (which ACCUMULATES grp_n) is
-    version-gated and committed LAST, so a retry after a crash at any
-    point re-runs only idempotent writes and folds reps exactly once,
-    and replaying an already-committed shard is a no-op — the same T3
-    idempotence discipline as the streaming sinks, pinned in
+    keyed/banded/pairs rows are pure functions of the data, so
+    re-appended duplicates are absorbed by the read-time latest-wins
+    merge; the reps fold (which ACCUMULATES grp_n) is version-gated
+    and committed LAST, so a retry after a crash at any point
+    recomputes identical rows and folds reps once-effectively, and
+    replaying an already-committed shard changes nothing — the same
+    T3 idempotence discipline as the streaming sinks, pinned in
     tests/test_similarity.py. ``read_emb_components`` turns the stored graph
     into member-level components equal to a from-scratch
     :func:`emb_components` over the accumulated corpus (pinned in
     tests/test_similarity.py).
     """
     from pulsar_spark_spark.sources.bucketed import (
-        read_upsert_bucketed,
-        upsert_bucketed,
+        append_log_bucketed,
+        read_log_bucketed,
     )
 
     spark = emb_batch.sparkSession
@@ -1323,7 +1325,7 @@ def update_emb_pair_graph(
         .transform(materialize)
     )
     try:
-        old = read_upsert_bucketed(spark, t("reps"), p("reps"))
+        old = read_log_bucketed(spark, t("reps"), p("reps"), "vkey", "version")
     except FileNotFoundError:
         old = None
     if old is not None:
@@ -1384,8 +1386,8 @@ def update_emb_pair_graph(
         .transform(materialize)
     )
     try:
-        stored_banded = read_upsert_bucketed(
-            spark, t("banded"), p("banded")
+        stored_banded = read_log_bucketed(
+            spark, t("banded"), p("banded"), ["vkey", "tbl"], "version"
         ).select("vkey", "tbl", "bucket")
     except FileNotFoundError:
         stored_banded = None
@@ -1444,20 +1446,21 @@ def update_emb_pair_graph(
     pairs_new = cross.unionByName(self_marks).withColumn(
         "version", F.lit(version)
     )
-    # commit order matters: the three idempotent-by-key relations
-    # first, the version-gated reps fold LAST — a crash anywhere
-    # before the reps upsert makes a whole-shard retry re-run only
-    # idempotent writes, then fold reps exactly once
-    upsert_bucketed(
+    # commit order matters: the three pure-append relations first,
+    # the version-gated reps fold LAST — a crash anywhere before the
+    # reps append makes a whole-shard retry recompute and re-append
+    # rows the read-time latest-wins merge absorbs, then fold reps
+    # once-effectively
+    append_log_bucketed(
         keyed_new, t("keyed"), p("keyed"), "vec_id", "version", n_buckets
     )
-    upsert_bucketed(
+    append_log_bucketed(
         new_banded, t("banded"), p("banded"), ["vkey", "tbl"], "version", n_buckets
     )
-    upsert_bucketed(
+    append_log_bucketed(
         pairs_new, t("pairs"), p("pairs"), ["vkey_a", "vkey_b"], "version", n_buckets
     )
-    upsert_bucketed(merged, t("reps"), p("reps"), "vkey", "version", n_buckets)
+    append_log_bucketed(merged, t("reps"), p("reps"), "vkey", "version", n_buckets)
 
 
 def read_emb_components(
@@ -1467,13 +1470,15 @@ def read_emb_components(
     persisted pair-graph store — the serving-side twin of
     :func:`emb_components` over the accumulated corpus."""
     from pulsar_spark_spark.plans.text import connected_components_min_label
-    from pulsar_spark_spark.sources.bucketed import read_upsert_bucketed
+    from pulsar_spark_spark.sources.bucketed import read_log_bucketed
 
     t = lambda name: f"{table_prefix}_{name}"
     p = lambda name: os.path.join(store_dir, name)
-    keyed = read_upsert_bucketed(spark, t("keyed"), p("keyed"))
-    reps = read_upsert_bucketed(spark, t("reps"), p("reps"))
-    pairs = read_upsert_bucketed(spark, t("pairs"), p("pairs"))
+    keyed = read_log_bucketed(spark, t("keyed"), p("keyed"), "vec_id", "version")
+    reps = read_log_bucketed(spark, t("reps"), p("reps"), "vkey", "version")
+    pairs = read_log_bucketed(
+        spark, t("pairs"), p("pairs"), ["vkey_a", "vkey_b"], "version"
+    )
     rep_of = reps.select("vkey", "rep")
     cross = (
         pairs.filter(col("vkey_a") != col("vkey_b"))

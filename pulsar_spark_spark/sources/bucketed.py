@@ -277,3 +277,111 @@ def read_upsert_bucketed(spark: SparkSession, table_base: str, path_base: str) -
     if spark.catalog.tableExists(table):
         return spark.table(table)
     return spark.read.parquet(os.path.join(path_base, current))
+
+
+# ---------------------------------------------------------------------
+# Append-log (merge-on-read) arm of the keyed state (round 8): write
+# cost O(batch) per shard, latest-wins merge deferred to read time
+# ---------------------------------------------------------------------
+_MANIFEST = "_SEGMENTS"
+
+
+def append_log_bucketed(
+    new_rows: DataFrame,
+    table_base: str,
+    path_base: str,
+    key: str | list[str],
+    version_col: str,
+    n_buckets: int = 16,
+) -> None:
+    """Append one batch as its OWN bucketed segment — the merge-on-read
+    twin of :func:`upsert_bucketed`.
+
+    Where upsert_bucketed rewrites the full accumulated state per
+    version (copy-on-write — read-optimal, write cost grows with
+    state), this writes O(batch) bytes per shard and defers the
+    latest-wins merge to :func:`read_log_bucketed` — the classic
+    COW/MOR trade, chosen per table by ingest/read ratio (an
+    append-dominant ledger like the embedding pair graph wants MOR;
+    a hot serving table wants COW).
+
+    Crash safety: the segment is fully written (data + catalog entry)
+    BEFORE the manifest gains its id via atomic temp+rename, so a
+    crashed append leaves only an orphan directory, never a torn
+    state; replaying a shard appends a duplicate segment whose rows
+    lose (or tie, idempotently) the read-time latest-wins merge.
+    """
+    import os
+    import uuid
+
+    keys = [key] if isinstance(key, str) else list(key)
+    os.makedirs(path_base, exist_ok=True)
+    seg = f"log_{uuid.uuid4().hex}"
+    save_bucketed(
+        new_rows,
+        f"{table_base}_{seg}",
+        keys,
+        n_buckets,
+        sort_cols=tuple(keys),
+        path=os.path.join(path_base, seg),
+    )
+    manifest = os.path.join(path_base, _MANIFEST)
+    lines = []
+    if os.path.exists(manifest):
+        with open(manifest, encoding="utf-8") as f:
+            lines = [ln for ln in f.read().splitlines() if ln]
+    lines.append(seg)
+    tmp = os.path.join(path_base, f".{_MANIFEST}.{uuid.uuid4().hex}")
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write("\n".join(lines) + "\n")
+    os.replace(tmp, manifest)
+
+
+def read_log_bucketed(
+    spark: SparkSession,
+    table_base: str,
+    path_base: str,
+    key: str | list[str],
+    version_col: str,
+) -> DataFrame:
+    """Latest-wins view over an :func:`append_log_bucketed` state: the
+    manifest's segments unioned, then one row per key — highest
+    ``version_col`` wins, later segments win ties (so a replayed
+    shard's duplicate rows are absorbed). The merge is the read-time
+    shuffle MOR trades for its O(batch) writes; compact to COW with
+    one :func:`upsert_bucketed` of this view when reads start to
+    dominate."""
+    import os
+
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+    from pyspark.sql.functions import col
+
+    keys = [key] if isinstance(key, str) else list(key)
+    manifest = os.path.join(path_base, _MANIFEST)
+    if not os.path.exists(manifest):
+        raise FileNotFoundError(f"no committed log under {path_base}")
+    with open(manifest, encoding="utf-8") as f:
+        segments = [ln for ln in f.read().splitlines() if ln]
+    if not segments:
+        raise FileNotFoundError(f"empty log manifest under {path_base}")
+    parts = []
+    for ord_, seg in enumerate(segments):
+        table = f"{table_base}_{seg}"
+        df = (
+            spark.table(table)
+            if spark.catalog.tableExists(table)
+            else spark.read.parquet(os.path.join(path_base, seg))
+        )
+        parts.append(df.withColumn("_seg_ord", F.lit(ord_)))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    w = Window.partitionBy(*keys).orderBy(
+        col(version_col).desc(), col("_seg_ord").desc()
+    )
+    return (
+        out.withColumn("_rn", F.row_number().over(w))
+        .filter(col("_rn") == 1)
+        .drop("_rn", "_seg_ord")
+    )

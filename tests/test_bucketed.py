@@ -397,3 +397,51 @@ def test_read_upsert_bucketed_survives_catalog_loss(spark, tmp_path):
         for t in [r["tableName"] for r in spark.sql("SHOW TABLES").collect()]:
             if t.startswith(tb):
                 spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_append_log_latest_wins_and_replay_absorbed(spark, tmp_path):
+    """MOR log semantics: highest version wins per key, a replayed
+    (duplicate) segment changes nothing, ties go to the later
+    segment, and a catalog loss falls back to path reads."""
+    from pulsar_spark_spark.sources.bucketed import (
+        append_log_bucketed,
+        read_log_bucketed,
+    )
+
+    base = str(tmp_path / "log")
+    tb = "t_append_log"
+    try:
+        b0 = spark.createDataFrame(
+            [(1, "a", 0), (2, "b", 0)], "k long, v string, version long"
+        )
+        b1 = spark.createDataFrame(
+            [(2, "B", 1), (3, "c", 1)], "k long, v string, version long"
+        )
+        append_log_bucketed(b0, tb, base, "k", "version", n_buckets=2)
+        append_log_bucketed(b1, tb, base, "k", "version", n_buckets=2)
+        got = {r["k"]: (r["v"], r["version"]) for r in read_log_bucketed(
+            spark, tb, base, "k", "version"
+        ).collect()}
+        assert got == {1: ("a", 0), 2: ("B", 1), 3: ("c", 1)}
+        # replay of b1: duplicates absorbed
+        append_log_bucketed(b1, tb, base, "k", "version", n_buckets=2)
+        again = {r["k"]: (r["v"], r["version"]) for r in read_log_bucketed(
+            spark, tb, base, "k", "version"
+        ).collect()}
+        assert again == got
+        # same-version tie: the later segment wins
+        b1fix = spark.createDataFrame([(3, "C", 1)], "k long, v string, version long")
+        append_log_bucketed(b1fix, tb, base, "k", "version", n_buckets=2)
+        assert {
+            r["k"]: r["v"]
+            for r in read_log_bucketed(spark, tb, base, "k", "version").collect()
+        }[3] == "C"
+        # catalog loss: path fallback
+        for t in [r["tableName"] for r in spark.sql("SHOW TABLES").collect()]:
+            if t.startswith(tb):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+        assert read_log_bucketed(spark, tb, base, "k", "version").count() == 3
+    finally:
+        for t in [r["tableName"] for r in spark.sql("SHOW TABLES").collect()]:
+            if t.startswith(tb):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -370,9 +370,11 @@ def test_emb_pair_graph_incremental_equals_full_recompute(spark, tmp_path):
             for r in read_emb_components(spark, store, prefix).collect()
         }
         assert again == got
-        from pulsar_spark_spark.sources.bucketed import read_upsert_bucketed
+        from pulsar_spark_spark.sources.bucketed import read_log_bucketed
 
-        reps = read_upsert_bucketed(spark, f"{prefix}_reps", store + "/reps")
+        reps = read_log_bucketed(
+            spark, f"{prefix}_reps", store + "/reps", "vkey", "version"
+        )
         n_members = reps.groupBy().sum("grp_n").first()[0]
         assert n_members == emb.count()  # grp_n never double-counted
     finally:
@@ -403,6 +405,57 @@ def test_emb_pair_graph_zero_norm_vectors_do_not_cluster(spark, tmp_path):
         got = set(map(tuple, read_emb_components(spark, store, prefix).collect()))
         want = set(map(tuple, emb_components(emb, bucket_cap=10_000).collect()))
         assert got == want == set()  # NaN never passes the gate
+    finally:
+        for t in [r["tableName"] for r in spark.sql("SHOW TABLES").collect()]:
+            if t.startswith(prefix):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_emb_pair_graph_crash_before_reps_fold_then_retry(spark, tmp_path):
+    """The claimed crash contract, exercised: a shard whose ingest
+    dies AFTER the pure-append writes but BEFORE the reps fold must,
+    on whole-shard retry, converge to exactly the clean-ingest state
+    (duplicate appends absorbed, grp_n folded once)."""
+    from unittest import mock
+
+    import pulsar_spark_spark.sources.bucketed as bkt
+    from pulsar_spark_spark.plans.similarity import (
+        read_emb_components,
+        update_emb_pair_graph,
+    )
+    from pulsar_spark_spark.sources.bucketed import read_log_bucketed
+
+    emb = _copy_heavy_embeddings(spark, n_copies=6, n_distinct=4)
+    store = str(tmp_path / "gc")
+    prefix = "t_emb_crash"
+    try:
+        update_emb_pair_graph(emb.filter("vec_id < 3"), store, 0, prefix)
+        # shard 1 crashes on its 4th append (the reps fold)
+        real_append = bkt.append_log_bucketed
+        calls = {"n": 0}
+
+        def dying_append(*a, **kw):
+            calls["n"] += 1
+            if calls["n"] == 4:  # the reps fold is the 4th append
+                raise RuntimeError("simulated crash before reps fold")
+            return real_append(*a, **kw)
+
+        shard1 = emb.filter("vec_id >= 3")
+        with mock.patch.object(bkt, "append_log_bucketed", dying_append):
+            import pytest as _pytest
+
+            with _pytest.raises(RuntimeError, match="simulated crash"):
+                update_emb_pair_graph(shard1, store, 1, prefix)
+        # whole-shard retry
+        update_emb_pair_graph(shard1, store, 1, prefix)
+        comp = {r["node"]: r["component"] for r in read_emb_components(
+            spark, store, prefix
+        ).collect()}
+        assert {n for n, c in comp.items() if c == 0} == set(range(6))
+        reps = read_log_bucketed(
+            spark, f"{prefix}_reps", store + "/reps", "vkey", "version"
+        )
+        assert reps.groupBy().sum("grp_n").first()[0] == emb.count()
     finally:
         for t in [r["tableName"] for r in spark.sql("SHOW TABLES").collect()]:
             if t.startswith(prefix):
