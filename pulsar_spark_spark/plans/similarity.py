@@ -1338,8 +1338,8 @@ def update_emb_pair_graph(
         )
         # version gate: a shard already folded into reps (replay of a
         # fully-committed ingest) must not double-count grp_n; reps is
-        # upserted LAST below, so any partial-failure replay re-runs
-        # the idempotent-by-key upserts and folds reps exactly once
+        # appended LAST below, so any partial-failure replay re-runs
+        # appends the read-time merge absorbs, then folds reps once
         already = col("version_o").isNotNull() & (col("version_o") >= version)
         merged = (
             bg.join(touched, "vkey", "left")

@@ -385,3 +385,52 @@ def read_log_bucketed(
         .filter(col("_rn") == 1)
         .drop("_rn", "_seg_ord")
     )
+
+
+def compact_log(
+    spark: SparkSession,
+    table_base: str,
+    path_base: str,
+    key: str | list[str],
+    version_col: str,
+    n_buckets: int = 16,
+) -> None:
+    """Fold an append-log state into ONE merged segment and truncate
+    the manifest — the read-optimization step of the MOR lifecycle
+    (run it when the per-read latest-wins merge over many segments
+    starts to dominate, like any LSM/Delta compaction).
+
+    After compaction ``read_log_bucketed`` serves the same relation
+    from a single bucketed segment (the window merge degenerates to a
+    per-key pass over one sorted table). Crash-safe like the writers:
+    the compacted segment is fully written and the new manifest lands
+    via an atomic replace BEFORE any old segment is deleted, so a
+    crash mid-compact leaves a readable (at worst duplicated,
+    latest-wins-absorbed) state.
+    """
+    import os
+    import shutil
+    import uuid
+
+    merged = read_log_bucketed(spark, table_base, path_base, key, version_col)
+    keys = [key] if isinstance(key, str) else list(key)
+    seg = f"log_{uuid.uuid4().hex}"
+    save_bucketed(
+        merged,
+        f"{table_base}_{seg}",
+        keys,
+        n_buckets,
+        sort_cols=tuple(keys),
+        path=os.path.join(path_base, seg),
+    )
+    with open(os.path.join(path_base, f".{_MANIFEST}.{seg}"), "w", encoding="utf-8") as f:
+        f.write(seg + "\n")
+    manifest = os.path.join(path_base, _MANIFEST)
+    with open(manifest, encoding="utf-8") as f:
+        old_segments = [ln for ln in f.read().splitlines() if ln]
+    os.replace(os.path.join(path_base, f".{_MANIFEST}.{seg}"), manifest)
+    for old in old_segments:
+        if old == seg:
+            continue
+        spark.sql(f"DROP TABLE IF EXISTS {table_base}_{old}")
+        shutil.rmtree(os.path.join(path_base, old), ignore_errors=True)

@@ -445,3 +445,39 @@ def test_append_log_latest_wins_and_replay_absorbed(spark, tmp_path):
         for t in [r["tableName"] for r in spark.sql("SHOW TABLES").collect()]:
             if t.startswith(tb):
                 spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_compact_log_preserves_state_and_drops_segments(spark, tmp_path):
+    """Compaction must serve the identical latest-wins relation from
+    ONE segment and delete the superseded ones."""
+    import os
+
+    from pulsar_spark_spark.sources.bucketed import (
+        append_log_bucketed,
+        compact_log,
+        read_log_bucketed,
+    )
+
+    base = str(tmp_path / "log")
+    tb = "t_compact_log"
+    try:
+        for v in range(4):
+            b = spark.createDataFrame(
+                [(k, f"v{v}", v) for k in range(v, v + 3)],
+                "k long, v string, version long",
+            )
+            append_log_bucketed(b, tb, base, "k", "version", n_buckets=2)
+        want = sorted(map(tuple, read_log_bucketed(
+            spark, tb, base, "k", "version"
+        ).collect()))
+        compact_log(spark, tb, base, "k", "version", n_buckets=2)
+        got = sorted(map(tuple, read_log_bucketed(
+            spark, tb, base, "k", "version"
+        ).collect()))
+        assert got == want
+        segs = [d for d in os.listdir(base) if d.startswith("log_")]
+        assert len(segs) == 1  # superseded segments swept
+    finally:
+        for t in [r["tableName"] for r in spark.sql("SHOW TABLES").collect()]:
+            if t.startswith(tb):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
