@@ -1138,7 +1138,14 @@ def doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpoints) is hash-checked against a DuckDB recursive-CTE
     transitive closure over the FULL member-pair graph — both converge
     to component = min(doc_id), which the rep-level walk preserves
-    because every rep is already the min id of its group."""
+    because every rep is already the min id of its group.
+
+    Output-shape caveat at crawl scale: ``doc_ids`` aggregates a
+    cluster's FULL membership into one string — per-cluster unbounded
+    (a 10⁶-copy page would make a 10⁶-id row). That is the requested
+    report shape at fixture scale; a 100 TB consumer should read the
+    normalized (node, component) relation (:func:`doc_components`)
+    instead and skip this final aggregation."""
     docs = load_table(spark, "documents", sf_dir)
     # one component walk feeds both arms (clusters + losers)
     comp = doc_components(docs).transform(materialize)
