@@ -443,6 +443,30 @@ def verified_rep_pairs(
     downstream sorts/iterations replay the checkpoint, not the chain.
     """
     keyed, sh, cand = near_dup_candidates(docs, band_cap)
+    # Exact size-ratio prefilter: J = |A∩B|/|A∪B| ≤ min(|A|,|B|) /
+    # max(|A|,|B|), so any candidate whose shingle-set sizes differ by
+    # more than the Jaccard floor is doomed — drop it on a NARROW
+    # (rep, n) int relation before the heavy hv-array joins ship
+    # hundreds of hashes per row through the shuffle. Provably
+    # output-identical (the oracle needs no mirror), pure plan
+    # optimization; at 100× data it removes ~4/5 of the 1.6 M
+    # candidates before the array join (measured round 8).
+    sizes = sh.select(col("rep"), F.size("hv").alias("n"))
+    cand = (
+        cand.join(
+            sizes.select(col("rep").alias("rep_a"), col("n").alias("n_a")),
+            "rep_a",
+        )
+        .join(
+            sizes.select(col("rep").alias("rep_b"), col("n").alias("n_b")),
+            "rep_b",
+        )
+        .filter(
+            F.least("n_a", "n_b").cast("double")
+            >= F.greatest("n_a", "n_b") * F.lit(_JACCARD_MIN)
+        )
+        .select("rep_a", "rep_b")
+    )
     sa = sh.select(
         col("rep").alias("rep_a"), col("hv").alias("sh_a"), col("ckey").alias("ckey_a")
     )
