@@ -6,15 +6,21 @@ Brief components:
   broadcast the (tiny) query side against the full corpus, rank per
   query. The correctness baseline every approximate variant is
   measured against.
-- ``ann_topk_lsh`` — the scale path: coordinate-hyperplane LSH (sign
-  bits of the leading dimensions) buckets both sides; each query only
-  scans its own bucket, then exact-cosine reranks within it. At 100 TB
-  the bucket key is the join/shuffle key, so the work is
-  O(corpus/buckets) per query instead of O(corpus); recall is tuned by
-  bucket width (fewer bits) or multi-probing (flip-one-bit buckets).
-- ``embedding_near_dup_pairs`` — embedding-cosine near-dup dedup:
-  bucket join on the same sign-bit LSH key, exact cosine ≥ threshold
-  within buckets, never all-pairs.
+- ``ann_topk_lsh`` — the scale path: signed-random-projection LSH
+  (md5-seeded ±1 hyperplanes over ALL dimensions) buckets both sides
+  across 4 independent tables with Hamming-1 multiprobe; each query
+  scans only its buckets, then exact-cosine reranks within them. At
+  100 TB the (table, bucket) key is the join/shuffle key, so work is
+  O(corpus/buckets) per query instead of O(corpus); recall is tuned
+  by bit width, table count and probing (measured ladder in
+  tests/test_similarity.py).
+- ``embedding_near_dup_pairs`` / ``embedding_dedup_clusters`` —
+  embedding-cosine near-dup dedup with the full skew-guard stack
+  (round 8): identical embeddings collapse to one representative,
+  4×8-bit SRP tables with a per-bucket cap generate candidates,
+  exact cosine verifies, members fan back out, and clustering runs
+  at representative level — never all-pairs, never quadratic in
+  copies.
 
 Floating-point parity with the oracle is engineered, not hoped for:
 both sides promote float32→float64 per element and accumulate with a
