@@ -766,7 +766,7 @@ def main() -> None:
                         "text family's skew guards (exact-embedding "
                         "collapse + 4x8-bit SRP tables + per-bucket "
                         "cap; 100x slopes x2.92/x1.97, SCALE.md) — so "
-                        "the headline total includes ~8s of coverage "
+                        "the headline total includes ~6s of coverage "
                         "that r7's 37-query total did not. "
                         "doc_dedup_clusters now also emits the "
                         "terminal keep-set (singleton rows) and "
