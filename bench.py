@@ -659,14 +659,14 @@ def main() -> None:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     knob_notes = {
         "ann_topk_lsh": (
-            "REGISTERED default is now the production "
-            "config: 4 SRP tables + Hamming-1 multiprobe, "
-            "recall 0.96, oracle-exact (round 6; was "
-            "single-table recall 0.10). ~4 tables x 5 "
-            "probes = 20x the candidate pairs of the old "
-            "default, deduped before scoring. Ladder gated "
-            "in tests/test_similarity.py: plain 0.10, "
-            "+multiprobe 0.50, +4 tables 0.96."
+            "4 SRP tables + Hamming-1 multiprobe, recall 0.96, "
+            "oracle-exact (ladder gated in tests/test_similarity.py: "
+            "plain 0.10, +multiprobe 0.50, +4 tables 0.96). Round 8: "
+            "SERVED from the cached on-disk (tbl, bucket) layout "
+            "like IVF -- this row is probe cost. The probe path "
+            "costs ~1s more than in-memory banding at sf0.1 (probe "
+            "collect + pruned-scan plan overhead) and wins 10x at "
+            "100x data: slope x23.9 -> x1.41 (SCALE.md)."
         ),
         "ann_topk_ivf": (
             "nprobe=2 over 16 cells (recall 0.90); "

@@ -77,6 +77,12 @@ def _time_query(spark, name: str, sf_dir: str, runs: int) -> float:
         from pulsar_spark_spark.plans.similarity import ensure_ivf_index
 
         ensure_ivf_index(spark, sf_dir)
+    if name == "ann_topk_lsh":
+        # round 8: the registered LSH query serves from the cached
+        # layout too — same probe-slope discipline as IVF
+        from pulsar_spark_spark.plans.similarity import ensure_lsh_index
+
+        ensure_lsh_index(spark, sf_dir)
     best = float("inf")
     for _ in range(runs):
         spark.catalog.clearCache()
