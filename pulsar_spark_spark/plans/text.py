@@ -815,8 +815,18 @@ def winnow_pairs(
 )
 def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style containment pairs over the documents table with
-    the hot-gram df cap (see :func:`winnow_pairs`)."""
-    return winnow_pairs(load_table(spark, "documents", sf_dir))
+    the hot-gram df cap (see :func:`winnow_pairs`).
+
+    The tokenize + md5-per-gram explode is the CPU-dominant stage at
+    scale; a single parquet file scans in ~size/128MB tasks, which
+    starves the cores (profiled at 100×: 50 s on 14 of 32 threads).
+    Spread the input over 2×parallelism BEFORE the projection — the
+    same pre-spread :func:`doc_ngram_jaccard` applies (its 100× slope
+    is ×2.8 with it; winnow's was ×21 without it).
+    """
+    docs = load_table(spark, "documents", sf_dir)
+    n_spread = spark.sparkContext.defaultParallelism * 2
+    return winnow_pairs(docs.repartition(n_spread, col("doc_id")))
 
 
 # ---------------------------------------------------------------------
