@@ -51,12 +51,16 @@ def word_ngrams(tok: Column, n: int) -> Column:
     )
 
 
-def char_shingles(col: Column, k: int = 5) -> Column:
-    """Character k-shingles of the cleaned text (array<string>).
+def char_shingles_of_clean(cleaned: Column, k: int = 5) -> Column:
+    """Character k-shingles of ALREADY-CLEANED text (array<string>).
 
-    Short-input guarded for the same descending-sequence reason as
-    :func:`word_ngrams`."""
-    cleaned = clean_text(col)
+    The ``transform`` lambda embeds ``cleaned`` verbatim and Spark
+    re-evaluates non-lambda subtrees once PER ELEMENT, so pass a bound
+    attribute (a column that exists on the relation), never an
+    expression: embedding ``clean_text`` here runs its regex once per
+    shingle — measured 3.9× the wall of the whole shingle-hash stage
+    at 100× data. Short-input guarded for the same descending-sequence
+    reason as :func:`word_ngrams`."""
     shingles = F.transform(
         F.sequence(F.lit(1), F.length(cleaned) - (k - 1)),
         lambda i: cleaned.substr(i, F.lit(k)),
@@ -64,6 +68,16 @@ def char_shingles(col: Column, k: int = 5) -> Column:
     return F.when(F.length(cleaned) >= k, shingles).otherwise(
         F.expr("CAST(array() AS ARRAY<STRING>)")
     )
+
+
+def char_shingles(col: Column, k: int = 5) -> Column:
+    """Character k-shingles of the cleaned text (array<string>).
+
+    Convenience form that cleans inline — fine for ad-hoc use on small
+    relations; hot pipelines should project :func:`clean_text` once
+    and shingle the resulting column via
+    :func:`char_shingles_of_clean` (see its per-element caveat)."""
+    return char_shingles_of_clean(clean_text(col), k)
 
 
 # ---------------------------------------------------------------------

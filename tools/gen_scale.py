@@ -97,7 +97,14 @@ def scale_documents(factor: int, out_dir: str) -> int:
             )
         )
     out = pa.concat_tables(parts)
-    pq.write_table(out, os.path.join(out_dir, "documents.parquet"))
+    # Real 100 TB corpora arrive as thousands of files/row groups;
+    # a single-row-group file makes EVERY scan of it a one-task stage
+    # no matter how many splits Spark plans (profiled round 8: the
+    # near-dup collapse ran its md5+regex map side on 1 of 32 cores).
+    # 20k-row groups give the scan genuine parallelism at 100×.
+    pq.write_table(
+        out, os.path.join(out_dir, "documents.parquet"), row_group_size=20_000
+    )
     return out.num_rows
 
 
@@ -121,7 +128,10 @@ def scale_embeddings(factor: int, out_dir: str) -> int:
             )
         )
     out = pa.concat_tables(parts)
-    pq.write_table(out, os.path.join(out_dir, "embeddings.parquet"))
+    # Same row-group rationale as scale_documents.
+    pq.write_table(
+        out, os.path.join(out_dir, "embeddings.parquet"), row_group_size=20_000
+    )
     return out.num_rows
 
 
