@@ -170,14 +170,18 @@ def lsh_bands(signature: Column, n_bands: int, rows_per_band: int) -> Column:
     return F.array(*bands)
 
 
-def simhash16(tok: Column) -> Column:
-    """16-bit SimHash over whitespace tokens.
+def simhash16_from_hashes(h: Column) -> Column:
+    """16-bit SimHash from PRE-HASHED token ints.
+
+    ``h`` appears inside all 16 bit aggregates and Spark re-evaluates
+    it per aggregate, so pass a bound attribute (project the
+    ``transform(tok, md5_i64)`` hash array as a real column first) —
+    embedding the hash chain here runs tokenize + md5-per-token 16×.
 
     For each bit b: sum over tokens of ±1 depending on bit b of the
     token's md5-int; bit set iff the sum > 0. 16 bits keeps the
     expression tree small enough to stay oracle-expressible.
     """
-    h = F.transform(tok, md5_i64)
 
     def _bit_merge(b: int):
         return lambda acc, x: acc + F.when(
@@ -192,6 +196,13 @@ def simhash16(tok: Column) -> Column:
     for b in bits[1:]:
         out = out + b
     return out.cast("int")
+
+
+def simhash16(tok: Column) -> Column:
+    """16-bit SimHash over whitespace tokens (inline-hash convenience
+    form — hot pipelines should project the hash array once and use
+    :func:`simhash16_from_hashes`; see its 16× caveat)."""
+    return simhash16_from_hashes(F.transform(tok, md5_i64))
 
 
 # ---------------------------------------------------------------------

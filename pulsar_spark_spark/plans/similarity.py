@@ -730,7 +730,7 @@ def emb_components(
     n_tables: int = _EMB_TABLES,
     n_bits: int = _EMB_BITS,
     bucket_cap: int = _EMB_BUCKET_CAP,
-    cc: str = "min_label",
+    cc: str = "auto",
 ) -> DataFrame:
     """(node=vec_id, component=min vec_id in its near-dup cluster) for
     every CLUSTERED vector — the rep-level decomposition underlying
@@ -738,21 +738,16 @@ def emb_components(
     ``doc_components``: cross-group verified pairs are the edges; a
     verified (rep, rep) self-pair marks a multi-member group as a
     cluster even with no cross edges; members then join in via their
-    vector key. ``cc``: ``"min_label"`` or ``"star"`` (same trade as
-    ``doc_components``)."""
-    from pulsar_spark_spark.plans.text import (
-        connected_components_min_label,
-        connected_components_star,
-    )
+    vector key. ``cc``: ``"auto"`` (default — min-label fast path,
+    star fallback past the iteration budget; rolled-replica corpora
+    DO produce chains deep enough to need it, measured at 10× scale
+    round 8) or ``"min_label"`` / ``"star"`` to force one — same
+    dispatch as ``doc_components``."""
+    from pulsar_spark_spark.plans.text import component_walk
 
-    walk = (
-        connected_components_star
-        if cc == "star"
-        else connected_components_min_label
-    )
     keyed, reps, verified = emb_verified_rep_pairs(emb, n_tables, n_bits, bucket_cap)
     cross = verified.filter(col("rep_a") != col("rep_b"))
-    comp_rep = walk(cross, "rep_a", "rep_b")
+    comp_rep = component_walk(cross, "rep_a", "rep_b", cc)
     self_only = (
         verified.filter(col("rep_a") == col("rep_b"))
         .select(col("rep_a").alias("node"))
@@ -1527,7 +1522,7 @@ def read_emb_components(
     """Member-level (node=vec_id, component=min vec_id) from the
     persisted pair-graph store — the serving-side twin of
     :func:`emb_components` over the accumulated corpus."""
-    from pulsar_spark_spark.plans.text import connected_components_min_label
+    from pulsar_spark_spark.plans.text import component_walk
     from pulsar_spark_spark.sources.bucketed import read_log_bucketed
 
     t = lambda name: f"{table_prefix}_{name}"
@@ -1544,7 +1539,7 @@ def read_emb_components(
         .join(rep_of.select(col("vkey").alias("vkey_b"), col("rep").alias("rep_b")), "vkey_b")
         .select("rep_a", "rep_b")
     )
-    comp_rep = connected_components_min_label(cross, "rep_a", "rep_b")
+    comp_rep = component_walk(cross, "rep_a", "rep_b")
     self_only = (
         pairs.filter(col("vkey_a") == col("vkey_b"))
         .join(rep_of.select(col("vkey").alias("vkey_a"), "rep"), "vkey_a")

@@ -49,7 +49,7 @@ from pulsar_spark_spark.functions.text import (
     minhash_signature_from_hashes,
     quality_features,
     shingle_hashes,
-    simhash16,
+    simhash16_from_hashes,
     tokens,
 )
 from pulsar_spark_spark.operators.checkpoint import materialize
@@ -542,8 +542,16 @@ def doc_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(F.sort_array(F.collect_list("doc_id")), lambda x: x.cast("string")),
         ",",
     )
+    # Hash the tokens ONCE as a bound column; feeding the hash chain
+    # straight into simhash16 would re-run tokenize + md5-per-token in
+    # every one of the 16 bit aggregates (the per-aggregate
+    # re-evaluation caveat on simhash16_from_hashes).
     return (
-        docs.select(col("doc_id"), simhash16(tokens(col("text"))).alias("simhash"))
+        docs.select(
+            col("doc_id"),
+            F.transform(tokens(col("text")), md5_i64).alias("th"),
+        )
+        .select(col("doc_id"), simhash16_from_hashes(col("th")).alias("simhash"))
         .groupBy("simhash")
         .agg(F.count(F.lit(1)).alias("n_docs"), ids_str.alias("doc_ids"))
         .filter(col("n_docs") > 1)
@@ -925,6 +933,14 @@ def doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dedup clusters: connected components over the near-dup pair graph
 # (the iterative-algorithm operator class — min-label propagation)
 # ---------------------------------------------------------------------
+class CCBudgetExceeded(RuntimeError):
+    """Raised when a component walk exhausts its iteration budget —
+    the signal ``cc='auto'`` dispatch catches to fall back from the
+    min-label fast path to the ~log-diameter star walk. Subclasses
+    RuntimeError so pre-round-8 callers matching that type still
+    work."""
+
+
 def connected_components_min_label(
     edges: DataFrame, a: str = "doc_a", b: str = "doc_b", max_iter: int = 20
 ) -> DataFrame:
@@ -1003,7 +1019,7 @@ def connected_components_min_label(
             break
         prev_sum = new_sum
     if not converged:
-        raise RuntimeError(
+        raise CCBudgetExceeded(
             f"min-label propagation did not converge in {max_iter} rounds "
             "(component diameter exceeds the iteration budget); use "
             "connected_components_star for deep/chained graphs"
@@ -1103,7 +1119,7 @@ def connected_components_star(
             break
         prev, prev_E = sig, E
     if not converged:
-        raise RuntimeError(
+        raise CCBudgetExceeded(
             f"star contraction did not converge in {max_iter} rounds — "
             "raise max_iter (rounds grow ~log(diameter), so this "
             "indicates either an extreme graph or a bug)"
@@ -1120,6 +1136,35 @@ def connected_components_star(
             F.least("u", col("mn")).alias("component"),
         )
     )
+
+
+def component_walk(
+    edges: DataFrame, a: str = "doc_a", b: str = "doc_b", cc: str = "auto"
+) -> DataFrame:
+    """Dispatch a connected-components walk by ``cc``.
+
+    ``"min_label"`` and ``"star"`` force that algorithm. ``"auto"``
+    (the production default for the registered cluster queries) probes
+    with the min-label fast path — fewest rounds on the shallow
+    pair/triangle graphs near-dup thresholds usually produce — under a
+    deliberately SMALL budget (shallow graphs converge in 1-3 rounds,
+    so 8 probe rounds lose nothing), and on :class:`CCBudgetExceeded`
+    (component diameter beyond the probe, e.g. a chained boilerplate
+    cluster at crawl scale) falls back to the ~log(diameter) star walk
+    instead of failing the pipeline. The wasted probe rounds replay
+    the callers' checkpointed edge relation, not the LSH/verify chain,
+    so the retry costs iterations, not candidate generation.
+    """
+    if cc == "min_label":
+        return connected_components_min_label(edges, a, b)
+    if cc == "star":
+        return connected_components_star(edges, a, b)
+    if cc != "auto":
+        raise ValueError(f"cc must be min_label/star/auto, got {cc!r}")
+    try:
+        return connected_components_min_label(edges, a, b, max_iter=8)
+    except CCBudgetExceeded:
+        return connected_components_star(edges, a, b)
 
 
 @query(
@@ -1218,7 +1263,7 @@ def doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def doc_components(
-    docs: DataFrame, band_cap: int = _BAND_CAP, cc: str = "min_label"
+    docs: DataFrame, band_cap: int = _BAND_CAP, cc: str = "auto"
 ) -> DataFrame:
     """(node=doc_id, component=min doc_id in its near-dup cluster) for
     every CLUSTERED document — the rep-level decomposition underlying
@@ -1232,20 +1277,14 @@ def doc_components(
     marks a multi-member group as a cluster even with no cross edges;
     members then join in via their text key.
 
-    ``cc`` picks the component walk: ``"min_label"`` (default — fewest
-    rounds on the shallow graphs near-dup thresholds produce, raises
-    loudly if the graph turns out deeper than its budget) or
-    ``"star"`` (large-star/small-star, ~log(diameter) rounds — the
-    choice for corpora with chained boilerplate clusters).
+    ``cc`` picks the component walk (see :func:`component_walk`):
+    ``"auto"`` (default — min-label fast path, star fallback if the
+    graph turns out deeper than the iteration budget), or
+    ``"min_label"`` / ``"star"`` to force one.
     """
-    walk = (
-        connected_components_star
-        if cc == "star"
-        else connected_components_min_label
-    )
     keyed, sh, verified = verified_rep_pairs(docs, band_cap)
     cross = verified.filter(col("rep_a") != col("rep_b"))
-    comp_rep = walk(cross, "rep_a", "rep_b")
+    comp_rep = component_walk(cross, "rep_a", "rep_b", cc)
     self_only = (
         verified.filter(col("rep_a") == col("rep_b"))
         .select(col("rep_a").alias("node"))

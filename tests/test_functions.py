@@ -24,6 +24,11 @@ from pulsar_spark_spark.functions.geo import (
 )
 from pulsar_spark_spark.functions.text import (
     char_shingles,
+    char_shingles_of_clean,
+    clean_text,
+    md5_i64,
+    simhash16,
+    simhash16_from_hashes,
     tokens,
     word_ngrams,
 )
@@ -169,3 +174,23 @@ class TestTextPrimitives:
         assert by_input[("ab",)]["sh"] == []
         assert by_input[()]["g3"] == []
         assert by_input[("x", "y")]["g3"] == []
+
+    def test_hoisted_variants_match_convenience_forms(self, spark):
+        # the hot-path forms (pre-cleaned / pre-hashed input, which
+        # dodge the per-element lambda re-evaluation trap) must stay
+        # value-identical to the inline convenience forms
+        df = spark.createDataFrame(
+            [("The QUICK, brown fox!! 123",), ("ab",), ("",), ("Hello   World",)],
+            "text string",
+        )
+        rows = df.select(
+            char_shingles(F.col("text"), 5).alias("a"),
+            char_shingles_of_clean(clean_text(F.col("text")), 5).alias("b"),
+            simhash16(tokens(F.col("text"))).alias("sa"),
+            simhash16_from_hashes(
+                F.transform(tokens(F.col("text")), md5_i64)
+            ).alias("sb"),
+        ).collect()
+        for r in rows:
+            assert r["a"] == r["b"]
+            assert r["sa"] == r["sb"]

@@ -230,6 +230,31 @@ def test_min_label_raises_beyond_iteration_budget(spark):
         connected_components_min_label(edges, max_iter=5)
 
 
+def test_component_walk_auto_falls_back_to_star_on_deep_graph(spark):
+    """cc='auto' (the registered queries' default since round 8) must
+    survive a component deeper than min-label's budget by switching to
+    the star walk instead of failing the pipeline — the 10×-scale
+    rolled-replica embedding corpus hit exactly this."""
+    from pulsar_spark_spark.plans.text import (
+        CCBudgetExceeded,
+        component_walk,
+        connected_components_min_label,
+    )
+    import pytest as _pytest
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(100)], "doc_a long, doc_b long"
+    )
+    # sanity: the fast path alone really does exhaust its budget here
+    with _pytest.raises(CCBudgetExceeded):
+        connected_components_min_label(edges)
+    labels = component_walk(edges).collect()
+    assert {r["node"] for r in labels} == set(range(101))
+    assert all(r["component"] == 0 for r in labels)
+    with _pytest.raises(ValueError, match="min_label/star/auto"):
+        component_walk(edges, cc="bogus")
+
+
 def test_hot_bucket_stats_reports_what_cap_drops(spark):
     """The observability twin must surface exactly the over-cap
     buckets (the all-bands-hot recall trade is visible, not silent)."""

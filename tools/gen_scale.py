@@ -140,13 +140,17 @@ def main() -> None:
     out_dir = (
         sys.argv[2] if len(sys.argv) > 2 else "/root/repo/.scale/sf1"
     )
+    # --corpus-only: documents + embeddings only (the dedup/ANN
+    # family's 1000× point doesn't need 100M event rows on disk)
+    corpus_only = "--corpus-only" in sys.argv
     os.makedirs(out_dir, exist_ok=True)
     for name in SMALL_TABLES:
         shutil.copy(
             os.path.join(SRC, f"{name}.parquet"),
             os.path.join(out_dir, f"{name}.parquet"),
         )
-    print(f"events:     {scale_events(factor, out_dir):>9,} rows")
+    if not corpus_only:
+        print(f"events:     {scale_events(factor, out_dir):>9,} rows")
     print(f"documents:  {scale_documents(factor, out_dir):>9,} rows")
     print(f"embeddings: {scale_embeddings(factor, out_dir):>9,} rows")
     total = sum(

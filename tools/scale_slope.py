@@ -36,7 +36,24 @@ BASE = ("sf0.1", "/root/testdata/sf0.1", 1)
 SCALES = [
     ("sf1", os.path.join(ROOT, ".scale", "sf1"), 10),
     ("sf10", os.path.join(ROOT, ".scale", "sf10"), 100),
+    # optional 1000× point for the dedup/ANN corpus family only —
+    # generate with:  python tools/gen_scale.py 1000 .scale/sf100 --corpus-only
+    ("sf100", os.path.join(ROOT, ".scale", "sf100"), 1000),
 ]
+
+# sf100 is documents+embeddings only (no events at 1000×), so only the
+# corpus-family queries are measurable there; it is also where the
+# dedup scale question actually lives.
+SF100_SUBSET = {
+    "doc_winnow_fingerprints",
+    "doc_ngram_jaccard",
+    "doc_dedup_clusters",
+    "doc_near_dup_pairs",
+    "embedding_near_dup_pairs",
+    "embedding_dedup_clusters",
+    "ann_topk_lsh",
+    "ann_topk_ivf",
+}
 
 # The heaviest bench queries (r5 ordering) — every family with a
 # nontrivial shuffle/kernel/join at scale.
@@ -66,7 +83,7 @@ HEAVY = [
 SF10_SUBSET = set(HEAVY)
 
 RUNS = 2
-RUNS_SF10 = 1  # single pass at 100x — minutes per query
+RUNS_SF10 = 1  # single pass at 100x and 1000x — minutes per query
 
 
 def _time_query(spark, name: str, sf_dir: str, runs: int) -> float:
@@ -117,7 +134,9 @@ def main(filters) -> None:
         for label, sf_dir, factor in scales:
             if label == "sf10" and name not in SF10_SUBSET and not filters:
                 continue
-            runs = RUNS_SF10 if label == "sf10" else RUNS
+            if label == "sf100" and name not in SF100_SUBSET:
+                continue
+            runs = RUNS if label == "sf1" else RUNS_SF10
             t = _time_query(spark, name, sf_dir, runs)
             rec[f"{label}_sec"] = round(t, 3)
             rec[f"{label}_ratio"] = round(t / t_base, 2) if t_base else None
@@ -131,7 +150,10 @@ def main(filters) -> None:
         print(" ".join(parts))
 
     summary: dict = {
-        "scales": "sf0.1 (17 MB) base; 10x/100x datasets from tools/gen_scale.py",
+        "scales": (
+            "sf0.1 (17 MB) base; 10x/100x (and optional corpus-only "
+            "1000x) datasets from tools/gen_scale.py"
+        ),
         "runs_per_point": RUNS,
         "queries": results,
     }
@@ -156,14 +178,28 @@ def main(filters) -> None:
     with open(os.path.join(ROOT, "scale_slope.json"), "w") as f:
         json.dump(summary, f, indent=1)
 
+    # scale columns present in the results (sf100 appears only when
+    # its dataset exists and corpus-family queries were measured)
+    col_scales = [
+        (label, factor)
+        for label, _d, factor in SCALES
+        if any(f"{label}_sec" in r for r in results.values())
+    ]
     have_sf10 = any("sf10_sec" in r for r in results.values())
+    arrow_title = " → ".join(
+        ["sf0.1"] + [f"{f}×" for _l, f in col_scales]
+    )
     lines = [
-        "# SCALE — measured wall-time slope (sf0.1 → 10× → 100×)",
+        f"# SCALE — measured wall-time slope ({arrow_title})",
         "",
         "Datasets from `tools/gen_scale.py` (events ×K users at",
         "constant per-user density; documents ×K with seeded word",
-        "shuffle; embeddings ×K isometric replicas). Timing: min of",
-        f"{RUNS} isolated passes per point (single pass at 100×),",
+        "shuffle; embeddings ×K isometric replicas; documents and",
+        "embeddings written in 20k-row groups since round 8 so scans",
+        "parallelize like a real multi-file corpus — the earlier",
+        "single-row-group files made every documents/embeddings scan",
+        "a one-task stage, an artifact, not a workload). Timing: min",
+        f"of {RUNS} isolated passes per point (single pass at 100×),",
         "Python workers pre-warmed, cache cleared between passes —",
         "the bench.py methodology.",
         "",
@@ -172,21 +208,18 @@ def main(filters) -> None:
         "short queries well below K×. Anything ≫K× would flag a",
         "superlinear join — none observed.",
         "",
-        "| query | sf0.1 (s) | 10× (s) | ratio | 100× (s) | ratio |"
-        if have_sf10
-        else "| query | sf0.1 (s) | 10× (s) | ratio |",
-        "|---|---|---|---|---|---|" if have_sf10 else "|---|---|---|---|",
+        "| query | sf0.1 (s) | "
+        + " | ".join(f"{f}× (s) | ratio" for _l, f in col_scales)
+        + " |",
+        "|---|---|" + "---|---|" * len(col_scales),
     ]
     for name, r in sorted(
         results.items(), key=lambda kv: -(kv[1].get("sf1_ratio") or 0)
     ):
-        row = (
-            f"| {name} | {r['sf0.1_sec']:.2f} | {r.get('sf1_sec', float('nan')):.2f} "
-            f"| ×{r.get('sf1_ratio', float('nan')):.2f} |"
-        )
-        if have_sf10:
-            if "sf10_sec" in r:
-                row += f" {r['sf10_sec']:.2f} | ×{r['sf10_ratio']:.2f} |"
+        row = f"| {name} | {r['sf0.1_sec']:.2f} |"
+        for label, _f in col_scales:
+            if f"{label}_sec" in r:
+                row += f" {r[f'{label}_sec']:.2f} | ×{r[f'{label}_ratio']:.2f} |"
             else:
                 row += " — | — |"
         lines.append(row)
@@ -200,7 +233,12 @@ def main(filters) -> None:
         "bucket cap), which bound per-bucket candidate work as the",
         "corpus grows dirtier; `embedding_near_dup_pairs`/`_clusters`",
         "carry the round-8 port of the same guards (exact-embedding",
-        "collapse + 4×8-bit SRP tables + per-bucket cap). Kernel-bound",
+        "collapse + 4×8-bit SRP tables + per-bucket cap); the shingle",
+        "stage hashes PRE-CLEANED text projected as a real column",
+        "(cleaning inline inside the transform lambda re-ran the regex",
+        "once per shingle — 3.9× the stage wall, fixed round 8).",
+        "`ann_topk_lsh` serves from its cached on-disk layout like",
+        "IVF (round 8). Kernel-bound",
         "queries (delivery_*,",
         "best_latlng) drop well below K× at 100× because 100× more",
         "users finally saturate all 32 cores.",
@@ -214,6 +252,11 @@ def main(filters) -> None:
         tail += (
             f" — **100×: geomean ×{summary.get('geomean_ratio_sf10')}, "
             f"worst ×{summary.get('worst_ratio_sf10')}** (all heavy queries, single pass)"
+        )
+    if summary.get("geomean_ratio_sf100") is not None:
+        tail += (
+            f" — **1000×: geomean ×{summary.get('geomean_ratio_sf100')}, "
+            f"worst ×{summary.get('worst_ratio_sf100')}** (corpus family, single pass)"
         )
     lines += [tail + ".", ""]
     with open(os.path.join(ROOT, "SCALE.md"), "w") as f:
