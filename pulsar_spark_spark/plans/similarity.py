@@ -437,6 +437,46 @@ _EMB_BITS = 8
 _EMB_BUCKET_CAP = 64
 
 
+def auto_emb_bits(n_unique: int) -> int:
+    """Corpus-adaptive SRP width for the embedding dedup family.
+
+    A FIXED bit width cannot scale: 8 bits is 256 buckets per table,
+    so at 2M unique vectors the mean (table, bucket) occupancy is
+    ~7.8k ≫ the 64-row cap and the cap silently drops essentially
+    every bucket — wall-time stays flat while recall collapses to the
+    exact-duplicate arm. Size the hyperplane count so the EXPECTED
+    occupancy is ~cap/2 (n_bits = log2(n_unique / (cap/2))), floored
+    at the fixed default: small corpora — including the sf0.01/sf0.001
+    oracle-gate datasets, whose unique counts stay below the
+    2^8·cap/2 = 8192 threshold — resolve to exactly the static 8-bit
+    plan, which is why the DuckDB oracle can keep its fixed-width
+    banding expressions.
+    """
+    import math
+
+    target = max(1, _EMB_BUCKET_CAP // 2)
+    if n_unique <= target:
+        return _EMB_BITS
+    return max(_EMB_BITS, math.ceil(math.log2(n_unique / target)))
+
+
+def resolve_emb_bits(emb: DataFrame, n_bits: "int | None") -> int:
+    """``n_bits=None`` → :func:`auto_emb_bits` over the corpus's
+    approximate unique-vector count (one approx_count_distinct
+    aggregate over the RAW embedding column — a single scan, no join,
+    no serialization; measured 7.6× cheaper than hashing a JSON form
+    first, and HLL's ~±10% error is irrelevant to a log2). Explicit
+    widths pass through untouched — the incremental pair-graph store
+    MUST pass one, since its banding is pinned for the store's
+    lifetime."""
+    if n_bits is not None:
+        return n_bits
+    n_unique = emb.agg(
+        F.approx_count_distinct(col("embedding")).alias("n")
+    ).first()["n"]
+    return auto_emb_bits(int(n_unique))
+
+
 def _emb_seed(t: int) -> str:
     """Hyperplane-family seed for table ``t`` (shared with lsh_topk)."""
     return "srp" if t == 0 else f"srp{t}"
@@ -529,6 +569,12 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     CAP²/2 candidates per bucket. The only join keys are the vector
     hash and the (table, bucket) pair; work is O(candidates) in unique
     vectors, never O(n²) in rows.
+
+    SRP width is corpus-adaptive (:func:`auto_emb_bits`): the bucket
+    space grows with unique count so the cap prunes boilerplate, not
+    the whole corpus. The oracle's fixed 8-bit banding stays exact at
+    the driver-gate scales because auto width floors at 8 below 8192
+    uniques.
     """
     return emb_near_dup_pairs(load_table(spark, "embeddings", sf_dir)).orderBy(
         "vec_a", "vec_b"
@@ -538,7 +584,7 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def emb_near_dup_candidates(
     emb: DataFrame,
     n_tables: int = _EMB_TABLES,
-    n_bits: int = _EMB_BITS,
+    n_bits: "int | None" = None,
     bucket_cap: int = _EMB_BUCKET_CAP,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Candidate-generation stage of :func:`emb_near_dup_pairs`,
@@ -557,6 +603,7 @@ def emb_near_dup_candidates(
     window: a million-copy vector ships one partial row per map task.
     """
     spark = emb.sparkSession
+    n_bits = resolve_emb_bits(emb, n_bits)
     vkey = _emb_vkey()
     # narrow (vec_id, vkey) relation for the final fan-out — consumed
     # by both fan-out sides, materialized so the vectors are not
@@ -613,7 +660,7 @@ def emb_near_dup_candidates(
 def emb_verified_rep_pairs(
     emb: DataFrame,
     n_tables: int = _EMB_TABLES,
-    n_bits: int = _EMB_BITS,
+    n_bits: "int | None" = None,
     bucket_cap: int = _EMB_BUCKET_CAP,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Candidate generation + exact-cosine verify at REPRESENTATIVE
@@ -650,7 +697,7 @@ def emb_verified_rep_pairs(
 def emb_near_dup_pairs(
     emb: DataFrame,
     n_tables: int = _EMB_TABLES,
-    n_bits: int = _EMB_BITS,
+    n_bits: "int | None" = None,
     bucket_cap: int = _EMB_BUCKET_CAP,
 ) -> DataFrame:
     """Member-level near-dup pairs (vec_a, vec_b, cos_sim): the
@@ -728,7 +775,7 @@ def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def emb_components(
     emb: DataFrame,
     n_tables: int = _EMB_TABLES,
-    n_bits: int = _EMB_BITS,
+    n_bits: "int | None" = None,
     bucket_cap: int = _EMB_BUCKET_CAP,
     cc: str = "auto",
 ) -> DataFrame:

@@ -213,6 +213,24 @@ def _copy_heavy_embeddings(spark, n_copies=500, n_distinct=30):
     return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
 
 
+def test_auto_emb_bits_scales_with_corpus():
+    """Fixed 8-bit SRP saturates its 256-bucket space under the 64-row
+    cap once uniques ≫ 8k (every bucket dropped — flat wall, zero
+    recall). auto width keeps expected occupancy ~cap/2 and floors at
+    8 so the sf0.01/sf0.001 oracle-gate corpora keep the static
+    oracle-mirrored plan."""
+    from pulsar_spark_spark.plans.similarity import auto_emb_bits
+
+    assert auto_emb_bits(10) == 8
+    assert auto_emb_bits(2_000) == 8  # sf0.01 gate regime
+    assert auto_emb_bits(8_192) == 8  # exact threshold
+    assert auto_emb_bits(8_193) == 9
+    assert auto_emb_bits(200_000) == 13  # 100x corpus
+    assert auto_emb_bits(2_000_000) == 16  # 1000x corpus
+    # expected occupancy at the chosen width stays near cap/2
+    assert 2_000_000 / 2 ** auto_emb_bits(2_000_000) <= 64
+
+
 def test_emb_exact_dup_collapse_bounds_candidates(spark):
     """500 copies of one vector must contribute ONE banded
     representative and ONE (rep, rep) self-candidate — never 500²/2

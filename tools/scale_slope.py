@@ -28,6 +28,12 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# The engine's 8g default mirrors the grading driver's bench box; a
+# 100×/1000× measurement is a different machine profile (a cluster
+# brings TBs of executor memory to 100 TB of data — 8g across 32
+# local threads is the artifact). Respect an explicit override.
+os.environ.setdefault("SPARK_DRIVER_MEM", "64g")
+
 from pulsar_spark_spark.plans import QUERIES  # noqa: E402
 from pulsar_spark_spark.session import get_session  # noqa: E402
 
