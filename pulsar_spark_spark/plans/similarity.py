@@ -974,14 +974,47 @@ def _ensure_index(
     return index_dir
 
 
+def auto_ivf_centroids(n_rows: int) -> int:
+    """sqrt-rule coarse-quantizer size: cells of ~8·√(n/8) rows keep
+    the per-probe rerank sublinear (probe cost ≈ n_probe·n/c → ~√n)
+    instead of the fixed-c linear n/16. Floors at the static default —
+    the oracle-gate corpora (sf0.01: 2000 rows → √250 ≈ 16) resolve to
+    exactly the 16-centroid assignment the DuckDB oracle mirrors."""
+    import math
+
+    return max(_N_CENTROIDS, round(math.sqrt(n_rows / 8)))
+
+
+def auto_lsh_bits(n_rows: int, n_tables: int = _LSH_TABLES) -> int:
+    """Serving-LSH bucket width targeting ~2000 rerank candidates per
+    query: bits = log2(n_tables·n / 2000), floored at the static
+    default so the oracle-gate corpora keep the 4-bit plan the oracle
+    mirrors. Wider buckets trade recall for candidate budget — the
+    published SRP-LSH trade; the 0.96 recall floor is MEASURED at the
+    gate scale (tests), and corpora that need scale-constant recall
+    buy it with more tables (linear cost), not narrower buckets."""
+    import math
+
+    return max(_LSH_BITS, math.ceil(math.log2(max(1, n_tables * n_rows / 2000))))
+
+
 def ensure_ivf_index(
     spark: SparkSession,
     sf_dir: str,
-    n_centroids: int = _N_CENTROIDS,
+    n_centroids: "int | None" = None,
     index_root: str | None = None,
 ) -> str:
     """Build-once cache of the :func:`build_ivf_index` disk layout
-    (see :func:`_ensure_index` for the fingerprint/staging contract)."""
+    (see :func:`_ensure_index` for the fingerprint/staging contract).
+
+    ``n_centroids=None`` (the registered query's path) sizes the
+    quantizer from the corpus row count (:func:`auto_ivf_centroids`);
+    the resolved value is baked into the cache key and meta, so probes
+    and rebuild checks always see the concrete number."""
+    if n_centroids is None:
+        n_centroids = auto_ivf_centroids(
+            load_table(spark, "embeddings", sf_dir).count()
+        )
     return _ensure_index(
         f"ivf_c{n_centroids}",
         sf_dir,
@@ -997,13 +1030,22 @@ def ensure_lsh_index(
     spark: SparkSession,
     sf_dir: str,
     n_tables: int = _LSH_TABLES,
-    n_bits: int = _LSH_BITS,
+    n_bits: "int | None" = None,
     index_root: str | None = None,
 ) -> str:
     """Build-once cache of the :func:`build_lsh_index` disk layout —
     the round-8 symmetric move to round 7's IVF serving shape, so the
     registered ``ann_topk_lsh`` stops re-banding the corpus per run
-    (same fingerprint/staging contract as :func:`_ensure_index`)."""
+    (same fingerprint/staging contract as :func:`_ensure_index`).
+
+    ``n_bits=None`` (the registered query's path) sizes the bucket
+    width from the corpus row count (:func:`auto_lsh_bits`); probes
+    read the resolved width from the index meta, so build and probe
+    can never disagree."""
+    if n_bits is None:
+        n_bits = auto_lsh_bits(
+            load_table(spark, "embeddings", sf_dir).count(), n_tables
+        )
     return _ensure_index(
         f"lsh_t{n_tables}b{n_bits}",
         sf_dir,

@@ -213,6 +213,26 @@ def _copy_heavy_embeddings(spark, n_copies=500, n_distinct=30):
     return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
 
 
+def test_auto_index_sizing_floors_at_gate_scale():
+    """ANN index sizing must grow with the corpus (fixed 16 centroids
+    / 4 bits are linear-probe shapes at 100 TB) while resolving to
+    exactly the oracle-mirrored static config at the driver-gate
+    corpus sizes."""
+    from pulsar_spark_spark.plans.similarity import (
+        auto_ivf_centroids,
+        auto_lsh_bits,
+    )
+
+    assert auto_ivf_centroids(200) == 16  # sf0.001
+    assert auto_ivf_centroids(2_000) == 16  # sf0.01 — oracle regime
+    assert auto_ivf_centroids(20_000) == 50
+    assert auto_ivf_centroids(2_000_000) == 500
+    assert auto_lsh_bits(200) == 4
+    assert auto_lsh_bits(2_000) == 4  # sf0.01 — oracle regime
+    assert auto_lsh_bits(20_000) == 6
+    assert auto_lsh_bits(2_000_000) == 12
+
+
 def test_auto_emb_bits_scales_with_corpus():
     """Fixed 8-bit SRP saturates its 256-bucket space under the 64-row
     cap once uniques ≫ 8k (every bucket dropped — flat wall, zero
