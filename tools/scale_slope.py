@@ -28,11 +28,14 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-# The engine's 8g default mirrors the grading driver's bench box; a
-# 100×/1000× measurement is a different machine profile (a cluster
-# brings TBs of executor memory to 100 TB of data — 8g across 32
-# local threads is the artifact). Respect an explicit override.
-os.environ.setdefault("SPARK_DRIVER_MEM", "64g")
+# The engine's 8g default OOMs on execution memory at the 1000×
+# point, but BIGGER IS NOT BETTER: localCheckpoint blocks are
+# MEMORY_AND_DISK *deserialized*, so a large unified pool hoards huge
+# scratch relations on-heap and GC-thrashes — winnow@100× measured
+# 6.3s/6.8s/12.4s/33.7s at 8g/16g/32g/64g (min-of-2 each, same box).
+# 16g keeps the early-spill-to-disk behavior with OOM headroom.
+# Respect an explicit override.
+os.environ.setdefault("SPARK_DRIVER_MEM", "16g")
 
 from pulsar_spark_spark.plans import QUERIES  # noqa: E402
 from pulsar_spark_spark.session import get_session  # noqa: E402
