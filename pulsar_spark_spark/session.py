@@ -21,7 +21,14 @@ import os
 from pyspark.sql import SparkSession
 
 # At 100 TB with 1000 executors you'd run 2000-4000 shuffle partitions
-# (AQE coalesces down); locally we match the driver harness core count.
+# (set spark.sql.shuffle.partitions + AQE initialPartitionNum there and
+# let coalescing size stages by bytes — tools/scale_slope.py does
+# exactly this for the 1000× point, where cores-many partitions pack
+# ~10⁷ rows into one aggregate task and exhaust execution memory);
+# locally we match the driver harness core count — measured 42% FASTER
+# at sf0.1 than a wide initialPartitionNum (73.3 s vs 51.6 s total
+# bench), because toy-scale shuffles pay per-task overhead, not
+# per-byte. The knob is get_session(extra_conf=...), not a fork.
 _DEFAULT_LOCAL_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 

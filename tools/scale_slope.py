@@ -125,7 +125,18 @@ def main(filters) -> None:
     names = [
         n for n in HEAVY if not filters or any(f in n for f in filters)
     ]
-    spark = get_session()
+    # The cluster-profile shuffle config for the big scale points:
+    # start shuffles wide and let AQE coalesce by bytes. At cores-many
+    # initial partitions a 1000× aggregate packs ~10⁷ rows into one
+    # task's hash map and exhausts execution memory (measured OOM);
+    # at sf0.1 the same wide setting costs 42% total bench wall
+    # (per-task overhead), which is why it lives HERE and not in the
+    # engine session defaults — a real deployment sets it per profile.
+    spark = get_session(
+        extra_conf={
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum": "256"
+        }
+    )
     from bench import _warm_python_workers
 
     _warm_python_workers(spark)
@@ -208,9 +219,15 @@ def main(filters) -> None:
         "parallelize like a real multi-file corpus — the earlier",
         "single-row-group files made every documents/embeddings scan",
         "a one-task stage, an artifact, not a workload). Timing: min",
-        f"of {RUNS} isolated passes per point (single pass at 100×),",
-        "Python workers pre-warmed, cache cleared between passes —",
-        "the bench.py methodology.",
+        f"of {RUNS} isolated passes per point (single pass at",
+        "100×/1000×), Python workers pre-warmed, cache cleared",
+        "between passes — the bench.py methodology, but under the",
+        "CLUSTER shuffle profile (AQE initialPartitionNum 256 so",
+        "stages size by bytes, 16g heap): cores-many partitions pack",
+        "~10⁷ rows into one aggregate task at 1000× and OOM, while",
+        "the toy-scale bench.py keeps the narrow local profile (42%",
+        "faster at sf0.1, where per-task overhead dominates). One",
+        "profile per table — ratios compare like with like.",
         "",
         "With K× rows, linear-work queries should land ≤K×; fixed",
         "per-query overhead (~0.3–0.5 s planning + task launch) pulls",
