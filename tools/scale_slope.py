@@ -132,14 +132,17 @@ def main(filters) -> None:
     # at sf0.1 the same wide setting costs 42% total bench wall
     # (per-task overhead), which is why it lives HERE and not in the
     # engine session defaults — a real deployment sets it per profile.
-    spark = get_session(
-        extra_conf={
-            "spark.sql.adaptive.coalescePartitions.initialPartitionNum": "256"
-        }
-    )
+    def cluster_session():
+        return get_session(
+            extra_conf={
+                "spark.sql.adaptive.coalescePartitions.initialPartitionNum": (
+                    "256"
+                )
+            }
+        )
+
     from bench import _warm_python_workers
 
-    _warm_python_workers(spark)
     # A filtered run MERGES into the existing sidecar (re-measuring
     # only the named queries) so SCALE.md never loses its other rows.
     results: dict = {}
@@ -149,6 +152,15 @@ def main(filters) -> None:
             results = json.load(f).get("queries", {})
         results = {n: r for n, r in results.items() if n in HEAVY}
     for name in names:
+        # Fresh session PER QUERY: a long-lived session accumulates
+        # localCheckpoint blocks and AQE/listener state across the
+        # suite — measured as a hard JVM heap OOM at a 1000× point
+        # that the same query passed comfortably in a fresh session.
+        # Per-query isolation also removes cross-query cache effects
+        # from the numbers; ~10 s restart + worker re-warm per query
+        # is outside every timed region.
+        spark = cluster_session()
+        _warm_python_workers(spark)
         t_base = _time_query(spark, name, BASE[1], RUNS)
         rec = {f"{BASE[0]}_sec": round(t_base, 3)}
         for label, sf_dir, factor in scales:
@@ -168,6 +180,7 @@ def main(filters) -> None:
                     f"-> {rec[f'{label}_sec']:8.2f}s (x{rec[f'{label}_ratio']:.2f})"
                 )
         print(" ".join(parts))
+        spark.stop()
 
     summary: dict = {
         "scales": (
