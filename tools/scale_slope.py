@@ -32,10 +32,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # point, but BIGGER IS NOT BETTER: localCheckpoint blocks are
 # MEMORY_AND_DISK *deserialized*, so a large unified pool hoards huge
 # scratch relations on-heap and GC-thrashes — winnow@100× measured
-# 6.3s/6.8s/12.4s/33.7s at 8g/16g/32g/64g (min-of-2 each, same box).
-# 16g keeps the early-spill-to-disk behavior with OOM headroom.
-# Respect an explicit override.
-os.environ.setdefault("SPARK_DRIVER_MEM", "16g")
+# 6.3s/6.8s/8.7s/12.4s/33.7s at 8g/16g/24g/32g/64g (min-of-2 each,
+# same box). 16g still heap-OOMs doc_ngram_jaccard at 1000× under the
+# wide shuffle profile; 24g is the smallest tested size that clears
+# the whole suite. Respect an explicit override.
+os.environ.setdefault("SPARK_DRIVER_MEM", "24g")
 
 from pulsar_spark_spark.plans import QUERIES  # noqa: E402
 from pulsar_spark_spark.session import get_session  # noqa: E402
