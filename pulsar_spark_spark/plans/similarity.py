@@ -1049,7 +1049,13 @@ def ensure_lsh_index(
     return _ensure_index(
         f"lsh_t{n_tables}b{n_bits}",
         sf_dir,
-        {"n_tables": n_tables, "n_bits": n_bits},
+        # part_bits in the fingerprint: pre-prefix-layout caches (full
+        # bucket as the partition dir) must rebuild, not be probed
+        {
+            "n_tables": n_tables,
+            "n_bits": n_bits,
+            "part_bits": min(n_bits, _LSH_PART_BITS),
+        },
         lambda tmp: build_lsh_index(
             load_table(spark, "embeddings", sf_dir), tmp, n_tables, n_bits
         ),
@@ -1232,6 +1238,17 @@ def ivf_topk(
 # SRP-LSH on-disk serving layout (round 7) — the second index shape,
 # complementary to the IVF one: oblivious hashing vs adaptive cells
 # ---------------------------------------------------------------------
+# Partition-directory key = first ≤6 bucket bits. Partitioning on the
+# FULL bucket is a small-files catastrophe once widths adapt to the
+# corpus: at 12 bits, 4 tables × 4096 buckets × 32 writer tasks tried
+# to create ~half a million files (the build ran 20+ minutes before
+# being killed, and the rm of its staging dir alone took minutes).
+# Directories give coarse pruning (≤64 per table); the full bucket
+# stays as a DATA column, sorted within each directory so parquet
+# min/max row-group stats prune the rest of the way.
+_LSH_PART_BITS = 6
+
+
 def build_lsh_index(
     emb: DataFrame,
     index_dir: str,
@@ -1239,44 +1256,59 @@ def build_lsh_index(
     n_bits: int = _LSH_BITS,
 ) -> None:
     """Materialize the multi-table SRP-LSH corpus as a DISK LAYOUT:
-    one directory per (table, bucket) — ``tbl=<j>/bucket=b<bits>/`` —
-    with the embedding stored alongside, plus an ``_LSH.json`` knob
-    record. A probe then reads ONLY its (n_bits+1)·n_tables probe
-    directories per query via partition pruning, ~(n_bits+1)/2^n_bits
-    of the corpus bytes — the same write-once-serve-many contract as
-    :func:`build_ivf_index`. The 'b' prefix on the bucket value stops
-    partition-value inference from coercing bit strings like '0011'
-    to integers on read-back.
+    one directory per (table, bucket-prefix) — ``tbl=<j>/bprefix=b<≤6
+    bits>/`` — with the full bucket sorted inside each directory's
+    files and the embedding stored alongside, plus an ``_LSH.json``
+    knob record. A probe reads ONLY its probe directories via
+    partition pruning, then its exact buckets via row-group stats —
+    the same write-once-serve-many contract as :func:`build_ivf_index`
+    (see ``_LSH_PART_BITS`` for why the directory key is capped). The
+    'b' prefix on the partition value stops partition-value inference
+    from coercing bit strings like '0011' to integers on read-back.
     """
     import json
     import os
 
+    part_bits = min(n_bits, _LSH_PART_BITS)
     tables = [
         (j, sign_bucket("embedding", n_bits, seed="srp" if j == 0 else f"srp{j}"))
         for j in range(n_tables)
     ]
-    emb_b = emb.select(
-        "vec_id",
-        "embedding",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(j).alias("tbl"), b.alias("bucket"))
-                    for j, b in tables
-                ]
-            )
-        ).alias("tb"),
-    ).select(
-        "vec_id",
-        "embedding",
-        col("tb.tbl").alias("tbl"),
-        F.concat(F.lit("b"), col("tb.bucket")).alias("bucket"),
+    emb_b = (
+        emb.select(
+            "vec_id",
+            "embedding",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(j).alias("tbl"), b.alias("bucket"))
+                        for j, b in tables
+                    ]
+                )
+            ).alias("tb"),
+        )
+        .select(
+            "vec_id",
+            "embedding",
+            col("tb.tbl").alias("tbl"),
+            col("tb.bucket").alias("bucket"),
+            F.concat(
+                F.lit("b"), F.substring(col("tb.bucket"), 1, part_bits)
+            ).alias("bprefix"),
+        )
+        # one writer task per output directory, buckets sorted within
+        # it → one file per directory with prunable row groups
+        .repartition(col("tbl"), col("bprefix"))
+        .sortWithinPartitions("bucket")
     )
-    emb_b.write.mode("overwrite").partitionBy("tbl", "bucket").parquet(
+    emb_b.write.mode("overwrite").partitionBy("tbl", "bprefix").parquet(
         f"{index_dir}/corpus"
     )
     with open(os.path.join(index_dir, "_LSH.json"), "w") as fh:
-        json.dump({"n_tables": n_tables, "n_bits": n_bits}, fh)
+        json.dump(
+            {"n_tables": n_tables, "n_bits": n_bits, "part_bits": part_bits},
+            fh,
+        )
 
 
 def lsh_probe_index(
@@ -1303,6 +1335,7 @@ def lsh_probe_index(
     with open(os.path.join(index_dir, "_LSH.json")) as fh:
         knobs = json.load(fh)
     n_tables, n_bits = knobs["n_tables"], knobs["n_bits"]
+    part_bits = knobs["part_bits"]
     tables = [
         (j, sign_bucket("q_emb", n_bits, seed="srp" if j == 0 else f"srp{j}"))
         for j in range(n_tables)
@@ -1327,12 +1360,17 @@ def lsh_probe_index(
             *[_flip_bit(col("bucket"), i, n_bits) for i in range(n_bits)],
         )
         q = q.withColumn("bucket", F.explode(probes_arr))
-    q = q.withColumn("bucket", F.concat(F.lit("b"), col("bucket")))
+    q = q.withColumn(
+        "bprefix", F.concat(F.lit("b"), F.substring(col("bucket"), 1, part_bits))
+    )
     # the probe set is |queries|·n_tables·(n_bits+1) rows by
     # construction — collecting it is what turns the serve into a
-    # partition-pruned scan (manual DPP, same idiom as the IVF probe)
-    probe_rows = q.select("tbl", "bucket").distinct().collect()
-    probe_cells = {(r["tbl"], r["bucket"]) for r in probe_rows}
+    # partition-pruned scan (manual DPP, same idiom as the IVF probe).
+    # Directory pruning is by (tbl, bprefix); the exact-bucket filter
+    # rides the join below and parquet row-group stats (buckets are
+    # sorted within each directory's file at build).
+    probe_rows = q.select("tbl", "bprefix", "bucket").distinct().collect()
+    probe_cells = {(r["tbl"], r["bprefix"]) for r in probe_rows}
     if not probe_cells:
         # empty query set: a legitimate serving-path input — return an
         # empty result with the contract schema instead of building a
@@ -1343,10 +1381,16 @@ def lsh_probe_index(
         )
     cond = None
     for t in sorted({t for t, _ in probe_cells}):
-        buckets = sorted(b for tt, b in probe_cells if tt == t)
-        leg = (col("tbl") == t) & col("bucket").isin(buckets)
+        prefixes = sorted(b for tt, b in probe_cells if tt == t)
+        leg = (col("tbl") == t) & col("bprefix").isin(prefixes)
         cond = leg if cond is None else (cond | leg)
-    corpus = spark.read.parquet(f"{index_dir}/corpus").filter(cond)
+    exact_buckets = sorted({r["bucket"] for r in probe_rows})
+    corpus = (
+        spark.read.parquet(f"{index_dir}/corpus")
+        .filter(cond)
+        # pushed to the scan → row-group min/max pruning within dirs
+        .filter(col("bucket").isin(exact_buckets))
+    )
     cand = (
         corpus.join(
             broadcast(q.select("query_id", "tbl", "bucket")),

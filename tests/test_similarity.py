@@ -191,7 +191,14 @@ def test_lsh_probe_index_matches_in_memory(spark, tmp_path, emb):
     plan = buf.getvalue()
     assert "PartitionFilters" in plan
     seg = plan.split("PartitionFilters", 1)[1][:300]
-    assert "bucket" in seg, seg
+    # directory pruning is on the capped-width bucket PREFIX since the
+    # adaptive-width layout fix (full-bucket dirs were a small-files
+    # catastrophe at 12 bits); the exact bucket filter rides the scan's
+    # data filters + row-group stats
+    assert "bprefix" in seg, seg
+    assert "PushedFilters" in plan and "bucket" in plan.split(
+        "PushedFilters", 1
+    )[1][:300], plan.split("PushedFilters", 1)[-1][:300]
 
 
 # ---------------------------------------------------------------------
