@@ -659,38 +659,40 @@ def main() -> None:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     knob_notes = {
         "ann_topk_lsh": (
-            "4 SRP tables + Hamming-1 multiprobe, recall 0.96, "
-            "oracle-exact (ladder gated in tests/test_similarity.py: "
-            "plain 0.10, +multiprobe 0.50, +4 tables 0.96). Round 8: "
-            "SERVED from the cached on-disk (tbl, bucket) layout "
-            "like IVF -- this row is probe cost. The probe path "
-            "costs ~1s more than in-memory banding at sf0.1 (probe "
-            "collect + pruned-scan plan overhead) and wins 10x at "
-            "100x data: slope x23.9 -> x1.41 (SCALE.md)."
+            "4 SRP tables + Hamming-1 multiprobe, recall 0.96 at the "
+            "gate config, oracle-exact (ladder gated in "
+            "tests/test_similarity.py). Round 8: SERVED from the "
+            "cached on-disk layout (dirs keyed on a <=6-bit bucket "
+            "prefix, exact buckets via row-group stats) with "
+            "CORPUS-ADAPTIVE width (auto_lsh_bits, floored at the "
+            "4-bit oracle config) -- this row is probe cost; slope "
+            "x2.12 at 1000x data (SCALE.md)."
         ),
         "ann_topk_ivf": (
-            "nprobe=2 over 16 cells (recall 0.90); "
-            "nprobe=1 -> 0.88, nprobe=4 -> 0.92, gated in "
-            "tests/test_similarity.py. Round 7: the registered "
-            "query probes the CACHED on-disk index "
-            "(ensure_ivf_index; fingerprint-invalidated), so this "
-            "row is probe cost -- the build is offline/amortized."
+            "nprobe=2; 16 cells at the gate scale (recall 0.90, "
+            "gated in tests/test_similarity.py), sqrt-rule ADAPTIVE "
+            "cell count beyond it (auto_ivf_centroids). Round 7+: "
+            "probes the CACHED on-disk index (fingerprint-"
+            "invalidated) -- this row is probe cost; slope x1.97 at "
+            "1000x data (SCALE.md)."
         ),
         "media_feature_extract": (
             "fused feature+resize single Arrow pass (round "
             "5) - absorbs the former media_resize query."
         ),
         "embedding_near_dup_pairs": (
-            "first benched round 8, WITH the guard stack (exact-"
-            "embedding collapse, 4 SRP tables x 8 bits with a "
-            "64-per-bucket cap, member fan-out) -- ~3.5x fewer "
-            "candidates than the old single 4-bit table at sf0.1 "
-            "and near-flat 100x slope (SCALE.md)."
+            "guard stack (exact-embedding collapse, 4 SRP tables "
+            "with a 64-per-bucket cap, member fan-out) plus round-8 "
+            "corpus-adaptive width (auto_emb_bits: occupancy ~cap/2, "
+            "floored at the 8-bit oracle config; resolve memoized "
+            "per fileset) -- slope x7.4 at 1000x data (SCALE.md)."
         ),
         "embedding_dedup_clusters": (
             "connected components at REPRESENTATIVE level over the "
             "guarded pair graph (one node per unique embedding), "
-            "member attach in the final aggregation."
+            "member attach in the final aggregation; cc='auto' "
+            "(round 8) probes min-label then falls back to the "
+            "log-diameter star walk past an 8-round budget."
         ),
         "doc_curation": (
             "round-8 merge: decontamination + stratified sample as "
