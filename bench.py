@@ -659,14 +659,15 @@ def main() -> None:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     knob_notes = {
         "ann_topk_lsh": (
-            "4 SRP tables + Hamming-1 multiprobe, recall 0.96 at the "
-            "gate config, oracle-exact (ladder gated in "
-            "tests/test_similarity.py). Round 8: SERVED from the "
-            "cached on-disk layout (dirs keyed on a <=6-bit bucket "
-            "prefix, exact buckets via row-group stats) with "
-            "CORPUS-ADAPTIVE width (auto_lsh_bits, floored at the "
-            "4-bit oracle config) -- this row is probe cost; slope "
-            "x2.12 at 1000x data (SCALE.md)."
+            "4 SRP tables, recall 0.96 at the gate config, "
+            "oracle-exact (ladder gated in tests/test_similarity.py). "
+            "Round 8: SERVED from the cached on-disk layout (dirs "
+            "keyed on a <=6-bit bucket prefix, exact buckets via "
+            "row-group stats) with CORPUS-ADAPTIVE width "
+            "(auto_lsh_bits, floored at the 4-bit oracle config) and "
+            "Hamming-2 multiprobe at adaptive widths -- measured "
+            "recall 0.96/1.00/0.80/1.00 at gate/10x/100x/1000x; this "
+            "row is probe cost."
         ),
         "ann_topk_ivf": (
             "nprobe=2; 16 cells at the gate scale (recall 0.90, "

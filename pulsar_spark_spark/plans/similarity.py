@@ -299,6 +299,41 @@ def _flip_bit(bucket: Column, i: int, n_bits: int) -> Column:
     return F.concat(*parts)
 
 
+def _flip_bits2(bucket: Column, i: int, j: int, n_bits: int) -> Column:
+    """Bucket key with bits i < j both flipped."""
+    return _flip_bit(_flip_bit(bucket, i, n_bits), j, n_bits)
+
+
+def _multiprobe_radius(n_bits: int) -> int:
+    """Multiprobe Hamming radius for a given bucket width.
+
+    Per-bit flip probability for a cosine-θ pair is θ/π, so the
+    expected flip count grows LINEARLY with width — Hamming-1 probing
+    that gives recall 0.96 at the 4-bit oracle config decays to 0.42
+    by 9 adaptive bits (measured at 100× data; radius 2 restores
+    0.80 there and 0.95 at the 6-bit 10× width). Radius 2 keeps the
+    envelope while the scanned fraction keeps shrinking: probes/table
+    grows ~bits²/2 but buckets grow 2^bits. The static oracle config
+    (= the 4-bit floor) keeps radius 1, which is what the DuckDB
+    oracle mirrors; every adaptive width beyond it probes radius 2.
+    """
+    return 2 if n_bits > _LSH_BITS else 1
+
+
+def _probe_buckets(bucket: Column, n_bits: int) -> Column:
+    """Array of multiprobe bucket keys: the bucket itself, all
+    Hamming-1 flips, and — at adaptive widths (see
+    :func:`_multiprobe_radius`) — all Hamming-2 flips."""
+    probes = [bucket, *[_flip_bit(bucket, i, n_bits) for i in range(n_bits)]]
+    if _multiprobe_radius(n_bits) >= 2:
+        probes += [
+            _flip_bits2(bucket, i, j, n_bits)
+            for i in range(n_bits)
+            for j in range(i + 1, n_bits)
+        ]
+    return F.array(*probes)
+
+
 def lsh_topk(
     emb: DataFrame,
     n_queries: int = _N_QUERIES,
@@ -365,11 +400,9 @@ def lsh_topk(
         col("bucket").alias("q_bucket"),
     )
     if multiprobe:
-        probes = F.array(
-            col("q_bucket"),
-            *[_flip_bit(col("q_bucket"), i, n_bits) for i in range(n_bits)],
+        q = q.withColumn(
+            "q_bucket", F.explode(_probe_buckets(col("q_bucket"), n_bits))
         )
-        q = q.withColumn("q_bucket", F.explode(probes))
     # candidate pairs, deduped across tables/probes BEFORE scoring so
     # each surviving pair pays the cosine exactly once
     cand = (
@@ -1368,11 +1401,9 @@ def lsh_probe_index(
         "query_id", "q_emb", col("tb.tbl").alias("tbl"), col("tb.bucket").alias("bucket")
     )
     if multiprobe:
-        probes_arr = F.array(
-            col("bucket"),
-            *[_flip_bit(col("bucket"), i, n_bits) for i in range(n_bits)],
+        q = q.withColumn(
+            "bucket", F.explode(_probe_buckets(col("bucket"), n_bits))
         )
-        q = q.withColumn("bucket", F.explode(probes_arr))
     q = q.withColumn(
         "bprefix", F.concat(F.lit("b"), F.substring(col("bucket"), 1, part_bits))
     )

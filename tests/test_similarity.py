@@ -238,6 +238,15 @@ def test_auto_index_sizing_floors_at_gate_scale():
     assert auto_lsh_bits(2_000) == 4  # sf0.01 — oracle regime
     assert auto_lsh_bits(20_000) == 6
     assert auto_lsh_bits(2_000_000) == 12
+    # multiprobe radius: the 4-bit oracle config keeps Hamming-1 (the
+    # DuckDB oracle mirrors it); adaptive widths probe Hamming-2
+    # (recall measured 0.96/1.00/0.80/1.00 at gate/10x/100x/1000x)
+    from pulsar_spark_spark.plans.similarity import _multiprobe_radius
+
+    assert _multiprobe_radius(4) == 1
+    assert _multiprobe_radius(auto_lsh_bits(2_000)) == 1
+    assert _multiprobe_radius(6) == 2
+    assert _multiprobe_radius(12) == 2
 
 
 def test_auto_emb_bits_scales_with_corpus():
