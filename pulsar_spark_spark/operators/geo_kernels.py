@@ -224,8 +224,14 @@ def trimmed_centroid(
     centroid: tuple[float, float] | None = None
     while len(pts) > 3:
         m = len(pts)
-        c_lat = float(np.sum(np.fromiter((p[0] for p in pts), float, m))) / m
-        c_lng = float(np.sum(np.fromiter((p[1] for p in pts), float, m))) / m
+        # SEQUENTIAL sums, not np.sum: numpy's pairwise summation
+        # differs from the reference's fold by ~1 ulp, which can flip
+        # which point gets trimmed at a distance near-tie and walk the
+        # centroid to a different fixpoint (hypothesis found such a
+        # cloud round 8). The loop is already Python-list-shaped, so
+        # this costs nothing.
+        c_lat = sum(p[0] for p in pts) / m
+        c_lng = sum(p[1] for p in pts) / m
         centroid = (c_lat, c_lng)
         d = vincenty_np(
             np.full(m, c_lat),
@@ -233,10 +239,15 @@ def trimmed_centroid(
             np.fromiter((p[0] for p in pts), float, m),
             np.fromiter((p[1] for p in pts), float, m),
         )
-        avg = float(np.sum(d)) / m
+        # avg in SORTED-distance order, sequentially — the reference
+        # sorts first and folds the sorted list, and a different
+        # summation order can flip the `avg > threshold` branch at the
+        # boundary (same 1-ulp class as the centroid sums above)
+        order = np.argsort(d, kind="stable")
+        avg = sum(float(d[int(k)]) for k in order) / m
         if avg > threshold_m:
             outliers = max(m * 0.1, 1)
-            keep = np.argsort(d, kind="stable")[: m - int(outliers)]
+            keep = order[: m - int(outliers)]
             # NB: the kept list is re-ordered by distance, like the
             # reference's sortBy — later centroids sum in that order.
             pts = [pts[int(k)] for k in keep]
