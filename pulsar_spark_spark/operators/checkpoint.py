@@ -72,3 +72,25 @@ def materialize(df: DataFrame, eager: bool = False) -> DataFrame:
     if _STATE["reliable"]:
         return df.checkpoint(eager=eager)
     return df.localCheckpoint(eager=eager)
+
+
+def broadcast_if_bounded(df: DataFrame, max_rows: int = 5_000_000) -> DataFrame:
+    """Broadcast ``df`` only while its row count stays under
+    ``max_rows``; above it, return it unhinted so the planner picks a
+    shuffle join.
+
+    For data-dependent relations that are EXPECTED tiny (the verified
+    near-dup rep pairs) but unbounded in the adversarial case, an
+    unconditional broadcast hint can blow past the broadcast-table
+    limit / driver memory on a near-dup-dense 100 TB corpus. The
+    guard count is cheap by contract: callers pass an
+    already-:func:`materialize`'d relation, so the count scans
+    checkpoint blocks, not lineage. Past the bound the relation is a
+    real fact table and the shuffle join is the right plan anyway.
+    The 5M default is ~0.5 GB at ~100 B/row — comfortably inside
+    Spark's 8 GB broadcast hard limit with headroom for executor-side
+    hash-table expansion.
+    """
+    from pyspark.sql.functions import broadcast
+
+    return broadcast(df) if df.count() <= max_rows else df

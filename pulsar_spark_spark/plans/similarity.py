@@ -40,7 +40,10 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql.functions import broadcast, col
 
-from pulsar_spark_spark.operators.checkpoint import materialize
+from pulsar_spark_spark.operators.checkpoint import (
+    broadcast_if_bounded,
+    materialize,
+)
 from pulsar_spark_spark.plans.registry import query
 from pulsar_spark_spark.sources.tables import load_table
 
@@ -504,11 +507,13 @@ def resolve_emb_bits(emb: DataFrame, n_bits: "int | None") -> int:
     lifetime."""
     if n_bits is not None:
         return n_bits
-    # memoized per input fileset: a query re-executed over the same
-    # files (bench min-of-N, repeated serving calls) must not pay the
-    # count scan again — and an engine restart re-resolves, which is
-    # correct (the corpus may have changed)
-    key = tuple(sorted(emb.inputFiles()))
+    # memoized per input fileset FINGERPRINT (path + size + mtime, not
+    # path alone — a fixture regenerated in place under the same names
+    # must re-resolve): a query re-executed over the same files (bench
+    # min-of-N, repeated serving calls) must not pay the count scan
+    # again — and an engine restart re-resolves, which is correct (the
+    # corpus may have changed)
+    key = _files_stat_key(emb.inputFiles())
     if key and key in _EMB_BITS_MEMO:
         return _EMB_BITS_MEMO[key]
     n_unique = emb.agg(
@@ -521,6 +526,22 @@ def resolve_emb_bits(emb: DataFrame, n_bits: "int | None") -> int:
 
 
 _EMB_BITS_MEMO: dict = {}
+
+
+def _files_stat_key(paths) -> tuple:
+    """Memo key for a fileset: (path, size, mtime_ns) per file, so a
+    file regenerated in place invalidates the entry (the same
+    staleness rule as the on-disk index ``_SOURCE.json`` fingerprint).
+    Non-local schemes fall back to path-only entries."""
+    out = []
+    for p in sorted(paths):
+        local = p[5:] if p.startswith("file:") else p
+        try:
+            st = os.stat(local)
+            out.append((p, st.st_size, st.st_mtime_ns))
+        except OSError:
+            out.append((p, -1, -1))
+    return tuple(out)
 
 
 def _emb_seed(t: int) -> str:
@@ -749,12 +770,15 @@ def emb_near_dup_pairs(
     """Member-level near-dup pairs (vec_a, vec_b, cos_sim): the
     verified rep pairs fanned back out to group members. The verified
     relation is candidate-sized (tiny vs the corpus) — broadcast it so
-    the fan-out never shuffles the membership relation."""
+    the fan-out never shuffles the membership relation, behind a
+    row-count guard (:func:`broadcast_if_bounded`): on a
+    near-dup-dense corpus the verified relation is data-dependent and
+    unbounded, and past ~5M rows the shuffle join is the right plan."""
     keyed, _, verified = emb_verified_rep_pairs(emb, n_tables, n_bits, bucket_cap)
     ma = keyed.select(col("vkey").alias("vkey_a"), col("vec_id").alias("m_a"))
     mb = keyed.select(col("vkey").alias("vkey_b"), col("vec_id").alias("m_b"))
     return (
-        ma.join(F.broadcast(verified), "vkey_a")
+        ma.join(broadcast_if_bounded(verified), "vkey_a")
         .join(mb, "vkey_b")
         .filter((col("rep_a") != col("rep_b")) | (col("m_a") < col("m_b")))
         .select(
@@ -947,6 +971,41 @@ def _source_fingerprint(sf_dir: str) -> dict:
     return out
 
 
+_CORPUS_ROWS_MEMO: dict = {}
+
+
+def _corpus_rows(sf_dir: str) -> int:
+    """Row count of the embeddings corpus for adaptive-knob sizing,
+    memoized per source fingerprint (size + mtime — a regenerated
+    fixture re-resolves). Reads parquet FOOTERS, not data: the count
+    an index resolver needs is exactly the sum of the files'
+    ``num_rows`` metadata, so resolving the knob costs no Spark job at
+    all — round 8 paid a full ``df.count()`` per ``ann_topk_ivf`` /
+    ``ann_topk_lsh`` call here (measured 0.5-0.8 s each in the bench),
+    which the index fingerprint cache never saw because the resolve
+    ran BEFORE the cache lookup."""
+    fp = _source_fingerprint(sf_dir)
+    key = (os.path.abspath(sf_dir), tuple(sorted((k, v[0], v[1]) for k, v in fp.items())))
+    if key in _CORPUS_ROWS_MEMO:
+        return _CORPUS_ROWS_MEMO[key]
+    import pyarrow.parquet as pq
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    files = (
+        [src]
+        if os.path.isfile(src)
+        else [
+            os.path.join(base, f)
+            for base, _, fs in os.walk(src)
+            for f in fs
+            if f.endswith(".parquet")
+        ]
+    )
+    n = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    _CORPUS_ROWS_MEMO[key] = n
+    return n
+
+
 def _ensure_index(
     name: str,
     sf_dir: str,
@@ -999,6 +1058,18 @@ def _ensure_index(
         build(tmp)
         with open(os.path.join(tmp, "_SOURCE.json"), "w") as fh:
             json.dump(want, fh)
+        # re-check the installed fingerprint immediately before the
+        # destructive swap: a concurrent builder may have installed an
+        # EQUIVALENT index while we were building — deleting it out
+        # from under a probe lazily scanning it would surface
+        # transient read failures, and re-installing ours buys
+        # nothing. Only a genuinely stale index gets removed.
+        try:
+            with open(meta_path) as fh:
+                if json.load(fh) == want:
+                    return index_dir
+        except (OSError, ValueError):
+            pass  # absent/unreadable → proceed with the swap
         shutil.rmtree(index_dir, ignore_errors=True)
         try:
             os.rename(tmp, index_dir)
@@ -1056,11 +1127,11 @@ def ensure_ivf_index(
     ``n_centroids=None`` (the registered query's path) sizes the
     quantizer from the corpus row count (:func:`auto_ivf_centroids`);
     the resolved value is baked into the cache key and meta, so probes
-    and rebuild checks always see the concrete number."""
+    and rebuild checks always see the concrete number (the count is a
+    memoized footer read — :func:`_corpus_rows` — never a per-call
+    Spark job)."""
     if n_centroids is None:
-        n_centroids = auto_ivf_centroids(
-            load_table(spark, "embeddings", sf_dir).count()
-        )
+        n_centroids = auto_ivf_centroids(_corpus_rows(sf_dir))
     return _ensure_index(
         f"ivf_c{n_centroids}",
         sf_dir,
@@ -1085,13 +1156,12 @@ def ensure_lsh_index(
     (same fingerprint/staging contract as :func:`_ensure_index`).
 
     ``n_bits=None`` (the registered query's path) sizes the bucket
-    width from the corpus row count (:func:`auto_lsh_bits`); probes
-    read the resolved width from the index meta, so build and probe
-    can never disagree."""
+    width from the corpus row count (:func:`auto_lsh_bits`, via the
+    memoized footer read :func:`_corpus_rows` — no per-call Spark
+    job); probes read the resolved width from the index meta, so
+    build and probe can never disagree."""
     if n_bits is None:
-        n_bits = auto_lsh_bits(
-            load_table(spark, "embeddings", sf_dir).count(), n_tables
-        )
+        n_bits = auto_lsh_bits(_corpus_rows(sf_dir), n_tables)
     return _ensure_index(
         f"lsh_t{n_tables}b{n_bits}",
         sf_dir,
@@ -1381,6 +1451,17 @@ def lsh_probe_index(
     with open(os.path.join(index_dir, "_LSH.json")) as fh:
         knobs = json.load(fh)
     n_tables, n_bits = knobs["n_tables"], knobs["n_bits"]
+    if "part_bits" not in knobs:
+        # pre-round-8 layout: physically partitioned by the FULL
+        # bucket, no bprefix column — probing it with this code would
+        # read the wrong directories. ensure_lsh_index-managed caches
+        # rebuild via the fingerprint; a directly-built old index
+        # must be rebuilt explicitly.
+        raise ValueError(
+            f"{index_dir}: index layout predates bucket-prefix "
+            "partitioning (_LSH.json has no part_bits) — rebuild it "
+            "with build_lsh_index"
+        )
     part_bits = knobs["part_bits"]
     tables = [
         (j, sign_bucket("q_emb", n_bits, seed="srp" if j == 0 else f"srp{j}"))

@@ -52,7 +52,10 @@ from pulsar_spark_spark.functions.text import (
     simhash16_from_hashes,
     tokens,
 )
-from pulsar_spark_spark.operators.checkpoint import materialize
+from pulsar_spark_spark.operators.checkpoint import (
+    broadcast_if_bounded,
+    materialize,
+)
 from pulsar_spark_spark.plans.registry import query
 from pulsar_spark_spark.sources.tables import load_table
 
@@ -318,9 +321,11 @@ def near_dup_pairs(docs: DataFrame, band_cap: int = _BAND_CAP) -> DataFrame:
     ma = keyed.select(col("ckey").alias("ckey_a"), col("doc_id").alias("m_a"))
     mb = keyed.select(col("ckey").alias("ckey_b"), col("doc_id").alias("m_b"))
     # verified is candidate-sized (tiny vs the corpus) — broadcast it
-    # so the fan-out never shuffles the membership relation
+    # so the fan-out never shuffles the membership relation; guarded
+    # by row count (it is data-dependent and unbounded on a
+    # near-dup-dense corpus — past the bound a shuffle join is right)
     return (
-        ma.join(F.broadcast(verified), "ckey_a")
+        ma.join(broadcast_if_bounded(verified), "ckey_a")
         .join(mb, "ckey_b")
         .filter((col("rep_a") != col("rep_b")) | (col("m_a") < col("m_b")))
         .select(
