@@ -285,6 +285,62 @@ def read_upsert_bucketed(spark: SparkSession, table_base: str, path_base: str) -
 # ---------------------------------------------------------------------
 _MANIFEST = "_SEGMENTS"
 
+# LSM discipline: fold the log once the per-read latest-wins merge
+# spans this many segments. Appends past the threshold trigger an
+# inline compaction (one merge job amortized over the ~N appends that
+# accumulated it); pass auto_compact_segments=None to manage
+# compaction explicitly.
+_AUTO_COMPACT_SEGMENTS = 32
+
+
+@contextlib.contextmanager
+def _manifest_lock(path_base: str):
+    """Exclusive advisory lock serializing manifest read-modify-writes
+    (append vs compact): without it, a compaction's manifest replace
+    can silently drop a segment id appended between its read and its
+    write — committed data orphaned, not torn, but lost from the view.
+    flock is advisory and local-FS; on object stores the manifest
+    belongs in a catalog/transaction log (Delta/Iceberg territory) —
+    documented, not emulated here. Platforms without fcntl fall back
+    to the single-writer contract unguarded."""
+    import os
+
+    try:
+        import fcntl
+    except ImportError:  # non-posix: single-writer contract only
+        yield
+        return
+    os.makedirs(path_base, exist_ok=True)
+    fd = os.open(os.path.join(path_base, ".manifest.lock"), os.O_CREAT | os.O_RDWR)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX)
+        yield
+    finally:
+        fcntl.flock(fd, fcntl.LOCK_UN)
+        os.close(fd)
+
+
+def _read_manifest(path_base: str) -> list[str]:
+    import os
+
+    manifest = os.path.join(path_base, _MANIFEST)
+    if not os.path.exists(manifest):
+        return []
+    with open(manifest, encoding="utf-8") as f:
+        return [ln for ln in f.read().splitlines() if ln]
+
+
+def _write_manifest(path_base: str, segments: list[str]) -> None:
+    """Atomic manifest install (temp + rename). Callers hold
+    :func:`_manifest_lock` when the write depends on a prior read."""
+    import os
+    import uuid
+
+    tmp = os.path.join(path_base, f".{_MANIFEST}.{uuid.uuid4().hex}")
+    with open(tmp, "w", encoding="utf-8") as f:
+        f.write("\n".join(segments) + "\n")
+    os.replace(tmp, os.path.join(path_base, _MANIFEST))
+
 
 def append_log_bucketed(
     new_rows: DataFrame,
@@ -293,6 +349,7 @@ def append_log_bucketed(
     key: str | list[str],
     version_col: str,
     n_buckets: int = 16,
+    auto_compact_segments: int | None = _AUTO_COMPACT_SEGMENTS,
 ) -> None:
     """Append one batch as its OWN bucketed segment — the merge-on-read
     twin of :func:`upsert_bucketed`.
@@ -306,10 +363,18 @@ def append_log_bucketed(
     a hot serving table wants COW).
 
     Crash safety: the segment is fully written (data + catalog entry)
-    BEFORE the manifest gains its id via atomic temp+rename, so a
-    crashed append leaves only an orphan directory, never a torn
-    state; replaying a shard appends a duplicate segment whose rows
-    lose (or tie, idempotently) the read-time latest-wins merge.
+    BEFORE the manifest gains its id via atomic temp+rename under the
+    manifest lock, so a crashed append leaves only an orphan
+    directory, never a torn state; replaying a shard appends a
+    duplicate segment whose rows lose (or tie, idempotently) the
+    read-time latest-wins merge.
+
+    ``auto_compact_segments``: once the manifest reaches this many
+    segments the append folds the log inline via :func:`compact_log`
+    (the LSM compaction trigger — bounds the per-read merge at
+    O(threshold) segments regardless of ingest count). ``None``
+    disables the trigger for callers that schedule compaction
+    themselves.
     """
     import os
     import uuid
@@ -325,16 +390,14 @@ def append_log_bucketed(
         sort_cols=tuple(keys),
         path=os.path.join(path_base, seg),
     )
-    manifest = os.path.join(path_base, _MANIFEST)
-    lines = []
-    if os.path.exists(manifest):
-        with open(manifest, encoding="utf-8") as f:
-            lines = [ln for ln in f.read().splitlines() if ln]
-    lines.append(seg)
-    tmp = os.path.join(path_base, f".{_MANIFEST}.{uuid.uuid4().hex}")
-    with open(tmp, "w", encoding="utf-8") as f:
-        f.write("\n".join(lines) + "\n")
-    os.replace(tmp, manifest)
+    with _manifest_lock(path_base):
+        lines = _read_manifest(path_base)
+        lines.append(seg)
+        _write_manifest(path_base, lines)
+    if auto_compact_segments is not None and len(lines) >= auto_compact_segments:
+        compact_log(
+            new_rows.sparkSession, table_base, path_base, key, version_col, n_buckets
+        )
 
 
 def read_log_bucketed(
@@ -351,20 +414,30 @@ def read_log_bucketed(
     shuffle MOR trades for its O(batch) writes; compact to COW with
     one :func:`upsert_bucketed` of this view when reads start to
     dominate."""
+    keys = [key] if isinstance(key, str) else list(key)
+    segments = _read_manifest(path_base)
+    if not segments:
+        raise FileNotFoundError(f"no committed log under {path_base}")
+    return _merge_segments(spark, table_base, path_base, segments, keys, version_col)
+
+
+def _merge_segments(
+    spark: SparkSession,
+    table_base: str,
+    path_base: str,
+    segments: list[str],
+    keys: list[str],
+    version_col: str,
+) -> DataFrame:
+    """Latest-wins merge over an EXPLICIT segment list — the shared
+    read plan of :func:`read_log_bucketed` (current manifest) and
+    :func:`compact_log` (its manifest snapshot)."""
     import os
 
     import pyspark.sql.functions as F
     from pyspark.sql import Window
     from pyspark.sql.functions import col
 
-    keys = [key] if isinstance(key, str) else list(key)
-    manifest = os.path.join(path_base, _MANIFEST)
-    if not os.path.exists(manifest):
-        raise FileNotFoundError(f"no committed log under {path_base}")
-    with open(manifest, encoding="utf-8") as f:
-        segments = [ln for ln in f.read().splitlines() if ln]
-    if not segments:
-        raise FileNotFoundError(f"empty log manifest under {path_base}")
     parts = []
     for ord_, seg in enumerate(segments):
         table = f"{table_base}_{seg}"
@@ -407,13 +480,26 @@ def compact_log(
     via an atomic replace BEFORE any old segment is deleted, so a
     crash mid-compact leaves a readable (at worst duplicated,
     latest-wins-absorbed) state.
+
+    Concurrent-append safety: the (expensive) merge runs over a
+    manifest SNAPSHOT taken outside the lock; the manifest install
+    then happens under :func:`_manifest_lock` and CARRIES FORWARD any
+    segment ids appended while the merge ran — the lost-append window
+    of the naive read-modify-write is closed, committed shards are
+    never orphaned. Old-segment deletion can still race an in-flight
+    reader that planned against the pre-compaction manifest (the
+    standard MOR reader/compactor race — retries resolve it; a
+    retention grace period is the production refinement).
     """
     import os
     import shutil
     import uuid
 
-    merged = read_log_bucketed(spark, table_base, path_base, key, version_col)
     keys = [key] if isinstance(key, str) else list(key)
+    snapshot = _read_manifest(path_base)
+    if not snapshot:
+        raise FileNotFoundError(f"no committed log under {path_base}")
+    merged = _merge_segments(spark, table_base, path_base, snapshot, keys, version_col)
     seg = f"log_{uuid.uuid4().hex}"
     save_bucketed(
         merged,
@@ -423,13 +509,13 @@ def compact_log(
         sort_cols=tuple(keys),
         path=os.path.join(path_base, seg),
     )
-    with open(os.path.join(path_base, f".{_MANIFEST}.{seg}"), "w", encoding="utf-8") as f:
-        f.write(seg + "\n")
-    manifest = os.path.join(path_base, _MANIFEST)
-    with open(manifest, encoding="utf-8") as f:
-        old_segments = [ln for ln in f.read().splitlines() if ln]
-    os.replace(os.path.join(path_base, f".{_MANIFEST}.{seg}"), manifest)
-    for old in old_segments:
+    with _manifest_lock(path_base):
+        snapped = set(snapshot)
+        # segments appended during the merge stay live, AFTER the
+        # compacted segment (later segments win version ties)
+        extras = [s for s in _read_manifest(path_base) if s not in snapped]
+        _write_manifest(path_base, [seg] + extras)
+    for old in snapshot:
         if old == seg:
             continue
         spark.sql(f"DROP TABLE IF EXISTS {table_base}_{old}")

@@ -481,3 +481,94 @@ def test_compact_log_preserves_state_and_drops_segments(spark, tmp_path):
         for t in [r["tableName"] for r in spark.sql("SHOW TABLES").collect()]:
             if t.startswith(tb):
                 spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_append_log_auto_compacts_at_threshold(spark, tmp_path):
+    """LSM trigger: once the manifest reaches auto_compact_segments,
+    the append folds the log inline — a 20-shard ingest never leaves
+    more than threshold segments for readers to merge, and the served
+    relation is unchanged."""
+    import os
+
+    from pulsar_spark_spark.sources.bucketed import (
+        _read_manifest,
+        append_log_bucketed,
+        read_log_bucketed,
+    )
+
+    base = str(tmp_path / "log")
+    tb = "t_autocompact_log"
+    try:
+        for v in range(20):
+            b = spark.createDataFrame(
+                [(v % 5, f"v{v}", v)], "k long, v string, version long"
+            )
+            append_log_bucketed(
+                b, tb, base, "k", "version", n_buckets=2,
+                auto_compact_segments=4,
+            )
+            assert len(_read_manifest(base)) <= 4
+        got = {r["k"]: r["v"] for r in read_log_bucketed(
+            spark, tb, base, "k", "version"
+        ).collect()}
+        assert got == {0: "v15", 1: "v16", 2: "v17", 3: "v18", 4: "v19"}
+        # swept down to the segments the manifest still lists
+        live = set(_read_manifest(base))
+        on_disk = {d for d in os.listdir(base) if d.startswith("log_")}
+        assert on_disk == live
+    finally:
+        for t in [r["tableName"] for r in spark.sql("SHOW TABLES").collect()]:
+            if t.startswith(tb):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_compact_log_keeps_segment_appended_during_compaction(spark, tmp_path):
+    """The lost-append window: a shard committed between compaction's
+    manifest snapshot and its manifest install must survive in the
+    manifest (ordered AFTER the compacted segment, so its rows win
+    ties). Simulated by injecting an append right after compaction
+    writes its merged segment, via a save_bucketed hook."""
+    import pulsar_spark_spark.sources.bucketed as B
+
+    base = str(tmp_path / "log")
+    tb = "t_race_log"
+    real_save = B.save_bucketed
+    state = {"fired": False}
+
+    def hooked(df, table, key, n_buckets=16, sort_cols=(), path=None):
+        real_save(df, table, key, n_buckets, sort_cols, path)
+        if not state["fired"]:
+            state["fired"] = True  # before the re-entrant append
+            late = spark.createDataFrame(
+                [(9, "late", 9)], "k long, v string, version long"
+            )
+            B.append_log_bucketed(
+                late, tb, base, "k", "version", n_buckets=2,
+                auto_compact_segments=None,
+            )
+
+    try:
+        for v in range(3):
+            b = spark.createDataFrame(
+                [(v, f"v{v}", v)], "k long, v string, version long"
+            )
+            B.append_log_bucketed(
+                b, tb, base, "k", "version", n_buckets=2,
+                auto_compact_segments=None,
+            )
+        B.save_bucketed = hooked
+        try:
+            B.compact_log(spark, tb, base, "k", "version", n_buckets=2)
+        finally:
+            B.save_bucketed = real_save
+        assert state["fired"]
+        manifest = B._read_manifest(base)
+        assert len(manifest) == 2  # compacted + the late segment
+        got = {r["k"]: r["v"] for r in B.read_log_bucketed(
+            spark, tb, base, "k", "version"
+        ).collect()}
+        assert got == {0: "v0", 1: "v1", 2: "v2", 9: "late"}
+    finally:
+        for t in [r["tableName"] for r in spark.sql("SHOW TABLES").collect()]:
+            if t.startswith(tb):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
