@@ -1549,13 +1549,53 @@ def lsh_probe_index(
 # Incremental embedding pair-graph store (round-8 stretch): the
 # near-dup signal as persisted, incrementally-updatable state
 # ---------------------------------------------------------------------
+_GRAPH_META = "_GRAPH.json"
+
+
+def _read_graph_meta(store_dir: str) -> "dict | None":
+    """The store's pinned banding config + running unique count —
+    ``{n_tables, n_bits, banded_gen, n_unique}``. Absent for a store
+    that predates the meta (or a brand-new one): callers fall back to
+    the static defaults, which is exactly the width such stores were
+    banded at."""
+    import json
+
+    try:
+        with open(os.path.join(store_dir, _GRAPH_META)) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return None
+
+
+def _write_graph_meta(store_dir: str, meta: dict) -> None:
+    """Atomic (temp + rename) meta install — the COMMIT POINT of a
+    re-banding compaction: until it lands, the old generation's meta
+    and banded table stay authoritative."""
+    import json
+    import uuid
+
+    os.makedirs(store_dir, exist_ok=True)
+    tmp = os.path.join(store_dir, f".{_GRAPH_META}.{uuid.uuid4().hex}")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, os.path.join(store_dir, _GRAPH_META))
+
+
+def _banded_loc(store_dir: str, table_prefix: str, gen: int) -> tuple[str, str]:
+    """(catalog table base, path) of the banded relation at generation
+    ``gen`` — generation 0 keeps the un-suffixed round-8 layout so
+    existing stores read unchanged."""
+    name = "banded" if gen == 0 else f"banded_g{gen}"
+    return f"{table_prefix}_{name}", os.path.join(store_dir, name)
+
+
 def update_emb_pair_graph(
     emb_batch: DataFrame,
     store_dir: str,
     version: int,
     table_prefix: str = "emb_graph",
     n_tables: int = _EMB_TABLES,
-    n_bits: int = _EMB_BITS,
+    n_bits: "int | None" = None,
     n_buckets: int = 16,
 ) -> None:
     """Extend the persisted embedding near-dup graph with one shard of
@@ -1586,18 +1626,31 @@ def update_emb_pair_graph(
     old group's counts/pairs stand) — mutate-in-place corpora should
     version ids upstream instead, like any ingest ledger.
 
-    Per-shard COMPUTE is O(batch + matched buckets) — only NEW
-    unique vectors are banded, bucket-joined (against the stored
-    banded relation plus themselves) and cosine-scored; previously
-    verified pairs are never re-scored — and per-shard WRITE I/O is
-    O(batch) too: the log arm appends one segment per table instead
-    of rewriting the accumulated state (the COW/MOR trade — reads pay
-    the latest-wins merge instead; compact a read-hot table to COW
-    with one upsert_bucketed of its merged view). Candidate semantics
-    equal the
+    Per-shard COMPUTE is O(batch × mean bucket occupancy): only NEW
+    unique vectors are banded and bucket-joined (against the stored
+    banded relation plus themselves), then cosine-scored; previously
+    verified pairs are never re-scored. Occupancy is n_unique /
+    2^n_bits per table, so at a FIXED width the candidate join
+    degrades linearly as the store accumulates corpus — the exact
+    failure :func:`auto_emb_bits` diagnoses for the batch path. The
+    store therefore tracks its running unique count in ``_GRAPH.json``
+    and this function WARNS once occupancy outgrows the width; the
+    remedy is :func:`compact_emb_pair_graph`, which re-bands the
+    accumulated reps at the adaptive width (a new banded generation)
+    so occupancy returns to the ~cap/2 target and the per-shard bound
+    is restored. Per-shard WRITE I/O is O(batch): the log arm appends
+    one segment per table instead of rewriting the accumulated state
+    (the COW/MOR trade — reads pay the latest-wins merge, bounded by
+    the log's LSM auto-compaction). Candidate semantics equal the
     batch pipeline's UNCAPPED generator (a per-batch bucket cap would
     depend on arrival order; callers wanting the boilerplate guard
     apply it upstream by dropping template shards before ingest).
+
+    ``n_bits=None`` (default) resolves the banding width from the
+    store meta — all shards of one store generation band identically
+    by construction; an explicit width must match the store's (a
+    mismatch raises — re-banding is compaction's job, never an
+    ingest side effect).
 
     Crash/replay contract (single writer, whole-shard retries):
     keyed/banded/pairs rows are pure functions of the data, so
@@ -1617,9 +1670,40 @@ def update_emb_pair_graph(
         read_log_bucketed,
     )
 
+    import warnings
+
     spark = emb_batch.sparkSession
     t = lambda name: f"{table_prefix}_{name}"
     p = lambda name: os.path.join(store_dir, name)
+
+    meta = _read_graph_meta(store_dir)
+    if meta is not None:
+        if n_tables != meta["n_tables"]:
+            raise ValueError(
+                f"store {store_dir} is banded with {meta['n_tables']} "
+                f"tables; got n_tables={n_tables}"
+            )
+        if n_bits is not None and n_bits != meta["n_bits"]:
+            raise ValueError(
+                f"store {store_dir} is banded at {meta['n_bits']} bits; "
+                f"pass n_bits=None (or re-band via compact_emb_pair_graph), "
+                f"got n_bits={n_bits}"
+            )
+        n_bits = meta["n_bits"]
+        banded_gen = meta["banded_gen"]
+        if auto_emb_bits(meta.get("n_unique", 0)) > n_bits:
+            warnings.warn(
+                f"emb pair-graph store {store_dir}: ~{meta['n_unique']} "
+                f"accumulated unique vectors outgrow the {n_bits}-bit "
+                f"banding (candidate join now scales with occupancy "
+                f"{meta['n_unique'] / 2 ** n_bits:.0f}/bucket) — run "
+                "compact_emb_pair_graph to re-band at the adaptive width",
+                stacklevel=2,
+            )
+    else:
+        n_bits = _EMB_BITS if n_bits is None else n_bits
+        banded_gen = 0
+    banded_table, banded_path = _banded_loc(store_dir, table_prefix, banded_gen)
 
     vkey = _emb_vkey()
     keyed_new = emb_batch.select(
@@ -1698,7 +1782,7 @@ def update_emb_pair_graph(
     )
     try:
         stored_banded = read_log_bucketed(
-            spark, t("banded"), p("banded"), ["vkey", "tbl"], "version"
+            spark, banded_table, banded_path, ["vkey", "tbl"], "version"
         ).select("vkey", "tbl", "bucket")
     except FileNotFoundError:
         stored_banded = None
@@ -1766,12 +1850,175 @@ def update_emb_pair_graph(
         keyed_new, t("keyed"), p("keyed"), "vec_id", "version", n_buckets
     )
     append_log_bucketed(
-        new_banded, t("banded"), p("banded"), ["vkey", "tbl"], "version", n_buckets
+        new_banded, banded_table, banded_path, ["vkey", "tbl"], "version", n_buckets
     )
     append_log_bucketed(
         pairs_new, t("pairs"), p("pairs"), ["vkey_a", "vkey_b"], "version", n_buckets
     )
     append_log_bucketed(merged, t("reps"), p("reps"), "vkey", "version", n_buckets)
+    # running unique count for the occupancy guard: counting the
+    # (checkpointed, just-appended) banded relation is a cached scan.
+    # A replay of a fully-committed shard contributes 0 (its keys are
+    # already in reps); a partial-failure retry that lands AFTER a
+    # crashed post-reps meta write undercounts — benign, the count is
+    # a sizing heuristic and compaction recomputes it exactly.
+    n_new = new_banded.count() // max(1, n_tables)
+    _write_graph_meta(
+        store_dir,
+        {
+            "n_tables": n_tables,
+            "n_bits": n_bits,
+            "banded_gen": banded_gen,
+            "n_unique": (meta or {}).get("n_unique", 0) + n_new,
+        },
+    )
+
+
+def compact_emb_pair_graph(
+    spark: SparkSession,
+    store_dir: str,
+    table_prefix: str = "emb_graph",
+    n_bits: "int | None" = None,
+    n_buckets: int = 16,
+) -> dict:
+    """Maintenance pass for the incremental pair-graph store: fold the
+    append-logs and — the width-migration step that keeps
+    :func:`update_emb_pair_graph`'s per-shard bound honest — re-band
+    the accumulated reps at the corpus-adaptive SRP width when the
+    store has outgrown its pinned one.
+
+    1. Compacts each state table's log to one segment (read-opt).
+    2. Recomputes the EXACT unique-vector count from reps (the meta's
+       running count is a heuristic that replay paths may undercount).
+    3. Resolves the target width — ``n_bits`` explicit, else
+       :func:`auto_emb_bits` over the exact count. If it differs from
+       the store's width, the reps are re-banded via the shared
+       :func:`_emb_tables_expr` into a NEW banded generation
+       (``banded_g<n>``), and the meta install is the atomic commit:
+       a crash anywhere before it leaves the old generation
+       authoritative and the new one an orphan that the next
+       compaction clears.
+
+    Only ``banded`` migrates: ``pairs`` holds exact-cosine VERIFIED
+    truth and ``keyed``/``reps`` are banding-independent, so verified
+    history survives every re-band (candidates for future shards are
+    generated at the new width, same as a batch run at that width).
+
+    Returns the committed meta dict. O(n_unique) — one pass over
+    reps, amortized over the shards since the last compaction, the
+    same economics as the ANN index builds.
+    """
+    import shutil
+
+    from pulsar_spark_spark.sources.bucketed import (
+        _read_manifest,
+        compact_log,
+        read_log_bucketed,
+    )
+
+    t = lambda name: f"{table_prefix}_{name}"
+    p = lambda name: os.path.join(store_dir, name)
+    meta = _read_graph_meta(store_dir) or {
+        "n_tables": _EMB_TABLES,
+        "n_bits": _EMB_BITS,
+        "banded_gen": 0,
+        "n_unique": 0,
+    }
+    n_tables, cur_bits, gen = meta["n_tables"], meta["n_bits"], meta["banded_gen"]
+    banded_table, banded_path = _banded_loc(store_dir, table_prefix, gen)
+
+    compact_log(spark, t("keyed"), p("keyed"), "vec_id", "version", n_buckets)
+    compact_log(spark, t("pairs"), p("pairs"), ["vkey_a", "vkey_b"], "version", n_buckets)
+    compact_log(spark, t("reps"), p("reps"), "vkey", "version", n_buckets)
+    reps = read_log_bucketed(spark, t("reps"), p("reps"), "vkey", "version")
+    n_unique = reps.count()
+    target = n_bits if n_bits is not None else auto_emb_bits(n_unique)
+
+    if target == cur_bits:
+        compact_log(
+            spark, banded_table, banded_path, ["vkey", "tbl"], "version", n_buckets
+        )
+        new_meta = {**meta, "n_unique": n_unique}
+        _write_graph_meta(store_dir, new_meta)
+        return new_meta
+
+    new_gen = gen + 1
+    new_table, new_path = _banded_loc(store_dir, table_prefix, new_gen)
+    if os.path.exists(new_path):
+        # orphan of a crashed compaction (uncommitted by definition —
+        # the meta still points at `gen`): clear it before rebuilding,
+        # or the fresh re-band would APPEND onto stale segments
+        for seg in _read_manifest(new_path):
+            spark.sql(f"DROP TABLE IF EXISTS {new_table}_{seg}")
+        shutil.rmtree(new_path, ignore_errors=True)
+    n_spread = spark.sparkContext.defaultParallelism * 2
+    rebanded = (
+        reps.select("vkey", "embedding")
+        .repartition(n_spread, col("vkey"))
+        .select("vkey", F.explode(_emb_tables_expr(n_tables, target)).alias("tb"))
+        .select(
+            "vkey",
+            col("tb.tbl").alias("tbl"),
+            col("tb.bucket").alias("bucket"),
+            F.lit(0).alias("version"),
+        )
+    )
+    from pulsar_spark_spark.sources.bucketed import append_log_bucketed
+
+    append_log_bucketed(
+        rebanded,
+        new_table,
+        new_path,
+        ["vkey", "tbl"],
+        "version",
+        n_buckets,
+        auto_compact_segments=None,
+    )
+    new_meta = {
+        "n_tables": n_tables,
+        "n_bits": target,
+        "banded_gen": new_gen,
+        "n_unique": n_unique,
+    }
+    _write_graph_meta(store_dir, new_meta)  # the commit point
+    for seg in _read_manifest(banded_path):
+        spark.sql(f"DROP TABLE IF EXISTS {banded_table}_{seg}")
+    shutil.rmtree(banded_path, ignore_errors=True)
+    return new_meta
+
+
+def emb_graph_stats(
+    spark: SparkSession, store_dir: str, table_prefix: str = "emb_graph"
+) -> dict:
+    """Occupancy observability for the pair-graph store — the number
+    :func:`update_emb_pair_graph`'s candidate-join cost actually
+    scales with: ``{n_unique, n_bits, banded_gen, mean_bucket,
+    max_bucket}`` over the stored banded relation."""
+    from pulsar_spark_spark.sources.bucketed import read_log_bucketed
+
+    meta = _read_graph_meta(store_dir) or {
+        "n_tables": _EMB_TABLES,
+        "n_bits": _EMB_BITS,
+        "banded_gen": 0,
+        "n_unique": None,
+    }
+    banded_table, banded_path = _banded_loc(
+        store_dir, table_prefix, meta["banded_gen"]
+    )
+    banded = read_log_bucketed(
+        spark, banded_table, banded_path, ["vkey", "tbl"], "version"
+    )
+    occ = banded.groupBy("tbl", "bucket").agg(F.count(F.lit(1)).alias("n"))
+    row = occ.agg(
+        F.round(F.avg("n"), 2).alias("mean_bucket"), F.max("n").alias("max_bucket")
+    ).first()
+    return {
+        "n_unique": meta.get("n_unique"),
+        "n_bits": meta["n_bits"],
+        "banded_gen": meta["banded_gen"],
+        "mean_bucket": row["mean_bucket"],
+        "max_bucket": row["max_bucket"],
+    }
 
 
 def read_emb_components(

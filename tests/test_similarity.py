@@ -514,3 +514,206 @@ def test_emb_pair_graph_crash_before_reps_fold_then_retry(spark, tmp_path):
         for t in [r["tableName"] for r in spark.sql("SHOW TABLES").collect()]:
             if t.startswith(prefix):
                 spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_emb_pair_graph_rebanding_compaction(spark, tmp_path):
+    """Round-9 width migration: a store that accumulates enough unique
+    vectors to outgrow its pinned SRP width must (a) WARN on the next
+    ingest, (b) re-band via compact_emb_pair_graph at the adaptive
+    width — measurably dropping the stored-side candidate fan-in the
+    per-shard join cost scales with — while (c) serving EXACTLY the
+    same components immediately after compaction as before it
+    (verified history is banding-independent), and (d) new shards
+    keep finding their near-dups through the re-banded store side.
+
+    Random dim-64 gaussians produce many genuine pairs above the 0.35
+    verify threshold, so component labels here are data-dependent —
+    assertions are relative (same-cluster), never absolute ids; the
+    exact store==batch parity across a migration is pinned separately
+    on a borderline-free corpus below."""
+    import numpy as np
+    import pytest
+
+    import pulsar_spark_spark.plans.similarity as S
+    from pulsar_spark_spark.sources.bucketed import read_log_bucketed
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import col
+
+    rng = np.random.default_rng(99)
+    dim = 64
+    n_per_shard, n_shards = 3200, 3  # 9600 uniques > 2^8 * cap/2 = 8192
+
+    vecs = rng.standard_normal((n_per_shard * n_shards, dim)).astype("float32")
+    # a planted ultra-near cluster (cos ≈ 0.99998 — candidate at ANY
+    # width with overwhelming probability across the 4 tables)
+    base = rng.standard_normal(dim).astype("float32") * 10
+    for i in (2, 3, 4, 5):  # distinct perturbations — all stay unique
+        vecs[i] = base + (i - 2) * 0.01 * np.eye(dim, dtype="float32")[0]
+
+    import pandas as pd
+
+    def make_df(ids, rows):
+        return spark.createDataFrame(
+            pd.DataFrame({"vec_id": ids, "embedding": [list(map(float, v)) for v in rows]}),
+            "vec_id long, embedding array<float>",
+        )
+
+    store = str(tmp_path / "graph9")
+    prefix = "t_emb_reband"
+
+    def cand_fanin(probe_vecs):
+        """Stored-side candidate fan-in for a fixed probe batch at the
+        store's CURRENT width — the quantity update_emb_pair_graph's
+        bucket join pays per new vector."""
+        meta = S._read_graph_meta(store)
+        tbl, path = S._banded_loc(store, prefix, meta["banded_gen"])
+        stored = read_log_bucketed(spark, tbl, path, ["vkey", "tbl"], "version")
+        pb = (
+            make_df(list(range(len(probe_vecs))), probe_vecs)
+            .select(F.explode(S._emb_tables_expr(meta["n_tables"], meta["n_bits"])).alias("tb"))
+            .select(col("tb.tbl").alias("tbl"), col("tb.bucket").alias("bucket"))
+        )
+        return pb.join(stored.select("tbl", "bucket"), ["tbl", "bucket"]).count()
+
+    try:
+        for s in range(n_shards):
+            ids = list(range(s * n_per_shard, (s + 1) * n_per_shard))
+            S.update_emb_pair_graph(
+                make_df(ids, vecs[ids[0] : ids[-1] + 1]), store, version=s,
+                table_prefix=prefix,
+            )
+        meta = S._read_graph_meta(store)
+        assert meta == {
+            "n_tables": 4, "n_bits": 8, "banded_gen": 0, "n_unique": 9600,
+        }
+
+        # (a) the occupancy guard fires on the next ingest
+        extra_noise = rng.standard_normal((1, dim)).astype("float32")
+        with pytest.warns(UserWarning, match="outgrow"):
+            S.update_emb_pair_graph(
+                make_df([9600], extra_noise), store, version=3, table_prefix=prefix
+            )
+
+        # explicit width mismatching the store is refused
+        with pytest.raises(ValueError, match="banded at 8 bits"):
+            S.update_emb_pair_graph(
+                make_df([9601], extra_noise), store, version=4,
+                table_prefix=prefix, n_bits=9,
+            )
+
+        probe = rng.standard_normal((100, dim)).astype("float32")
+        fanin_before = cand_fanin(probe)
+        stats_before = S.emb_graph_stats(spark, store, prefix)
+        assert stats_before["n_bits"] == 8
+        comps_before = {
+            (r["node"], r["component"])
+            for r in S.read_emb_components(spark, store, prefix).collect()
+        }
+
+        # (b) compaction re-bands at the adaptive width
+        new_meta = S.compact_emb_pair_graph(spark, store, prefix)
+        assert new_meta["n_bits"] == 9 and new_meta["banded_gen"] == 1
+        assert new_meta["n_unique"] == 9601
+        stats_after = S.emb_graph_stats(spark, store, prefix)
+        fanin_after = cand_fanin(probe)
+        # twice the buckets → ~half the stored-side fan-in per probe
+        assert fanin_after < fanin_before * 0.7, (fanin_before, fanin_after)
+        assert stats_after["mean_bucket"] < stats_before["mean_bucket"] * 0.7
+
+        # (c) re-banding must not change the SERVED relation at all —
+        # pairs are verified truth, keyed/reps are width-independent
+        comps_after = {
+            (r["node"], r["component"])
+            for r in S.read_emb_components(spark, store, prefix).collect()
+        }
+        assert comps_after == comps_before and comps_before
+
+        # (d) post-migration ingest: a near-dup of shard-0's planted
+        # base joins ITS cluster through the RE-BANDED store side
+        joiner = base + 0.04 * np.eye(dim, dtype="float32")[0]
+        S.update_emb_pair_graph(
+            make_df([9700], joiner[None, :]), store, version=5, table_prefix=prefix
+        )
+        comp = {
+            r["node"]: r["component"]
+            for r in S.read_emb_components(spark, store, prefix).collect()
+        }
+        assert comp[9700] == comp[2] == comp[3] == comp[4] == comp[5]
+    finally:
+        for t in [r["tableName"] for r in spark.sql("SHOW TABLES").collect()]:
+            if t.startswith(prefix):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_emb_pair_graph_migration_parity_on_borderline_free_corpus(spark, tmp_path):
+    """Exact store == batch parity ACROSS a width migration: when no
+    cross-vector cosine sits near the 0.35 verify threshold (all
+    pairs ≈ 1 or ≪ 0.35 — asserted numpy-side first), the candidate
+    width cannot change the verified set, so a store that ingested at
+    8 bits, was force-re-banded to 9, and ingested again must serve
+    exactly the components a from-scratch emb_components finds — at
+    EITHER width."""
+    import numpy as np
+    import pandas as pd
+
+    import pulsar_spark_spark.plans.similarity as S
+
+    rng = np.random.default_rng(12)
+    dim = 64
+    vecs = rng.standard_normal((15, dim)).astype("float32")
+    base_a = rng.standard_normal(dim).astype("float32") * 10
+    base_b = rng.standard_normal(dim).astype("float32") * 10
+    e0 = np.eye(dim, dtype="float32")[0]
+    for i, eps in [(0, 0.0), (1, 0.01), (2, 0.02)]:  # cluster A
+        vecs[i] = base_a + eps * e0
+    for i, eps in [(3, 0.0), (4, 0.01)]:  # cluster B
+        vecs[i] = base_b + eps * e0
+    # precondition: the corpus is borderline-free (width-independent)
+    n = vecs / np.linalg.norm(vecs.astype("float64"), axis=1, keepdims=True)
+    sims = np.abs(n @ n.T)
+    planted = {(a, b) for a in (0, 1, 2) for b in (0, 1, 2)} | {
+        (a, b) for a in (3, 4) for b in (3, 4)
+    }
+    off = [sims[i, j] for i in range(15) for j in range(15)
+           if i != j and (i, j) not in planted]
+    assert max(off) < 0.3, max(off)
+
+    def make_df(ids):
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {"vec_id": ids, "embedding": [list(map(float, vecs[i])) for i in ids]}
+            ),
+            "vec_id long, embedding array<float>",
+        )
+
+    store = str(tmp_path / "gmig")
+    prefix = "t_emb_mig"
+    shard0 = [0, 1, 3, 5, 6, 7, 8, 9, 10, 11]
+    shard1 = [2, 4, 12, 13, 14]  # cluster members arrive POST-migration
+    try:
+        S.update_emb_pair_graph(make_df(shard0), store, version=0, table_prefix=prefix)
+        meta = S.compact_emb_pair_graph(spark, store, prefix, n_bits=9)
+        assert meta["n_bits"] == 9 and meta["banded_gen"] == 1
+        S.update_emb_pair_graph(make_df(shard1), store, version=1, table_prefix=prefix)
+
+        got = {
+            (r["node"], r["component"])
+            for r in S.read_emb_components(spark, store, prefix).collect()
+        }
+        full = make_df(list(range(15)))
+        want9 = {
+            (r["node"], r["component"])
+            for r in S.emb_components(full, n_bits=9, bucket_cap=10_000).collect()
+        }
+        want8 = {
+            (r["node"], r["component"])
+            for r in S.emb_components(full, n_bits=8, bucket_cap=10_000).collect()
+        }
+        assert want9 == want8  # the width-independence this test relies on
+        assert got == want9
+        comp = dict(got)
+        assert comp[2] == 0 and comp[4] == 3  # cross-migration joins landed
+    finally:
+        for t in [r["tableName"] for r in spark.sql("SHOW TABLES").collect()]:
+            if t.startswith(prefix):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
