@@ -231,6 +231,42 @@ def _derived_state_table(state_path: str) -> str:
     return "geotag_state_" + hashlib.md5(state_path.encode()).hexdigest()[:12]
 
 
+# Size gate for the ``state_table="auto"`` default (round 9): below
+# this much committed state, the bucketed arm's per-version catalog
+# DDL costs about what its deleted state-side shuffle saves (measured
+# round 8 — at MB-scale state the two are within noise, with the DDL
+# a fixed per-batch tax), so "auto" uses the plain versioned-parquet
+# sink until the state outgrows the gate and the no-Exchange merge
+# starts paying. The on-disk layout is identical on both arms
+# (versioned dirs + pointer), so the switch is transparent: the first
+# over-threshold batch reads the plain state via the path fallback and
+# commits it as a bucketed catalog table.
+_BUCKETED_STATE_MIN_BYTES = 256 * 2**20
+
+
+def _state_bytes(state_path: str) -> int:
+    """Size of the CURRENT committed state version (pointer target) —
+    the cheap filesystem probe behind the auto gate."""
+    import os
+
+    from pulsar_spark_spark.sources.sinks import _current_version
+
+    try:
+        cur = _current_version(state_path)
+    except OSError:
+        return 0
+    if cur is None:
+        return 0
+    total = 0
+    for base, _, files in os.walk(os.path.join(state_path, cur)):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(base, f))
+            except OSError:
+                pass
+    return total
+
+
 def run_geotag_rescore_stream(
     points: DataFrame,
     state_path: str,
@@ -238,6 +274,7 @@ def run_geotag_rescore_stream(
     history_cap: int = 100,
     state_table: str | None = "auto",
     n_buckets: int = 16,
+    bucketed_min_bytes: int = _BUCKETED_STATE_MIN_BYTES,
 ) -> StreamingQuery:
     """The reference's flagship streaming app, composed end-to-end:
     point stream → per-key history merge → G1 re-score → keyed upsert
@@ -263,22 +300,27 @@ def run_geotag_rescore_stream(
        rows win version ties, so the T3 commit-after-write contract
        holds without the reference's failure window.
 
-    The state lives as a BUCKETED catalog table BY DEFAULT (round 8;
+    The state lives as a BUCKETED catalog table once it is big enough
+    to matter (round 9 size gate on the round-8 default;
     sources/bucketed.py::upsert_bucketed, table base derived from
     ``state_path``): both the step-1 semi-join and the step-4 merge
-    read the accumulated state bucket-partitioned on user_id with
-    ZERO hash Exchange — only the micro-batch shuffles. At 100 TB of
-    state vs MB-scale batches that is the dominant per-batch shuffle
-    deleted (the no-Exchange plan is pinned in tests/test_bucketed.py;
-    at toy bench scale the wall is within noise of the plain sink —
-    the per-version catalog DDL costs about what the deleted shuffle
-    saves when state is MBs — the default is chosen for the scale
-    shape, not the fixture timing). ``state_table=None`` opts out to the
-    plain versioned-parquet sink (no catalog dependency — e.g. a
-    session whose metastore the job may not write to); any other
-    string names the table base explicitly. The on-disk layout is
-    identical either way (versioned dirs + pointer), so readers using
-    sources/sinks.py::read_upsert_table work against both.
+    then read the accumulated state bucket-partitioned on user_id
+    with ZERO hash Exchange — only the micro-batch shuffles. At
+    100 TB of state vs MB-scale batches that is the dominant
+    per-batch shuffle deleted (the no-Exchange plan is pinned in
+    tests/test_bucketed.py). Below ``bucketed_min_bytes`` of
+    committed state the ``"auto"`` default uses the plain
+    versioned-parquet sink instead — at MB-scale state the bucketed
+    arm's per-version catalog DDL costs about what the deleted
+    shuffle saves (measured round 8), so small states skip the tax
+    and the first over-threshold batch upgrades in place (identical
+    on-disk layout — versioned dirs + pointer — on both arms; the
+    upgrade batch reads the plain state via the path fallback and
+    commits it bucketed). ``state_table=None`` opts out entirely (no
+    catalog dependency — e.g. a session whose metastore the job may
+    not write to); any other string names the table base explicitly
+    and is ALWAYS bucketed, gate ignored. Readers using
+    sources/sinks.py::read_upsert_table work against every arm.
     """
     from pulsar_spark_spark.operators.grouped import apply_best_latlng
     from pulsar_spark_spark.sources.bucketed import (
@@ -287,18 +329,30 @@ def run_geotag_rescore_stream(
     )
     from pulsar_spark_spark.sources.sinks import read_upsert_table
 
-    if state_table == "auto":
+    auto_gate = state_table == "auto"
+    if auto_gate:
         state_table = _derived_state_table(state_path)
+
+    def _bucketed_now() -> bool:
+        """Resolved per batch — the state GROWS across batches, so the
+        gate can flip mid-stream (plain→bucketed upgrade, one-way in
+        practice)."""
+        if not state_table:
+            return False
+        if not auto_gate or bucketed_min_bytes <= 0:
+            return True
+        return _state_bytes(state_path) >= bucketed_min_bytes
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        use_bucketed = _bucketed_now()
         new_pts = batch_df.select(
             "user_id", "event_id", "ts_ms", "lat", "lng", "accuracy"
         )
         try:
             state = (
                 read_upsert_bucketed(spark, state_table, state_path)
-                if state_table
+                if use_bucketed
                 else read_upsert_table(spark, state_path)
             )
             state_pts = (
@@ -345,7 +399,7 @@ def run_geotag_rescore_stream(
             .join(apply_best_latlng(capped), "user_id")
             .withColumn("version", F.lit(batch_id))
         )
-        if state_table:
+        if use_bucketed:
             # X4/T6 at scale: the state side of the merge arrives
             # bucket-partitioned from the catalog — no Exchange on the
             # accumulated state, only the MB-sized batch shuffles

@@ -120,7 +120,12 @@ def test_geotag_rescore_stream_with_restart(spark, tmp_path):
         stream = spark.readStream.schema(SCHEMA).option(
             "maxFilesPerTrigger", "1"
         ).parquet(src)
-        q = run_geotag_rescore_stream(stream, state, ckpt, history_cap=CAP)
+        # bucketed_min_bytes=0 pins the BUCKETED arm (the round-9 size
+        # gate would route toy-scale state to the plain sink), so T7
+        # restart coverage stays on the catalog-table path
+        q = run_geotag_rescore_stream(
+            stream, state, ckpt, history_cap=CAP, bucketed_min_bytes=0
+        )
         assert q.awaitTermination(120)
 
     # phase 1: chunks 1+2 arrive, stream drains, STOPS (availableNow)
@@ -178,3 +183,56 @@ def test_geotag_rescore_replay_is_idempotent(spark, tmp_path):
         for r in read_upsert_table(spark, state).collect()
     }
     assert first == second
+
+
+def test_rescore_auto_state_gate_and_upgrade(spark, tmp_path):
+    """Round-9 size gate on the 'auto' default: below
+    bucketed_min_bytes the stream uses the plain versioned-parquet
+    sink (no per-batch catalog DDL at toy scale — the measured
+    fixture tax); lowering the gate on the SAME state path upgrades
+    it in place to the bucketed catalog table (path-fallback read →
+    bucketed commit), records identical throughout."""
+    from pulsar_spark_spark.streaming.pipeline import _derived_state_table
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    os.makedirs(src, exist_ok=True)
+    chunks = _chunks()
+    derived = _derived_state_table(state)
+
+    def drain(ckpt, **kw):
+        stream = spark.readStream.schema(SCHEMA).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(src)
+        q = run_geotag_rescore_stream(
+            stream, state, str(tmp_path / ckpt), history_cap=CAP, **kw
+        )
+        assert q.awaitTermination(120)
+
+    try:
+        _write_chunk(spark, chunks[0], src, "c1")
+        _write_chunk(spark, chunks[1], src, "c2")
+        drain("ckpt1")  # default gate: MBs of state → plain arm
+        assert not spark.catalog.tableExists(derived)
+
+        # lower the gate: next batches upgrade the same path in place
+        _write_chunk(spark, chunks[2], src, "c3")
+        drain("ckpt1", bucketed_min_bytes=1)
+        assert any(
+            r["tableName"].startswith(derived)
+            for r in spark.sql("SHOW TABLES").collect()
+        )
+
+        want = _fold(chunks)
+        got = {
+            r["user_id"]: r for r in read_upsert_table(spark, state).collect()
+        }
+        assert set(got) == set(want)
+        for u, (blat, blng, n, pts) in want.items():
+            assert got[u]["n_points"] == n
+            assert got[u]["best_lat"] == pytest.approx(blat, abs=1e-12)
+            assert got[u]["best_lng"] == pytest.approx(blng, abs=1e-12)
+    finally:
+        for t in [r["tableName"] for r in spark.sql("SHOW TABLES").collect()]:
+            if t.startswith(derived):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -1,0 +1,250 @@
+"""Measure embedding near-dup VERIFIED-PAIR recall at scale.
+
+The bucket cap's recall trade is structurally invisible to the
+oracle-parity gate (the DuckDB oracle mirrors the cap), and the
+bounded-by-argument claim (occupancy ~cap/2 under auto_emb_bits) had
+never been MEASURED — this tool closes that (round-9 item 5):
+
+- production run:  emb_near_dup_pairs at the registered knobs
+  (corpus-adaptive width via auto_emb_bits + the 64-per-bucket cap)
+- reference run:   the same width UNCAPPED — isolates exactly what
+  the cap drops
+- ground truth:    numpy blocked all-pairs cosine >= the 0.35 verify
+  threshold (float64), affordable through the 100x corpus — bounds
+  the full pipeline (banding misses + cap) end to end
+- observability:   hot_bucket_stats over the pre-cap banded relation
+  (how many buckets are over-cap, and how hot the hottest is)
+
+Writes ``emb_recall.json`` and rewrites the "Embedding-dedup recall"
+section of SCALE.md. Usage:
+
+    python tools/emb_recall.py            # sf0.1 + 10x + 100x
+    python tools/emb_recall.py sf1        # filter scales by substring
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("SPARK_DRIVER_MEM", "24g")
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SCALES = [
+    ("sf0.1", "/root/testdata/sf0.1", 1),
+    ("sf1", os.path.join(ROOT, ".scale", "sf1"), 10),
+    ("sf10", os.path.join(ROOT, ".scale", "sf10"), 100),
+]
+# numpy ground truth is 2*n^2*dim flops — fine to 200k vectors
+# (~5 TFLOP, seconds under threaded BLAS), prohibitive at 2M
+TRUTH_MAX_ROWS = 250_000
+_SEC_HEADER = "## Embedding-dedup recall at scale"
+
+
+STRATA = (0.35, 0.9, 0.99)  # verify threshold / near-dup regime / copies
+
+
+def _numpy_truth_pairs(sf_dir: str, thresh: float) -> "dict | None":
+    """Per-stratum counts of UNORDERED member pairs with cosine >= t,
+    by blocked float32 gemm + float64 confirmation of the survivors.
+    Stratified because SRP-LSH recall is similarity-dependent by
+    construction (per-bit agreement p = 1 - θ/π): the 4x8-bit stack
+    targets the NEAR-DUP regime — recall at the 0.35 verify floor is
+    structurally low and that is a design point to document, not a
+    bug to fix with 20x more tables."""
+    import glob
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    p = os.path.join(sf_dir, "embeddings.parquet")
+    files = [p] if os.path.isfile(p) else sorted(
+        glob.glob(p + "/**/*.parquet", recursive=True)
+    )
+    mats, ids = [], []
+    for f in files:
+        t = pq.read_table(f, columns=["vec_id", "embedding"])
+        ids.append(t["vec_id"].to_numpy())
+        mats.append(np.array(t["embedding"].to_pylist(), dtype="float32"))
+    m = np.vstack(mats)
+    norms = np.linalg.norm(m.astype("float64"), axis=1)
+    ok = norms > 0  # zero-norm vectors can never verify (NaN gate)
+    m64 = m.astype("float64")[ok]
+    mn = (m64 / norms[ok][:, None]).astype("float32")
+    n = mn.shape[0]
+    totals = {t: 0 for t in STRATA}
+    B = 8192
+    for i0 in range(0, n, B):
+        a = mn[i0 : i0 + B]
+        for j0 in range(i0, n, B):
+            b = mn[j0 : j0 + B]
+            sims = a @ b.T
+            ii, jj = np.nonzero(sims >= thresh - 1e-4)
+            gi, gj = ii + i0, jj + j0
+            keep = gi < gj
+            gi, gj = gi[keep], gj[keep]
+            if len(gi):
+                # float64 confirm near the threshold (the engine
+                # verifies with a float64 sequential fold)
+                va, vb = m64[gi], m64[gj]
+                cs = np.round(
+                    np.einsum("ij,ij->i", va, vb)
+                    / (norms[ok][gi] * norms[ok][gj]),
+                    6,
+                )
+                for t in STRATA:
+                    totals[t] += int(np.count_nonzero(cs >= t))
+    return totals
+
+
+
+
+def main(filters) -> None:
+    from pulsar_spark_spark.plans import similarity as S
+    from pulsar_spark_spark.plans.text import hot_bucket_stats
+    from pulsar_spark_spark.session import get_session
+    from pulsar_spark_spark.sources.tables import load_table
+    import pyspark.sql.functions as F
+    from pyspark.sql.functions import col
+
+    results = {}
+    for tag, sf_dir, mult in SCALES:
+        if filters and not any(f in tag for f in filters):
+            continue
+        if not os.path.isdir(sf_dir) and not os.path.exists(sf_dir):
+            continue
+        spark = get_session(app_name=f"emb_recall_{tag}")
+        spark.sparkContext.setLogLevel("ERROR")
+        emb = load_table(spark, "embeddings", sf_dir)
+        n_vecs = emb.count()
+        bits = S.resolve_emb_bits(emb, None)
+
+        from pulsar_spark_spark.operators.checkpoint import materialize
+
+        # materialized so the strata/overlap counts below are cached
+        # scans, and NOTHING is collected to the driver (the 100x
+        # corpus verifies millions of pairs)
+        t0 = time.time()
+        prod = materialize(S.emb_near_dup_pairs(emb))
+        n_prod_all = prod.count()
+        prod_sec = round(time.time() - t0, 1)
+        t0 = time.time()
+        uncapped = materialize(S.emb_near_dup_pairs(emb, bucket_cap=1 << 30))
+        n_unc_all = uncapped.count()
+        uncapped_sec = round(time.time() - t0, 1)
+        n_overlap = prod.join(uncapped, ["vec_a", "vec_b"]).count()
+        prod_strata = {
+            t: prod.filter(col("cos_sim") >= t).count() for t in STRATA
+        }
+        unc_strata = {
+            t: uncapped.filter(col("cos_sim") >= t).count() for t in STRATA
+        }
+
+        reps = (
+            emb.select("vec_id", "embedding", S._emb_vkey().alias("vkey"))
+            .groupBy("vkey")
+            .agg(F.min_by("embedding", "vec_id").alias("embedding"))
+        )
+        banded = reps.select(
+            F.explode(S._emb_tables_expr(S._EMB_TABLES, bits)).alias("tb")
+        ).select(col("tb.tbl").alias("tbl"), col("tb.bucket").alias("bucket"))
+        hot = hot_bucket_stats(banded, ["tbl", "bucket"], S._EMB_BUCKET_CAP)
+        hot_rows = hot.collect()
+        spark.stop()
+
+        truth = (
+            _numpy_truth_pairs(sf_dir, S._NEAR_DUP_COS)
+            if n_vecs <= TRUTH_MAX_ROWS
+            else None
+        )
+        row = {
+            "multiplier": mult,
+            "n_vectors": n_vecs,
+            "n_bits": bits,
+            "bucket_cap": S._EMB_BUCKET_CAP,
+            "hot_buckets_over_cap": len(hot_rows),
+            "hottest_bucket": max((r["n_rows"] for r in hot_rows), default=0),
+            "pairs_prod": n_prod_all,
+            "pairs_uncapped_same_width": n_unc_all,
+            "recall_vs_uncapped": round(
+                n_overlap / n_unc_all, 4
+            ) if n_unc_all else 1.0,
+            "prod_sec": prod_sec,
+            "uncapped_sec": uncapped_sec,
+        }
+        if truth:
+            for t in STRATA:
+                key = f"ge_{t}"
+                n_true = truth[t]
+                row[f"truth_pairs_{key}"] = n_true
+                row[f"recall_prod_{key}"] = (
+                    round(prod_strata[t] / n_true, 4) if n_true else None
+                )
+                row[f"recall_uncapped_{key}"] = (
+                    round(unc_strata[t] / n_true, 4) if n_true else None
+                )
+        results[tag] = row
+        print(json.dumps({tag: row}))
+
+    out = os.path.join(ROOT, "emb_recall.json")
+    merged = {}
+    if os.path.exists(out):
+        with open(out) as f:
+            merged = json.load(f)
+    merged.update(results)
+    with open(out, "w") as f:
+        json.dump(merged, f, indent=1)
+    _rewrite_scale_md(merged)
+
+
+def _rewrite_scale_md(results: dict) -> None:
+    """Idempotently (re)write the recall section at the end of
+    SCALE.md from emb_recall.json — same single-source discipline as
+    the bench slope notes."""
+    path = os.path.join(ROOT, "SCALE.md")
+    with open(path) as f:
+        txt = f.read()
+    if _SEC_HEADER in txt:
+        txt = txt[: txt.index(_SEC_HEADER)].rstrip() + "\n"
+    lines = [
+        "",
+        f"{_SEC_HEADER} (round 9, generated by tools/emb_recall.py)",
+        "",
+        "Verified-pair recall of the PRODUCTION knobs (auto_emb_bits +",
+        "64-per-bucket cap): vs the same width UNCAPPED (isolates what",
+        "the cap drops — the number the oracle-parity gate structurally",
+        "cannot see), and vs numpy float64 brute-force ground truth,",
+        "STRATIFIED by similarity (SRP recall is similarity-dependent",
+        "by construction: per-bit agreement 1-θ/π, so recall at the",
+        "0.35 verify floor is structurally low — the stack's operating",
+        "regime is the ≥0.9 near-dup band). hot = over-cap (tbl,",
+        "bucket) cells pre-cap.",
+        "",
+        "| scale | vectors | bits | hot | hottest | prod pairs | recall vs uncapped | recall@≥0.35 | recall@≥0.9 | recall@≥0.99 |",
+        "|---|---|---|---|---|---|---|---|---|---|",
+    ]
+
+    def fmt(r, key):
+        v = r.get(key)
+        return "—" if v is None else v
+
+    for tag, r in results.items():
+        lines.append(
+            f"| {tag} ({r['multiplier']}x) | {r['n_vectors']} | {r['n_bits']} "
+            f"| {r['hot_buckets_over_cap']} | {r['hottest_bucket']} "
+            f"| {r['pairs_prod']} | {r['recall_vs_uncapped']} "
+            f"| {fmt(r, 'recall_prod_ge_0.35')} "
+            f"| {fmt(r, 'recall_prod_ge_0.9')} "
+            f"| {fmt(r, 'recall_prod_ge_0.99')} |"
+        )
+    lines.append("")
+    with open(path, "w") as f:
+        f.write(txt + "\n".join(lines) + "\n")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
