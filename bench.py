@@ -362,6 +362,20 @@ def _geotag_rescore_bench(spark) -> dict:
                         "bucketed_state variant merges against a "
                         "user_id-bucketed state table (no state-side "
                         "Exchange)",
+            "ab_note": (
+                "rows_per_sec (plain sink) vs "
+                "bucketed_state_rows_per_sec is a SAME-SESSION "
+                "interleaved A/B: at MB-scale state the bucketed "
+                "arm's per-version catalog DDL costs about what its "
+                "deleted state-side shuffle saves, so the two land "
+                "within noise here and diverge only with real state "
+                "volume. Round 9: the state_table='auto' default is "
+                "size-gated (plain below 256 MB of committed state, "
+                "bucketed above) so default users get the fixture "
+                "numbers AND the scale shape; cross-round streaming "
+                "deltas should be read against calibration_sec "
+                "(round-8 dips tracked a hot capture environment)."
+            ),
         }
     finally:
         shutil.rmtree(work, ignore_errors=True)

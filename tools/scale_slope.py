@@ -52,17 +52,20 @@ SCALES = [
 ]
 
 # sf100 is documents+embeddings only (no events at 1000×). The 1000×
-# column is scoped to the embedding/serving family: the text-dedup
-# queries each spill 30-65 GB of shuffle/checkpoint scratch at 1000×
-# on this box (measured), and deleting one query's scratch thrashes
-# the next query's timed window — their scale evidence is the clean
-# 100× column. The four rows below are the adaptive-sizing story
-# (auto bits/centroids) and stay light at 2M vectors.
+# column covers the corpus family: the serving/embedding rows (the
+# adaptive-sizing story — auto bits/centroids — light at 2M vectors)
+# plus, since round 9, the two text-dedup worst offenders. The text
+# queries each spill tens of GB of shuffle/checkpoint scratch at
+# 1000× — the per-query fresh session + the scratch-deletion wait
+# below exist precisely so one query's cleanup cannot thrash the
+# next query's timed window.
 SF100_SUBSET = {
     "embedding_near_dup_pairs",
     "embedding_dedup_clusters",
     "ann_topk_lsh",
     "ann_topk_ivf",
+    "doc_near_dup_pairs",
+    "doc_dedup_clusters",
 }
 
 # The heaviest bench queries (r5 ordering) — every family with a
