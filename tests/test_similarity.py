@@ -717,3 +717,48 @@ def test_emb_pair_graph_migration_parity_on_borderline_free_corpus(spark, tmp_pa
         for t in [r["tableName"] for r in spark.sql("SHOW TABLES").collect()]:
             if t.startswith(prefix):
                 spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_ensure_index_cache_hit_runs_no_corpus_scan(spark, tmp_path, monkeypatch):
+    """Round-9 claw-back pin: on a warm index cache, ensure_ivf_index /
+    ensure_lsh_index must resolve their adaptive knobs WITHOUT any
+    corpus access — round 8 paid a full df.count() per call (before
+    the fingerprint check), a measured chunk of the ANN bench
+    regression. _corpus_rows reads parquet footers and memoizes per
+    source fingerprint; the corpus table loader must not be touched
+    at all on the hit path."""
+    from pulsar_spark_spark.plans import similarity as sim
+    from tests.conftest import SF_DIR
+
+    root = str(tmp_path)
+    idx_i = sim.ensure_ivf_index(spark, SF_DIR, index_root=root)  # build
+    idx_l = sim.ensure_lsh_index(spark, SF_DIR, index_root=root)
+
+    def poisoned(*a, **kw):
+        raise AssertionError("corpus scan on the ensure hit path")
+
+    monkeypatch.setattr(sim, "load_table", poisoned)
+    assert sim.ensure_ivf_index(spark, SF_DIR, index_root=root) == idx_i
+    assert sim.ensure_lsh_index(spark, SF_DIR, index_root=root) == idx_l
+
+
+def test_corpus_rows_footer_count_matches_and_invalidates(spark, tmp_path):
+    """_corpus_rows (footer sum) must equal the real row count and
+    re-resolve when the fileset is regenerated in place (fingerprint
+    includes size+mtime)."""
+    import os
+    import time as _time
+
+    from pulsar_spark_spark.plans import similarity as sim
+
+    df = spark.range(123).selectExpr("id as vec_id", "array(1.0f) as embedding")
+    d = str(tmp_path / "corp")
+    df.coalesce(1).write.parquet(os.path.join(d, "embeddings.parquet"))
+    assert sim._corpus_rows(d) == 123
+    _time.sleep(0.01)
+    spark.range(45).selectExpr(
+        "id as vec_id", "array(1.0f) as embedding"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "embeddings.parquet")
+    )
+    assert sim._corpus_rows(d) == 45  # stat change invalidates the memo
