@@ -259,7 +259,14 @@ def main(filters) -> None:
         "With K× rows, linear-work queries should land ≤K×; fixed",
         "per-query overhead (~0.3–0.5 s planning + task launch) pulls",
         "short queries well below K×. Anything ≫K× would flag a",
-        "superlinear join — none observed.",
+        "superlinear join — none observed (every ratio is well under",
+        "its K). Decade-over-decade is the finer read: the text-dedup",
+        "rows' LAST decade (100×→1000×, tens of GB of shuffle and",
+        "checkpoint scratch on one box) runs ~linear for the pairs",
+        "query and superlinear for the clusters query's CC walk —",
+        "single-disk spill bandwidth, which a real cluster spreads",
+        "across executors, not a join blow-up (candidate counts stay",
+        "capped).",
         "",
         "| query | sf0.1 (s) | "
         + " | ".join(f"{f}× (s) | ratio" for _l, f in col_scales)
@@ -312,8 +319,19 @@ def main(filters) -> None:
             f"worst ×{summary.get('worst_ratio_sf100')}** (corpus family, single pass)"
         )
     lines += [tail + ".", ""]
+    # Compose, don't clobber: SCALE.md also carries the recall section
+    # maintained by tools/emb_recall.py — re-append it from its own
+    # sidecar after rewriting the slope content (each tool owns one
+    # section, both idempotent, either can run last).
     with open(os.path.join(ROOT, "SCALE.md"), "w") as f:
         f.write("\n".join(lines))
+    recall_sidecar = os.path.join(ROOT, "emb_recall.json")
+    if os.path.exists(recall_sidecar):
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from emb_recall import _rewrite_scale_md
+
+        with open(recall_sidecar) as f:
+            _rewrite_scale_md(json.load(f))
     print("\n" + tail + " -> SCALE.md + scale_slope.json")
 
 
