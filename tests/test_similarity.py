@@ -762,3 +762,64 @@ def test_corpus_rows_footer_count_matches_and_invalidates(spark, tmp_path):
         os.path.join(d, "embeddings.parquet")
     )
     assert sim._corpus_rows(d) == 45  # stat change invalidates the memo
+
+
+def test_compact_emb_pair_graph_crash_leaves_old_generation_live(spark, tmp_path, monkeypatch):
+    """The meta install is compaction's commit point: a compaction
+    that dies AFTER writing the new banded generation but BEFORE the
+    meta install must leave the store serving from the OLD generation
+    (ingest still works at the old width), and the next compaction
+    must clear the orphan and commit cleanly."""
+    import os
+
+    import pytest
+
+    import pulsar_spark_spark.plans.similarity as S
+
+    emb = _copy_heavy_embeddings(spark, n_copies=4, n_distinct=6)
+    store = str(tmp_path / "gcrash")
+    prefix = "t_emb_cpcrash"
+    try:
+        S.update_emb_pair_graph(emb.filter("vec_id < 12"), store, 0, prefix)
+        before = {
+            (r["node"], r["component"])
+            for r in S.read_emb_components(spark, store, prefix).collect()
+        }
+
+        real_write = S._write_graph_meta
+
+        def dying_write(store_dir, meta):
+            if meta.get("banded_gen", 0) > 0:  # the re-band commit
+                raise RuntimeError("simulated crash before meta install")
+            real_write(store_dir, meta)
+
+        monkeypatch.setattr(S, "_write_graph_meta", dying_write)
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            S.compact_emb_pair_graph(spark, store, prefix, n_bits=9)
+        monkeypatch.setattr(S, "_write_graph_meta", real_write)
+
+        # old generation still authoritative: meta unchanged, ingest
+        # and serving work, orphan dir exists on disk
+        meta = S._read_graph_meta(store)
+        assert meta["n_bits"] == 8 and meta["banded_gen"] == 0
+        assert os.path.exists(os.path.join(store, "banded_g1"))
+        S.update_emb_pair_graph(emb.filter("vec_id >= 12"), store, 1, prefix)
+        mid = {
+            (r["node"], r["component"])
+            for r in S.read_emb_components(spark, store, prefix).collect()
+        }
+        assert mid >= before and mid
+
+        # retry: clears the orphan, commits generation 1 at 9 bits
+        new_meta = S.compact_emb_pair_graph(spark, store, prefix, n_bits=9)
+        assert new_meta["n_bits"] == 9 and new_meta["banded_gen"] == 1
+        after = {
+            (r["node"], r["component"])
+            for r in S.read_emb_components(spark, store, prefix).collect()
+        }
+        assert after == mid
+        assert not os.path.exists(os.path.join(store, "banded"))  # old gen swept
+    finally:
+        for t in [r["tableName"] for r in spark.sql("SHOW TABLES").collect()]:
+            if t.startswith(prefix):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
