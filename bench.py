@@ -731,6 +731,17 @@ def main() -> None:
             "fused feature+resize single Arrow pass (round "
             "5) - absorbs the former media_resize query."
         ),
+        "doc_near_dup_pairs": (
+            "round 9: CORPUS-ADAPTIVE banding plan (auto_band_plan: "
+            "more minhashes x more rows-per-band as the corpus grows, "
+            "floored at the 16-hash/4x4 oracle config through 20k "
+            "docs, so this sf0.1 row keeps the committed fixed plan; "
+            "plan resolve is a memoized parquet-footer read, zero "
+            "Spark jobs). A FIXED plan's false-candidate rate is "
+            "~b*J_bg^r PER PAIR -- quadratic in the corpus; ladder "
+            "derivation at plans/text.py BAND_PLANS -- slopes "
+            "appended below from scale_slope.json."
+        ),
         "embedding_near_dup_pairs": (
             "guard stack (exact-embedding collapse, 4 SRP tables "
             "with a 64-per-bucket cap, member fan-out) plus round-8 "

@@ -127,16 +127,36 @@ def shingle_hashes(shingles: Column) -> Column:
 
 def minhash_signature_from_hashes(hvals: Column, n_hashes: int = 16) -> Column:
     """MinHash signature from pre-hashed shingle ints (cheap integer
-    transforms only — the md5 cost was paid once in shingle_hashes)."""
+    transforms only — the md5 cost was paid once in shingle_hashes).
+
+    Each permutation minimum is a scalar-accumulator ``aggregate``
+    (``least(acc, (h·a+b) mod P)``), NOT ``array_min(transform(…))``:
+    ``transform`` materializes a full transformed copy of the hash
+    array per permutation per row — at the corpus-adaptive 96-hash
+    plan that is ~96 × |hv| × 8 B of allocation churn per document
+    (~220 KB/row at 288 shingles), measured round 9 as the dominant
+    stage of the 100×/1000× near-dup walls. The scalar fold computes
+    the identical value (min over the same transformed elements —
+    empty arrays yield NULL either way, guarded explicitly) with zero
+    array allocations, and it is NOT the nested-HOF shape that fell
+    out of codegen in the round-7 fused-bucket experiment (the
+    accumulator is a scalar, not an array)."""
 
     # NB: PySpark higher-order functions pass one argument per lambda
     # parameter, so the ``lambda h, i=i`` default-arg idiom would bind
     # ``i`` to a second lambda variable — capture via closure instead.
-    def _perm(a: int, b: int):
-        return lambda h: (h * a + b) % MINHASH_P
+    def _perm_min(a: int, b: int) -> Column:
+        return F.aggregate(
+            hvals,
+            F.lit(MINHASH_P).cast("long"),
+            lambda acc, h: F.least(acc, (h * a + b) % MINHASH_P),
+        )
 
+    empty = F.size(hvals) == 0
     sigs = [
-        F.array_min(F.transform(hvals, _perm(*_mh_constants(i))))
+        F.when(empty, F.lit(None).cast("long")).otherwise(
+            _perm_min(*_mh_constants(i))
+        )
         for i in range(n_hashes)
     ]
     return F.array(*sigs)

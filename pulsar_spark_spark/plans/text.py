@@ -164,6 +164,115 @@ _JACCARD_MIN = 0.8
 # (or pre-strip the template text) when those buckets matter.
 _BAND_CAP = 64
 
+# ---------------------------------------------------------------------
+# corpus-adaptive banding plan (round 9)
+# ---------------------------------------------------------------------
+# A FIXED (hashes, bands, rows-per-band) MinHash-LSH config has a
+# constant false-candidate probability per DOCUMENT PAIR — ≈ b·J_bg^r
+# at the corpus's background (non-duplicate) similarity J_bg — so the
+# candidate count grows with the SQUARE of the corpus while every
+# other stage of the pipeline is linear. Measured on the scale ladder
+# (tools/profile_neardup.py, word-shuffled replica corpus, background
+# char-8-shingle J ≈ 0.04–0.09): the (16, 4, 4) floor generated
+# 1.58 M candidates from 500 k docs at 100× of which only 252
+# survived the exact verify — essentially every candidate false — and
+# the 1000× point ran ×26 wall for ×10 data on the candidate joins.
+#
+# Fix: the same discipline as auto_emb_bits (plans/similarity.py) —
+# grow the plan with the corpus, FLOORED at the config the DuckDB
+# oracles mirror, so every oracle-gate corpus (sf0.001/0.01/0.1, all
+# ≤ 5 k docs) resolves to exactly the committed fixed-width plan.
+# Ladder: pick the smallest plan whose expected false-candidate count
+# n²/2 · b·J_bg^r stays ≤ the corpus size n (candidates linear in the
+# corpus), i.e. n ≤ 2/(b·J_bg^r), at a conservative J_bg = 0.1:
+#
+#   plan (hashes, b, r)   n budget     banding recall at J=0.8
+#   (16,  4,  4)             5.0e3     0.88   (the oracle floor)
+#   (60, 10,  6)             2.0e5     0.95
+#   (96, 12,  8)             1.7e7     0.89
+#   (160, 16, 10)            1.25e9    0.84
+#
+# Recall = 1-(1-J^r)^b is the BANDING hit rate for a true pair at the
+# verify floor; precision is always 1 (the exact-Jaccard verify).
+# Pairs at J ≥ 0.9 stay ≥ 0.97 on every tier, and exact duplicates
+# never depend on banding at all (the collapse + (rep, rep)
+# self-candidate arm). The floor tier is deliberately held through
+# 20 k docs — past its own 5 k budget point — so the sf0.1 bench
+# corpus keeps the committed plan; the cost is a bounded ~4×-of-n
+# candidate overhang at 20 k, paid in narrow int rows. Past 1.25e9
+# docs the top tier's per-pair rate (1.6e-9) starts compounding
+# again — add a (b=20, r=12) tier before pointing this at a 10¹⁰-doc
+# crawl. More hashes cost one extra integer array-transform per
+# permutation per doc (the md5 per shingle is paid ONCE regardless,
+# in shingle_hashes) — linear, trivially parallel; at 100× the
+# round-9 re-measure showed the bigger plan repaying that within the
+# same query.
+BAND_PLANS: list[tuple[int, tuple[int, int, int]]] = [
+    (20_000, (_N_HASHES, _N_BANDS, _ROWS_PER_BAND)),
+    (200_000, (60, 10, 6)),
+    (16_700_000, (96, 12, 8)),
+]
+_TOP_PLAN = (160, 16, 10)
+
+
+def auto_band_plan(n_docs: int) -> tuple[int, int, int]:
+    """Smallest (n_hashes, n_bands, rows_per_band) whose expected
+    false-candidate count stays linear in a corpus of ``n_docs``
+    documents (derivation in the ladder comment above)."""
+    for bound, plan in BAND_PLANS:
+        if n_docs <= bound:
+            return plan
+    return _TOP_PLAN
+
+
+_DOCS_ROWS_MEMO: dict = {}
+
+
+def resolve_band_plan(
+    docs: DataFrame, plan: "tuple[int, int, int] | str | None"
+) -> tuple[int, int, int]:
+    """``plan="auto"`` → :func:`auto_band_plan` over the corpus row
+    count, read from the parquet FOOTERS of the input fileset (zero
+    Spark jobs — the ensure_*_index discipline from round 9) and
+    memoized per (path, size, mtime) so repeated calls and bench
+    min-of-N passes never re-stat. In-memory relations (no input
+    files — unit-test fixtures, constructed DataFrames) resolve to
+    the floor plan: they are small by construction and keeping them
+    pinned to the oracle config keeps every existing parity test
+    byte-stable. Explicit 3-tuples pass through after a b·r == hashes
+    sanity check. Row count over-counts UNIQUE texts (the collapse
+    runs later), which only over-provisions the plan — safe."""
+    if plan is None or plan == "auto":
+        from pulsar_spark_spark.plans.similarity import _files_stat_key
+
+        files = docs.inputFiles()
+        if not files:
+            return BAND_PLANS[0][1]
+        key = _files_stat_key(files)
+        if key in _DOCS_ROWS_MEMO:
+            n = _DOCS_ROWS_MEMO[key]
+        else:
+            import pyarrow.parquet as pq
+
+            n = 0
+            for p in files:
+                local = p[5:] if p.startswith("file:") else p
+                try:
+                    n += pq.ParquetFile(local).metadata.num_rows
+                except OSError:
+                    # non-local / non-parquet source: fall back to one
+                    # counted scan rather than guessing
+                    n = docs.count()
+                    break
+            _DOCS_ROWS_MEMO[key] = n
+        return auto_band_plan(n)
+    n_hashes, n_bands, rows = plan
+    if n_bands * rows != n_hashes:
+        raise ValueError(
+            f"band plan {plan!r}: n_bands*rows_per_band must equal n_hashes"
+        )
+    return plan
+
 
 def _near_dup_oracle(band_cap: int = _BAND_CAP) -> str:
     from pulsar_spark_spark.functions.text import MINHASH_P, _mh_constants
@@ -285,7 +394,11 @@ def hot_bucket_stats(banded: DataFrame, keys: list, cap: int) -> DataFrame:
     )
 
 
-def near_dup_pairs(docs: DataFrame, band_cap: int = _BAND_CAP) -> DataFrame:
+def near_dup_pairs(
+    docs: DataFrame,
+    band_cap: int = _BAND_CAP,
+    plan: "tuple[int, int, int] | str | None" = "auto",
+) -> DataFrame:
     """Near-duplicate pairs: exact-text collapse → MinHash → capped LSH
     bands → exact-Jaccard verify → fan out to member pairs.
 
@@ -317,7 +430,7 @@ def near_dup_pairs(docs: DataFrame, band_cap: int = _BAND_CAP) -> DataFrame:
     hence bit-identical in the oracle (which mirrors the collapse,
     cap, and fan-out step for step).
     """
-    keyed, sh, verified = verified_rep_pairs(docs, band_cap)
+    keyed, rel, verified = verified_rep_pairs(docs, band_cap, plan)
     ma = keyed.select(col("ckey").alias("ckey_a"), col("doc_id").alias("m_a"))
     mb = keyed.select(col("ckey").alias("ckey_b"), col("doc_id").alias("m_b"))
     # verified is candidate-sized (tiny vs the corpus) — broadcast it
@@ -336,17 +449,211 @@ def near_dup_pairs(docs: DataFrame, band_cap: int = _BAND_CAP) -> DataFrame:
     )
 
 
+def _mh_sig_matrix(flat, red, consts, n_rows):
+    """Shared numpy MinHash kernel: (n_hashes × n_rows) int64 matrix of
+    per-permutation minima over the segmented ``flat`` hash values.
+    Exact ``(a·h+b) mod P`` arithmetic with P = 2³¹−1 via two Mersenne
+    bit-folds (2³¹ ≡ 1 mod P ⇒ x = hi·2³¹ + lo ≡ hi + lo) and one
+    conditional subtract — no modulo instruction. Rows whose segment
+    is empty get ``buf[red]`` garbage; callers mask or overwrite."""
+    import numpy as np
+
+    from pulsar_spark_spark.functions.text import MINHASH_P as M
+
+    sig_t = np.empty((len(consts), n_rows), dtype=np.int64)
+    if not len(flat):
+        sig_t.fill(M)
+        return sig_t
+    buf = np.empty_like(flat)
+    t = np.empty_like(flat)
+    for i, (a, b) in enumerate(consts):
+        np.multiply(flat, a, out=buf)
+        np.add(buf, b, out=buf)
+        np.right_shift(buf, 31, out=t)
+        np.bitwise_and(buf, M, out=buf)
+        np.add(buf, t, out=buf)
+        np.right_shift(buf, 31, out=t)
+        np.bitwise_and(buf, M, out=buf)
+        np.add(buf, t, out=buf)
+        # buf ≤ P+1 here; one conditional subtract finishes the mod
+        np.subtract(buf, M, out=t)
+        np.copyto(buf, t, where=t >= 0)
+        np.minimum.reduceat(buf, red, out=sig_t[i])
+    return sig_t
+
+
+def _minhash_sigs_arrow(sh: DataFrame, n_hashes: int) -> DataFrame:
+    """(rep, sig) MinHash signatures via one vectorized Arrow pass —
+    the adaptive-tier twin of
+    :func:`~pulsar_spark_spark.functions.text.minhash_signature_from_hashes`,
+    producing bit-identical values (pinned in pytest).
+
+    Why it exists: Catalyst evaluates higher-order-function lambdas
+    INTERPRETED, one boxed element visit at a time (~60 ns each,
+    measured round 9), so a corpus-adaptive 96-permutation signature
+    costs 96 × |hv| ≈ 28 k visits per document — it dominated the
+    100×/1000× near-dup walls (the whole 1000× point measured 606 s
+    with ~5/6 of it in this one projection). The numpy kernel streams
+    the same arithmetic at ~0.7 ns per element-op: per permutation,
+    one fused multiply-add then ``x mod (2³¹−1)`` via two Mersenne
+    bit-folds (2³¹ ≡ 1 mod P, so x = hi·2³¹ + lo ≡ hi + lo) plus one
+    conditional subtract — exact int64 arithmetic, no modulo
+    instruction — then a segmented ``minimum.reduceat`` per row.
+
+    Only the adaptive tiers (n_hashes > the 16-hash floor) route
+    here, so every oracle-gate and bench corpus keeps the pure-JVM
+    expression plan the DuckDB oracles mirror. Empty hash arrays
+    yield an array of NULLs, exactly like the expression form.
+    """
+    from pulsar_spark_spark.functions.text import _mh_constants
+
+    consts = [_mh_constants(i) for i in range(n_hashes)]
+
+    def fn(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in batches:
+            rep = batch.column("rep")
+            hv = batch.column("hv")
+            if isinstance(hv, pa.ChunkedArray):
+                hv = hv.combine_chunks()
+            n_rows = len(hv)
+            if n_rows == 0:
+                continue
+            off = hv.offsets.to_numpy().astype(np.int64)
+            flat = hv.values.to_numpy()
+            # a sliced ListArray's offsets need not start at 0
+            base = off[0]
+            if base or len(flat) != off[-1] - base:
+                flat = flat[base : off[-1]]
+                off = off - base
+            empty = off[1:] == off[:-1]
+            red = off[:-1].copy()
+            red[empty] = 0  # keep reduceat in-bounds; masked below
+            sig_t = _mh_sig_matrix(flat, red, consts, n_rows)
+            vals = sig_t.T.ravel()
+            if empty.any():
+                mask = np.repeat(empty, n_hashes)
+                values_arr = pa.array(vals, mask=mask)
+            else:
+                values_arr = pa.array(vals)
+            sig_arr = pa.ListArray.from_arrays(
+                pa.array(
+                    np.arange(0, (n_rows + 1) * n_hashes, n_hashes),
+                    type=pa.int32(),
+                ),
+                values_arr,
+            )
+            yield pa.RecordBatch.from_arrays([rep, sig_arr], ["rep", "sig"])
+
+    return sh.select("rep", "hv").mapInArrow(fn, "rep bigint, sig array<bigint>")
+
+
+def _minhash_bands_arrow(
+    sh: DataFrame, n_hashes: int, n_bands: int, rows_per_band: int
+) -> DataFrame:
+    """(rep, n, bands) in ONE vectorized Arrow pass — the production
+    form of :func:`_minhash_sigs_arrow` for the adaptive tiers: the
+    signature matrix never leaves the worker; what comes back is the
+    shingle-set size (for the exact size-ratio prefilter) and the
+    ``n_bands`` band keys (splitmix64-mixed int64 of the band's
+    signature slice). Band keys are OPAQUE join keys: the banding
+    semantics is the PARTITION they induce over representatives
+    (identical signature slices ⇔ identical keys), not the key bytes,
+    so the mix function is free to differ from the floor tier's
+    md5-string keys — tier plans are oracle-invisible by construction.
+    The signature arithmetic itself is the shared kernel pinned
+    bit-identical to the expression form in pytest."""
+    from pulsar_spark_spark.functions.text import _mh_constants
+
+    consts = [_mh_constants(i) for i in range(n_hashes)]
+
+    def fn(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        def mix(acc, v):
+            # splitmix64 round over uint64 vectors
+            acc = acc ^ v
+            acc = (acc + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+            acc = (acc ^ (acc >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            acc = (acc ^ (acc >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            return acc ^ (acc >> np.uint64(31))
+
+        for batch in batches:
+            rep = batch.column("rep")
+            hv = batch.column("hv")
+            if isinstance(hv, pa.ChunkedArray):
+                hv = hv.combine_chunks()
+            n_rows = len(hv)
+            if n_rows == 0:
+                continue
+            off = hv.offsets.to_numpy().astype(np.int64)
+            flat = hv.values.to_numpy()
+            base = off[0]
+            if base or len(flat) != off[-1] - base:
+                flat = flat[base : off[-1]]
+                off = off - base
+            n_col = off[1:] - off[:-1]
+            empty = n_col == 0
+            red = off[:-1].copy()
+            red[empty] = 0
+            sig_t = _mh_sig_matrix(flat, red, consts, n_rows)
+            # empty rows: pin every signature slot to P so ALL empty
+            # docs share all band keys (band together, then dropped by
+            # the NULL-Jaccard verify) — exactly like the floor path's
+            # md5-of-empty-string keys
+            if empty.any():
+                from pulsar_spark_spark.functions.text import MINHASH_P
+
+                sig_t[:, empty] = MINHASH_P
+            bands = np.empty((n_bands, n_rows), dtype=np.uint64)
+            su = sig_t.view(np.uint64)
+            for b in range(n_bands):
+                acc = mix(np.full(n_rows, np.uint64(b)), su[b * rows_per_band])
+                for j in range(1, rows_per_band):
+                    acc = mix(acc, su[b * rows_per_band + j])
+                bands[b] = acc
+            vals = bands.T.ravel().view(np.int64)
+            band_arr = pa.ListArray.from_arrays(
+                pa.array(
+                    np.arange(0, (n_rows + 1) * n_bands, n_bands),
+                    type=pa.int32(),
+                ),
+                pa.array(vals),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [rep, pa.array(n_col.astype(np.int32)), band_arr],
+                ["rep", "n", "bands"],
+            )
+
+    return sh.select("rep", "hv").mapInArrow(
+        fn, "rep bigint, n int, bands array<bigint>"
+    )
+
+
 def near_dup_candidates(
-    docs: DataFrame, band_cap: int = _BAND_CAP
+    docs: DataFrame,
+    band_cap: int = _BAND_CAP,
+    plan: "tuple[int, int, int] | str | None" = "auto",
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Candidate-generation stage of :func:`near_dup_pairs`, exposed so
     the skew guards are testable in isolation.
 
-    Returns ``(keyed, sh, cand)``: the doc→text-group mapping, the
-    per-unique-text shingle-hash relation (ckey, rep, grp_n, hv), and
-    the candidate REP pairs (rep_a, rep_b) after exact-dup collapse and
-    the band-bucket cap — ``|cand|`` is the quantity the guards bound.
+    Returns ``(keyed, rel, cand)``: the doc→text-group mapping, the
+    per-unique-text collapsed relation (ckey, rep, grp_n, ctext), and
+    the candidate REP pairs (rep_a, rep_b) after exact-dup collapse,
+    the band-bucket cap and the exact size-ratio prefilter —
+    ``|cand|`` is the quantity the guards bound.
+
+    ``plan`` is the (n_hashes, n_bands, rows_per_band) banding config:
+    ``"auto"`` (default) sizes it to the corpus via
+    :func:`auto_band_plan` — floored at the oracle config — so the
+    false-candidate count stays linear in the corpus instead of
+    quadratic (the ladder comment at :data:`BAND_PLANS`).
     """
+    n_hashes, n_bands, rows_per_band = resolve_band_plan(docs, plan)
     spark = docs.sparkSession
     # doc → text-group membership, for the final fan-out. Narrow
     # (doc_id, ckey) relation consumed by both fan-out sides —
@@ -388,45 +695,76 @@ def near_dup_candidates(
         )
         .repartition(n_spread, col("doc_id"))
     )
-    # The md5 is paid ONCE per shingle here (shingle_hashes) — Spark
-    # does not CSE through higher-order lambdas, so hashing inside each
-    # of the 16 permutations would cost 16×. X4: the hashed relation
-    # then feeds four consumers (signature, both sides of the Jaccard
-    # rerank, the self-candidate arm) — materialize it once via a LAZY
-    # localCheckpoint rather than .cache(): a catalog cache is pinned
-    # until someone calls unpersist (which a query that returns a lazy
-    # plan can never do), while checkpoint blocks are reclaimed by the
-    # ContextCleaner as soon as the plan is garbage-collected. Caveat
-    # at cluster scale: localCheckpoint blocks are not recomputable on
-    # executor loss — acceptable for a single-query scratch relation.
-    sh = (
-        reps.select(
-            "ckey",
-            col("doc_id").alias("rep"),
-            "grp_n",
-            shingle_hashes(char_shingles_of_clean(col("ctext"), _SHINGLE_K)).alias(
-                "hv"
-            ),
+    # Materialize the NARROW collapsed relation (ckey, rep, grp_n,
+    # ctext — ~300 B/row) via a LAZY localCheckpoint rather than
+    # .cache(): a catalog cache is pinned until someone calls
+    # unpersist (which a query that returns a lazy plan never can),
+    # while checkpoint blocks are reclaimed by the ContextCleaner as
+    # soon as the plan is garbage-collected. Round 9: this REPLACES
+    # the old checkpoint of the full shingle-hash relation (hv is
+    # ~2.3 kB/row — ~11.5 GB at the 1000× point, written once and
+    # re-read by three consumers); hv is now computed inline where the
+    # signature stage consumes it and RE-computed only for the
+    # candidate reps the verify stage touches (candidate-sized).
+    # Caveat at cluster scale: localCheckpoint blocks are not
+    # recomputable on executor loss — acceptable for single-query
+    # scratch relations.
+    rel = reps.select(
+        "ckey", col("doc_id").alias("rep"), "grp_n", "ctext"
+    ).transform(materialize)
+    # The md5 is paid ONCE per shingle (shingle_hashes) — Spark does
+    # not CSE through higher-order lambdas, so hashing inside each
+    # permutation would cost n_hashes×. The nested select keeps hv a
+    # bound intermediate evaluated once per row (CollapseProject will
+    # not inline a non-cheap expression referenced more than once).
+    hv_rel = rel.select(
+        "rep",
+        shingle_hashes(char_shingles_of_clean(col("ctext"), _SHINGLE_K)).alias(
+            "hv"
+        ),
+    )
+    if n_hashes > _N_HASHES:
+        # adaptive tiers: ONE vectorized Arrow pass computes the
+        # signature matrix worker-side (the interpreted-HOF cost is
+        # quadratic in plan growth — see _minhash_sigs_arrow) and
+        # ships back only (rep, n, bands) with int64 band keys — no
+        # md5 strings, and the cap-window/self-join shuffle carries
+        # 8 B keys instead of ~50 B. The floor keeps the pure-JVM
+        # expression plan with md5-string band keys — the config
+        # whose banding the DuckDB oracles mirror (every gate corpus
+        # resolves to the floor; tier plans are oracle-invisible).
+        sigb = _minhash_bands_arrow(hv_rel, n_hashes, n_bands, rows_per_band)
+    else:
+        sigb = hv_rel.select(
+            "rep",
+            F.size("hv").alias("n"),
+            lsh_bands(
+                minhash_signature_from_hashes(col("hv"), n_hashes),
+                n_bands,
+                rows_per_band,
+            ).alias("bands"),
         )
-        .transform(materialize)
-    )
-    sig = sh.select(
-        "rep",
-        minhash_signature_from_hashes(col("hv"), _N_HASHES).alias("sig"),
-    )
-    banded = sig.select(
-        "rep",
-        F.explode(lsh_bands(col("sig"), _N_BANDS, _ROWS_PER_BAND)).alias("band_key"),
-    )
+    banded = sigb.select("rep", "n", F.explode("bands").alias("band_key"))
     # Hot-bucket cap (see cap_hot_buckets for the window-vs-agg trade)
     capped = cap_hot_buckets(banded, ["band_key"], band_cap)
     a = capped.alias("a")
     b = capped.alias("b")
+    # Exact size-ratio prefilter INSIDE the self-join (round 9; it
+    # lived downstream as two joins against a sizes relation):
+    # J = |A∩B|/|A∪B| ≤ min(|A|,|B|)/max(|A|,|B|), so a candidate
+    # whose shingle-set sizes differ by more than the Jaccard floor
+    # is doomed — drop it before it exists. Provably output-identical
+    # (the oracle needs no mirror); at 100× it removed ~4/5 of the
+    # floor plan's candidates (measured round 8).
     cross = (
         a.join(
             b,
             (col("a.band_key") == col("b.band_key"))
-            & (col("a.rep") < col("b.rep")),
+            & (col("a.rep") < col("b.rep"))
+            & (
+                F.least(col("a.n"), col("b.n")).cast("double")
+                >= F.greatest(col("a.n"), col("b.n")) * F.lit(_JACCARD_MIN)
+            ),
         )
         .select(col("a.rep").alias("rep_a"), col("b.rep").alias("rep_b"))
         .distinct()
@@ -434,18 +772,20 @@ def near_dup_candidates(
     # multi-member groups verify once against themselves (rep, rep) —
     # the fan-out in near_dup_pairs turns that row into all
     # within-group pairs
-    self_cand = sh.filter(col("grp_n") > 1).select(
+    self_cand = rel.filter(col("grp_n") > 1).select(
         col("rep").alias("rep_a"), col("rep").alias("rep_b")
     )
     cand = cross.unionByName(self_cand)
-    return keyed, sh, cand
+    return keyed, rel, cand
 
 
 def verified_rep_pairs(
-    docs: DataFrame, band_cap: int = _BAND_CAP
+    docs: DataFrame,
+    band_cap: int = _BAND_CAP,
+    plan: "tuple[int, int, int] | str | None" = "auto",
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Candidate generation + exact-Jaccard verify, at REPRESENTATIVE
-    level: returns ``(keyed, sh, verified)`` where verified is
+    level: returns ``(keyed, rel, verified)`` where verified is
     (ckey_a, ckey_b, rep_a, rep_b, jaccard) — cross-group pairs plus
     one (rep, rep) row per verified multi-member group. This tiny
     relation is the whole dedup signal; both the pair fan-out
@@ -455,35 +795,39 @@ def verified_rep_pairs(
     quadratic in group size. Materialized via lazy localCheckpoint —
     downstream sorts/iterations replay the checkpoint, not the chain.
     """
-    keyed, sh, cand = near_dup_candidates(docs, band_cap)
-    # Exact size-ratio prefilter: J = |A∩B|/|A∪B| ≤ min(|A|,|B|) /
-    # max(|A|,|B|), so any candidate whose shingle-set sizes differ by
-    # more than the Jaccard floor is doomed — drop it on a NARROW
-    # (rep, n) int relation before the heavy hv-array joins ship
-    # hundreds of hashes per row through the shuffle. Provably
-    # output-identical (the oracle needs no mirror), pure plan
-    # optimization; at 100× data it removes ~4/5 of the 1.6 M
-    # candidates before the array join (measured round 8).
-    sizes = sh.select(col("rep"), F.size("hv").alias("n"))
-    cand = (
-        cand.join(
-            sizes.select(col("rep").alias("rep_a"), col("n").alias("n_a")),
-            "rep_a",
-        )
-        .join(
-            sizes.select(col("rep").alias("rep_b"), col("n").alias("n_b")),
-            "rep_b",
-        )
-        .filter(
-            F.least("n_a", "n_b").cast("double")
-            >= F.greatest("n_a", "n_b") * F.lit(_JACCARD_MIN)
-        )
-        .select("rep_a", "rep_b")
+    keyed, rel, cand = near_dup_candidates(docs, band_cap, plan)
+    # cand is candidate-sized and feeds THREE consumers below (the
+    # rep-set derivation and both verify-join probes) — materialize it
+    # so none of them replays the banding/self-join chain.
+    cand = materialize(cand)
+    # Round 9: the exact-Jaccard verify recomputes shingle hashes for
+    # the CANDIDATE reps only (candidate-sized work — the size-ratio
+    # prefilter now lives inside the band self-join). The heavy
+    # ~2.3 kB/row hv relation is never checkpointed or shuffled:
+    # cand_reps arrives broadcast-sized after its distinct, so the
+    # rel ⋈ cand_reps probe is a map-side filter over the narrow
+    # checkpoint, and the per-shingle md5 is paid only for rows that
+    # reach the verify.
+    cand_reps = (
+        cand.select(col("rep_a").alias("rep"))
+        .unionByName(cand.select(col("rep_b").alias("rep")))
+        .distinct()
     )
-    sa = sh.select(
+    hv_small = (
+        rel.join(cand_reps, "rep")
+        .select(
+            "rep",
+            "ckey",
+            shingle_hashes(
+                char_shingles_of_clean(col("ctext"), _SHINGLE_K)
+            ).alias("hv"),
+        )
+        .transform(materialize)
+    )
+    sa = hv_small.select(
         col("rep").alias("rep_a"), col("hv").alias("sh_a"), col("ckey").alias("ckey_a")
     )
-    sb = sh.select(
+    sb = hv_small.select(
         col("rep").alias("rep_b"), col("hv").alias("sh_b"), col("ckey").alias("ckey_b")
     )
     jac = F.size(F.array_intersect(col("sh_a"), col("sh_b"))).cast("double") / F.size(
@@ -497,7 +841,7 @@ def verified_rep_pairs(
         .select("ckey_a", "ckey_b", "rep_a", "rep_b", "jaccard")
         .transform(materialize)
     )
-    return keyed, sh, verified
+    return keyed, rel, verified
 
 
 @query("doc_near_dup_pairs", oracle=_near_dup_oracle())
@@ -1268,7 +1612,10 @@ def doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def doc_components(
-    docs: DataFrame, band_cap: int = _BAND_CAP, cc: str = "auto"
+    docs: DataFrame,
+    band_cap: int = _BAND_CAP,
+    cc: str = "auto",
+    plan: "tuple[int, int, int] | str | None" = "auto",
 ) -> DataFrame:
     """(node=doc_id, component=min doc_id in its near-dup cluster) for
     every CLUSTERED document — the rep-level decomposition underlying
@@ -1287,7 +1634,7 @@ def doc_components(
     graph turns out deeper than the iteration budget), or
     ``"min_label"`` / ``"star"`` to force one.
     """
-    keyed, sh, verified = verified_rep_pairs(docs, band_cap)
+    keyed, rel, verified = verified_rep_pairs(docs, band_cap, plan)
     cross = verified.filter(col("rep_a") != col("rep_b"))
     comp_rep = component_walk(cross, "rep_a", "rep_b", cc)
     self_only = (
@@ -1297,7 +1644,7 @@ def doc_components(
         .withColumn("component", col("node"))
     )
     rep_comp = comp_rep.unionByName(self_only)
-    rep_ckey = sh.select(col("rep").alias("node"), "ckey")
+    rep_ckey = rel.select(col("rep").alias("node"), "ckey")
     return (
         rep_comp.join(rep_ckey, "node")
         .join(keyed, "ckey")

@@ -115,6 +115,99 @@ def test_exact_dup_collapse_bounds_candidates(spark):
     assert len(cands) <= 51 * 50 // 2 + 1
 
 
+def test_auto_band_plan_ladder(spark):
+    """The corpus-adaptive banding ladder: floor through every
+    oracle-gate corpus size, then tiers at the documented budget
+    points (expected false candidates ≤ corpus size at J_bg=0.1)."""
+    from pulsar_spark_spark.plans.text import auto_band_plan, resolve_band_plan
+
+    assert auto_band_plan(500) == (16, 4, 4)  # sf0.01 gate
+    assert auto_band_plan(5_000) == (16, 4, 4)  # sf0.1 bench
+    assert auto_band_plan(20_000) == (16, 4, 4)
+    assert auto_band_plan(50_000) == (60, 10, 6)  # 10x scale point
+    assert auto_band_plan(500_000) == (96, 12, 8)  # 100x
+    assert auto_band_plan(5_000_000) == (96, 12, 8)  # 1000x
+    assert auto_band_plan(2_000_000_000) == (160, 16, 10)
+    # every ladder plan satisfies bands*rows == hashes
+    from pulsar_spark_spark.plans.text import BAND_PLANS, _TOP_PLAN
+
+    for _, (h, b, r) in BAND_PLANS + [(0, _TOP_PLAN)]:
+        assert b * r == h
+    # in-memory relations (no input files) pin to the floor
+    df = spark.createDataFrame([(1, "a b c")], "doc_id int, text string")
+    assert resolve_band_plan(df, "auto") == (16, 4, 4)
+    # malformed explicit plans fail loudly
+    import pytest
+
+    with pytest.raises(ValueError):
+        resolve_band_plan(df, (16, 4, 5))
+
+
+def test_arrow_minhash_parity_with_expression_form(spark):
+    """The adaptive-tier Arrow signature stage must produce values
+    BIT-IDENTICAL to the Catalyst expression form — same (a·h+b) mod P
+    arithmetic, numpy Mersenne folds vs JVM pmod — including the
+    empty-hash-array → array-of-NULLs edge."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.functions import col
+
+    from pulsar_spark_spark.functions.text import (
+        char_shingles_of_clean,
+        clean_text,
+        minhash_signature_from_hashes,
+        shingle_hashes,
+    )
+    from pulsar_spark_spark.plans.text import _minhash_sigs_arrow
+
+    texts = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "pack my box with five dozen liquor jugs"),
+        (3, ""),  # empty text -> empty hv -> all-NULL signature
+        (4, "the quick brown fox jumps over the lazy cat"),
+    ]
+    sh = spark.createDataFrame(texts, "rep long, text string").select(
+        "rep",
+        shingle_hashes(
+            char_shingles_of_clean(clean_text(col("text")), 8)
+        ).alias("hv"),
+    )
+    for n in (60, 96):
+        want = {
+            r["rep"]: r["sig"]
+            for r in sh.select(
+                "rep", minhash_signature_from_hashes(col("hv"), n).alias("sig")
+            ).collect()
+        }
+        got = {
+            r["rep"]: r["sig"] for r in _minhash_sigs_arrow(sh, n).collect()
+        }
+        assert got == want
+        assert got[3] == [None] * n
+
+
+def test_band_plans_agree_on_gate_fixture(spark):
+    """Bigger banding plans are a candidate-generation change, not a
+    semantics change: on the sf0.01 fixture every tier produces the
+    identical verified pair set (deterministic md5 hashing; the exact
+    verify is plan-independent). At the fixture's similarity profile
+    no true pair is banding-marginal, so this pins tier equivalence
+    where the oracle gate lives."""
+    from pulsar_spark_spark.plans.text import near_dup_pairs
+    from pulsar_spark_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, "documents", SF_DIR)
+    floor = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in near_dup_pairs(docs).collect()
+    }
+    tier2 = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in near_dup_pairs(docs, plan=(60, 10, 6)).collect()
+    }
+    assert floor and tier2 == floor
+
+
 def test_exact_dup_fanout_emits_all_member_pairs(spark):
     """The collapse is an optimization, not a semantics change: every
     within-group pair must still come out, at jaccard 1.0."""

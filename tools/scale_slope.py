@@ -17,6 +17,9 @@ A ratio >> K means a superlinear join blow-up — a bug to fix, not a
 number to report.
 
 Usage:  python tools/scale_slope.py [query-substring ...]
+        python tools/scale_slope.py --render-only
+          (regenerate SCALE.md from the committed scale_slope.json
+           without re-measuring — for narrative-text edits)
 """
 
 from __future__ import annotations
@@ -66,6 +69,10 @@ SF100_SUBSET = {
     "ann_topk_ivf",
     "doc_near_dup_pairs",
     "doc_dedup_clusters",
+    # round 9: the rest of the text-dedup family — their gram-join
+    # candidates are df-cap bounded (linear), measured to confirm
+    "doc_winnow_fingerprints",
+    "doc_ngram_jaccard",
 }
 
 # The heaviest bench queries (r5 ordering) — every family with a
@@ -123,6 +130,12 @@ def _time_query(spark, name: str, sf_dir: str, runs: int) -> float:
 
 
 def main(filters) -> None:
+    if "--render-only" in filters:
+        # regenerate SCALE.md + summary fields from the committed
+        # sidecar — no measurement, for narrative-text edits
+        with open(os.path.join(ROOT, "scale_slope.json")) as f:
+            _summarize_and_render(json.load(f)["queries"], SCALES)
+        return
     scales = [s for s in SCALES if os.path.isdir(s[1])]
     if not scales:
         sys.exit("run tools/gen_scale.py first (missing .scale/sf1)")
@@ -196,6 +209,10 @@ def main(filters) -> None:
         while _glob.glob("/tmp/blockmgr-*") and _time.time() < deadline:
             _time.sleep(2)
 
+    _summarize_and_render(results, scales)
+
+
+def _summarize_and_render(results: dict, scales) -> None:
     summary: dict = {
         "scales": (
             "sf0.1 (17 MB) base; 10x/100x (and optional corpus-only "
@@ -259,14 +276,20 @@ def main(filters) -> None:
         "With K× rows, linear-work queries should land ≤K×; fixed",
         "per-query overhead (~0.3–0.5 s planning + task launch) pulls",
         "short queries well below K×. Anything ≫K× would flag a",
-        "superlinear join — none observed (every ratio is well under",
-        "its K). Decade-over-decade is the finer read: the text-dedup",
-        "rows' LAST decade (100×→1000×, tens of GB of shuffle and",
-        "checkpoint scratch on one box) runs ~linear for the pairs",
-        "query and superlinear for the clusters query's CC walk —",
-        "single-disk spill bandwidth, which a real cluster spreads",
-        "across executors, not a join blow-up (candidate counts stay",
-        "capped).",
+        "superlinear join. Round 9 caught exactly one: the text-dedup",
+        "family's last decade ran ×26 wall for ×10 data because a",
+        "FIXED MinHash banding plan has a constant false-candidate",
+        "probability PER DOCUMENT PAIR (~b·J_bg^r at the corpus's",
+        "background similarity) — candidate count grows with the",
+        "square of the corpus (profiled: 1.58 M candidates from 500 k",
+        "docs at 100×, 252 surviving the exact verify;",
+        "tools/profile_neardup.py). Fixed by the corpus-adaptive",
+        "banding ladder (plans/text.py auto_band_plan — more hashes ×",
+        "more rows-per-band as the corpus grows, floored at the",
+        "oracle config through 20 k docs so every gate/bench corpus",
+        "keeps the committed plan). Decade-over-decade excess beyond",
+        "that is shuffle/checkpoint scratch on one box's disk, which",
+        "a real cluster spreads across executors.",
         "",
         "| query | sf0.1 (s) | "
         + " | ".join(f"{f}× (s) | ratio" for _l, f in col_scales)
@@ -291,7 +314,10 @@ def main(filters) -> None:
         "pruned probe slope. `doc_near_dup_pairs`/`doc_dedup_clusters`",
         "carry the round-7 skew guards (exact-text collapse + band-",
         "bucket cap), which bound per-bucket candidate work as the",
-        "corpus grows dirtier; `embedding_near_dup_pairs`/`_clusters`",
+        "corpus grows dirtier, plus the round-9 adaptive banding",
+        "plan — (60,10,6) at 10×, (96,12,8) at 100×/1000× — which",
+        "keeps the CROSS-bucket false-candidate count linear in the",
+        "corpus; `embedding_near_dup_pairs`/`_clusters`",
         "carry the round-8 port of the same guards (exact-embedding",
         "collapse + 4×8-bit SRP tables + per-bucket cap); the shingle",
         "stage hashes PRE-CLEANED text projected as a real column",
