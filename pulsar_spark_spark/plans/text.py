@@ -449,6 +449,36 @@ def near_dup_pairs(
     )
 
 
+def _splitmix64(acc, v):
+    """One splitmix64 mixing round over uint64 numpy vectors — the
+    band-key hash for the adaptive tiers (opaque join keys: only the
+    partition they induce matters, not the bytes)."""
+    import numpy as np
+
+    acc = acc ^ v
+    acc = (acc + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    acc = (acc ^ (acc >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    acc = (acc ^ (acc >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return acc ^ (acc >> np.uint64(31))
+
+
+def _band_matrix(sig_t, n_bands, rows_per_band):
+    """(n_bands × n_rows) uint64 band keys from the signature matrix:
+    splitmix64 fold of each band's signature slice, seeded by the band
+    index so identical slices in different bands cannot collide."""
+    import numpy as np
+
+    n_rows = sig_t.shape[1]
+    su = sig_t.view(np.uint64)
+    bands = np.empty((n_bands, n_rows), dtype=np.uint64)
+    for b in range(n_bands):
+        acc = _splitmix64(np.full(n_rows, np.uint64(b)), su[b * rows_per_band])
+        for j in range(1, rows_per_band):
+            acc = _splitmix64(acc, su[b * rows_per_band + j])
+        bands[b] = acc
+    return bands
+
+
 def _mh_sig_matrix(flat, red, consts, n_rows):
     """Shared numpy MinHash kernel: (n_hashes × n_rows) int64 matrix of
     per-permutation minima over the segmented ``flat`` hash values.
@@ -550,85 +580,129 @@ def _minhash_sigs_arrow(sh: DataFrame, n_hashes: int) -> DataFrame:
     return sh.select("rep", "hv").mapInArrow(fn, "rep bigint, sig array<bigint>")
 
 
-def _minhash_bands_arrow(
-    sh: DataFrame, n_hashes: int, n_bands: int, rows_per_band: int
+def _text_bands_arrow(
+    rel: DataFrame, n_hashes: int, n_bands: int, rows_per_band: int
 ) -> DataFrame:
-    """(rep, n, bands) in ONE vectorized Arrow pass — the production
-    form of :func:`_minhash_sigs_arrow` for the adaptive tiers: the
-    signature matrix never leaves the worker; what comes back is the
-    shingle-set size (for the exact size-ratio prefilter) and the
-    ``n_bands`` band keys (splitmix64-mixed int64 of the band's
-    signature slice). Band keys are OPAQUE join keys: the banding
-    semantics is the PARTITION they induce over representatives
-    (identical signature slices ⇔ identical keys), not the key bytes,
-    so the mix function is free to differ from the floor tier's
-    md5-string keys — tier plans are oracle-invisible by construction.
-    The signature arithmetic itself is the shared kernel pinned
-    bit-identical to the expression form in pytest."""
-    from pulsar_spark_spark.functions.text import _mh_constants
+    """(rep, n, bands) straight from CLEANED TEXT in ONE vectorized
+    Arrow pass — the adaptive-tier banding stage.
+
+    Everything between the collapsed text and the band keys stays
+    inside the numpy worker: byte-level rolling-hash char-K-grams
+    (8 shifted multiply-adds over the flat utf8 buffer), per-row
+    distinct via one packed (row << 31 | hash) sort, the shared
+    MinHash kernel (:func:`_mh_sig_matrix`, bit-identical to the
+    expression form, pinned in pytest), and splitmix64 band keys.
+    Compared to computing md5 shingle hashes JVM-side and shipping
+    the ~2.3 kB/row hash arrays through Arrow, this ships ~300 B/row
+    of text and no hash arrays at all — measured round 9 as the
+    difference between ~1 ms and ~0.3 ms of single-core CPU per
+    document for the whole signature stage.
+
+    Tier-only semantics notes (tier plans are oracle-invisible —
+    every gate corpus resolves to the floor): the BANDING similarity
+    estimate uses rolling-hash byte-grams rather than the floor's
+    md5 char-gram hashes — an equally uniform family, so banding
+    recall math is unchanged, and the exact-Jaccard VERIFY stays on
+    the floor's md5 family (the verify recomputes hashes for
+    candidate reps), so emitted pair values are identical to the
+    floor's for any candidate set. On multi-byte UTF-8 text,
+    byte-K-grams are a slightly finer shingle than char-K-grams —
+    a banding-side approximation only. Band keys are opaque join
+    keys: only the partition they induce matters. Rows shorter than
+    K chars produce zero grams and share all band keys (then drop at
+    the NULL-Jaccard verify), like the floor's md5-of-empty keys.
+    """
+    from pulsar_spark_spark.functions.text import MINHASH_P, _mh_constants
 
     consts = [_mh_constants(i) for i in range(n_hashes)]
+    K = _SHINGLE_K
 
     def fn(batches):
         import numpy as np
         import pyarrow as pa
 
-        def mix(acc, v):
-            # splitmix64 round over uint64 vectors
-            acc = acc ^ v
-            acc = (acc + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
-            acc = (acc ^ (acc >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-            acc = (acc ^ (acc >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-            return acc ^ (acc >> np.uint64(31))
-
+        M = MINHASH_P
+        # odd 64-bit multiplier (FNV prime); wrap-around mod 2^64
+        pows = np.array(
+            [pow(1099511628211, j, 1 << 64) for j in range(K)], dtype=np.uint64
+        )
         for batch in batches:
             rep = batch.column("rep")
-            hv = batch.column("hv")
-            if isinstance(hv, pa.ChunkedArray):
-                hv = hv.combine_chunks()
-            n_rows = len(hv)
+            txt = batch.column("ctext")
+            if isinstance(txt, pa.ChunkedArray):
+                txt = txt.combine_chunks()
+            n_rows = len(txt)
             if n_rows == 0:
                 continue
-            off = hv.offsets.to_numpy().astype(np.int64)
-            flat = hv.values.to_numpy()
-            base = off[0]
-            if base or len(flat) != off[-1] - base:
-                flat = flat[base : off[-1]]
-                off = off - base
-            n_col = off[1:] - off[:-1]
+            # StringArray exposes offsets only through its raw buffers
+            # (int32 for string, int64 for large_string), positioned
+            # at the array's slice offset
+            off_dtype = (
+                np.int64 if pa.types.is_large_string(txt.type) else np.int32
+            )
+            off = np.frombuffer(txt.buffers()[1], dtype=off_dtype)[
+                txt.offset : txt.offset + n_rows + 1
+            ].astype(np.int64)
+            data = np.frombuffer(txt.buffers()[2], dtype=np.uint8)
+            flat = data[off[0] : off[-1]]
+            off = off - off[0]
+            lens = off[1:] - off[:-1]
+            g_counts = np.maximum(lens - (K - 1), 0)
+            total = int(g_counts.sum())
+            if total == 0:
+                hs = np.empty(0, np.int64)
+                new_off = np.zeros(n_rows + 1, np.int64)
+                n_col = np.zeros(n_rows, np.int64)
+            else:
+                u = flat.astype(np.uint64)
+                L = len(u) - (K - 1)
+                acc = np.zeros(L, dtype=np.uint64)
+                for j in range(K):
+                    acc += u[j : L + j] * pows[j]
+                starts = np.repeat(off[:-1], g_counts)
+                within = np.arange(total) - np.repeat(
+                    np.cumsum(g_counts) - g_counts, g_counts
+                )
+                h = acc[starts + within]
+                # three Mersenne folds bring a 64-bit value into
+                # [0, P]; conditional subtract finishes mod P
+                for _ in range(3):
+                    h = (h & np.uint64(M)) + (h >> np.uint64(31))
+                h = np.where(h >= M, h - M, h)
+                # per-row distinct: hashes fit in 31 bits, so pack
+                # (row << 31 | hash) and single-sort
+                rows = np.repeat(np.arange(n_rows, dtype=np.uint64), g_counts)
+                packed = np.sort((rows << np.uint64(31)) | h)
+                keep = np.ones(total, bool)
+                keep[1:] = packed[1:] != packed[:-1]
+                packed = packed[keep]
+                hs = (packed & np.uint64(M)).astype(np.int64)
+                n_col = np.bincount(
+                    (packed >> np.uint64(31)).astype(np.int64),
+                    minlength=n_rows,
+                ).astype(np.int64)
+                new_off = np.zeros(n_rows + 1, np.int64)
+                np.cumsum(n_col, out=new_off[1:])
             empty = n_col == 0
-            red = off[:-1].copy()
+            red = new_off[:-1].copy()
             red[empty] = 0
-            sig_t = _mh_sig_matrix(flat, red, consts, n_rows)
-            # empty rows: pin every signature slot to P so ALL empty
-            # docs share all band keys (band together, then dropped by
-            # the NULL-Jaccard verify) — exactly like the floor path's
-            # md5-of-empty-string keys
+            sig_t = _mh_sig_matrix(hs, red, consts, n_rows)
             if empty.any():
-                from pulsar_spark_spark.functions.text import MINHASH_P
-
-                sig_t[:, empty] = MINHASH_P
-            bands = np.empty((n_bands, n_rows), dtype=np.uint64)
-            su = sig_t.view(np.uint64)
-            for b in range(n_bands):
-                acc = mix(np.full(n_rows, np.uint64(b)), su[b * rows_per_band])
-                for j in range(1, rows_per_band):
-                    acc = mix(acc, su[b * rows_per_band + j])
-                bands[b] = acc
-            vals = bands.T.ravel().view(np.int64)
+                sig_t[:, empty] = M
+            bands = _band_matrix(sig_t, n_bands, rows_per_band)
             band_arr = pa.ListArray.from_arrays(
                 pa.array(
                     np.arange(0, (n_rows + 1) * n_bands, n_bands),
                     type=pa.int32(),
                 ),
-                pa.array(vals),
+                pa.array(bands.T.ravel().view(np.int64)),
             )
             yield pa.RecordBatch.from_arrays(
                 [rep, pa.array(n_col.astype(np.int32)), band_arr],
                 ["rep", "n", "bands"],
             )
 
-    return sh.select("rep", "hv").mapInArrow(
+    return rel.select("rep", "ctext").mapInArrow(
         fn, "rep bigint, n int, bands array<bigint>"
     )
 
@@ -642,9 +716,8 @@ def near_dup_candidates(
     the skew guards are testable in isolation.
 
     Returns ``(keyed, rel, cand)``: the doc→text-group mapping, the
-    per-unique-text collapsed relation (ckey, rep, grp_n, ctext), and
-    the candidate REP pairs (rep_a, rep_b) after exact-dup collapse,
-    the band-bucket cap and the exact size-ratio prefilter —
+    per-unique-text relation, and the candidate REP pairs
+    (rep_a, rep_b) after exact-dup collapse and the band-bucket cap —
     ``|cand|`` is the quantity the guards bound.
 
     ``plan`` is the (n_hashes, n_bands, rows_per_band) banding config:
@@ -652,6 +725,22 @@ def near_dup_candidates(
     :func:`auto_band_plan` — floored at the oracle config — so the
     false-candidate count stays linear in the corpus instead of
     quadratic (the ladder comment at :data:`BAND_PLANS`).
+
+    The middle relation's SHAPE is tier-dependent (both carry
+    (ckey, rep, grp_n) for the fan-out/cluster consumers):
+
+    - **floor** (every oracle-gate and bench corpus): the committed
+      round-7/8 shape — (…, hv) with the md5 shingle hashes
+      checkpointed once and reused by the signature stage and the
+      verify, md5-string band keys, size-ratio prefilter downstream.
+      Cheapest at fixture scale (few stages, hv paid exactly once)
+      and the plan whose banding the DuckDB oracles mirror.
+    - **adaptive tiers**: a NARROW (…, ctext) checkpoint instead —
+      at 1000× the hv relation is ~11.5 GB vs ~1.5 GB of text — with
+      the whole signature/banding stage fused into one vectorized
+      Arrow pass (:func:`_text_bands_arrow`), the size-ratio
+      prefilter inside the band self-join, and hv recomputed later
+      for CANDIDATE reps only (candidate-sized).
     """
     n_hashes, n_bands, rows_per_band = resolve_band_plan(docs, plan)
     spark = docs.sparkSession
@@ -695,76 +784,77 @@ def near_dup_candidates(
         )
         .repartition(n_spread, col("doc_id"))
     )
-    # Materialize the NARROW collapsed relation (ckey, rep, grp_n,
-    # ctext — ~300 B/row) via a LAZY localCheckpoint rather than
-    # .cache(): a catalog cache is pinned until someone calls
-    # unpersist (which a query that returns a lazy plan never can),
-    # while checkpoint blocks are reclaimed by the ContextCleaner as
-    # soon as the plan is garbage-collected. Round 9: this REPLACES
-    # the old checkpoint of the full shingle-hash relation (hv is
-    # ~2.3 kB/row — ~11.5 GB at the 1000× point, written once and
-    # re-read by three consumers); hv is now computed inline where the
-    # signature stage consumes it and RE-computed only for the
-    # candidate reps the verify stage touches (candidate-sized).
-    # Caveat at cluster scale: localCheckpoint blocks are not
-    # recomputable on executor loss — acceptable for single-query
-    # scratch relations.
-    rel = reps.select(
-        "ckey", col("doc_id").alias("rep"), "grp_n", "ctext"
-    ).transform(materialize)
-    # The md5 is paid ONCE per shingle (shingle_hashes) — Spark does
-    # not CSE through higher-order lambdas, so hashing inside each
-    # permutation would cost n_hashes×. The nested select keeps hv a
-    # bound intermediate evaluated once per row (CollapseProject will
-    # not inline a non-cheap expression referenced more than once).
-    hv_rel = rel.select(
-        "rep",
-        shingle_hashes(char_shingles_of_clean(col("ctext"), _SHINGLE_K)).alias(
-            "hv"
-        ),
-    )
     if n_hashes > _N_HASHES:
-        # adaptive tiers: ONE vectorized Arrow pass computes the
-        # signature matrix worker-side (the interpreted-HOF cost is
-        # quadratic in plan growth — see _minhash_sigs_arrow) and
-        # ships back only (rep, n, bands) with int64 band keys — no
-        # md5 strings, and the cap-window/self-join shuffle carries
-        # 8 B keys instead of ~50 B. The floor keeps the pure-JVM
-        # expression plan with md5-string band keys — the config
-        # whose banding the DuckDB oracles mirror (every gate corpus
-        # resolves to the floor; tier plans are oracle-invisible).
-        sigb = _minhash_bands_arrow(hv_rel, n_hashes, n_bands, rows_per_band)
-    else:
-        sigb = hv_rel.select(
-            "rep",
-            F.size("hv").alias("n"),
-            lsh_bands(
-                minhash_signature_from_hashes(col("hv"), n_hashes),
-                n_bands,
-                rows_per_band,
-            ).alias("bands"),
+        # ---- adaptive tiers: narrow checkpoint + fused Arrow stage
+        rel = reps.select(
+            "ckey", col("doc_id").alias("rep"), "grp_n", "ctext"
+        ).transform(materialize)
+        sigb = _text_bands_arrow(rel, n_hashes, n_bands, rows_per_band)
+        banded = sigb.select("rep", "n", F.explode("bands").alias("band_key"))
+        capped = cap_hot_buckets(banded, ["band_key"], band_cap)
+        a = capped.alias("a")
+        b = capped.alias("b")
+        # exact size-ratio prefilter INSIDE the self-join:
+        # J ≤ min(|A|,|B|)/max(|A|,|B|), so size-mismatched pairs are
+        # doomed — drop them before they exist (output-identical)
+        cross = (
+            a.join(
+                b,
+                (col("a.band_key") == col("b.band_key"))
+                & (col("a.rep") < col("b.rep"))
+                & (
+                    F.least(col("a.n"), col("b.n")).cast("double")
+                    >= F.greatest(col("a.n"), col("b.n")) * F.lit(_JACCARD_MIN)
+                ),
+            )
+            .select(col("a.rep").alias("rep_a"), col("b.rep").alias("rep_b"))
+            .distinct()
         )
-    banded = sigb.select("rep", "n", F.explode("bands").alias("band_key"))
+        self_cand = rel.filter(col("grp_n") > 1).select(
+            col("rep").alias("rep_a"), col("rep").alias("rep_b")
+        )
+        return keyed, rel, cross.unionByName(self_cand)
+    # ---- floor: the committed shape. The md5 is paid ONCE per
+    # shingle here (shingle_hashes) — Spark does not CSE through
+    # higher-order lambdas, so hashing inside each of the 16
+    # permutations would cost 16×. The hashed relation then feeds
+    # four consumers (signature, both sides of the Jaccard rerank,
+    # the self-candidate arm) — materialize it once via a LAZY
+    # localCheckpoint rather than .cache(): a catalog cache is pinned
+    # until someone calls unpersist (which a query that returns a
+    # lazy plan can never do), while checkpoint blocks are reclaimed
+    # by the ContextCleaner as soon as the plan is garbage-collected.
+    # Caveat at cluster scale: localCheckpoint blocks are not
+    # recomputable on executor loss — acceptable for a single-query
+    # scratch relation.
+    sh = (
+        reps.select(
+            "ckey",
+            col("doc_id").alias("rep"),
+            "grp_n",
+            shingle_hashes(char_shingles_of_clean(col("ctext"), _SHINGLE_K)).alias(
+                "hv"
+            ),
+        )
+        .transform(materialize)
+    )
+    sig = sh.select(
+        "rep",
+        minhash_signature_from_hashes(col("hv"), n_hashes).alias("sig"),
+    )
+    banded = sig.select(
+        "rep",
+        F.explode(lsh_bands(col("sig"), n_bands, rows_per_band)).alias("band_key"),
+    )
     # Hot-bucket cap (see cap_hot_buckets for the window-vs-agg trade)
     capped = cap_hot_buckets(banded, ["band_key"], band_cap)
     a = capped.alias("a")
     b = capped.alias("b")
-    # Exact size-ratio prefilter INSIDE the self-join (round 9; it
-    # lived downstream as two joins against a sizes relation):
-    # J = |A∩B|/|A∪B| ≤ min(|A|,|B|)/max(|A|,|B|), so a candidate
-    # whose shingle-set sizes differ by more than the Jaccard floor
-    # is doomed — drop it before it exists. Provably output-identical
-    # (the oracle needs no mirror); at 100× it removed ~4/5 of the
-    # floor plan's candidates (measured round 8).
     cross = (
         a.join(
             b,
             (col("a.band_key") == col("b.band_key"))
-            & (col("a.rep") < col("b.rep"))
-            & (
-                F.least(col("a.n"), col("b.n")).cast("double")
-                >= F.greatest(col("a.n"), col("b.n")) * F.lit(_JACCARD_MIN)
-            ),
+            & (col("a.rep") < col("b.rep")),
         )
         .select(col("a.rep").alias("rep_a"), col("b.rep").alias("rep_b"))
         .distinct()
@@ -772,11 +862,11 @@ def near_dup_candidates(
     # multi-member groups verify once against themselves (rep, rep) —
     # the fan-out in near_dup_pairs turns that row into all
     # within-group pairs
-    self_cand = rel.filter(col("grp_n") > 1).select(
+    self_cand = sh.filter(col("grp_n") > 1).select(
         col("rep").alias("rep_a"), col("rep").alias("rep_b")
     )
     cand = cross.unionByName(self_cand)
-    return keyed, rel, cand
+    return keyed, sh, cand
 
 
 def verified_rep_pairs(
@@ -796,38 +886,62 @@ def verified_rep_pairs(
     downstream sorts/iterations replay the checkpoint, not the chain.
     """
     keyed, rel, cand = near_dup_candidates(docs, band_cap, plan)
-    # cand is candidate-sized and feeds THREE consumers below (the
-    # rep-set derivation and both verify-join probes) — materialize it
-    # so none of them replays the banding/self-join chain.
-    cand = materialize(cand)
-    # Round 9: the exact-Jaccard verify recomputes shingle hashes for
-    # the CANDIDATE reps only (candidate-sized work — the size-ratio
-    # prefilter now lives inside the band self-join). The heavy
-    # ~2.3 kB/row hv relation is never checkpointed or shuffled:
-    # cand_reps arrives broadcast-sized after its distinct, so the
-    # rel ⋈ cand_reps probe is a map-side filter over the narrow
-    # checkpoint, and the per-shingle md5 is paid only for rows that
-    # reach the verify.
-    cand_reps = (
-        cand.select(col("rep_a").alias("rep"))
-        .unionByName(cand.select(col("rep_b").alias("rep")))
-        .distinct()
-    )
-    hv_small = (
-        rel.join(cand_reps, "rep")
-        .select(
-            "rep",
-            "ckey",
-            shingle_hashes(
-                char_shingles_of_clean(col("ctext"), _SHINGLE_K)
-            ).alias("hv"),
+    if "hv" in rel.columns:
+        # ---- floor shape: hv is checkpointed in rel; the size-ratio
+        # prefilter runs here on a NARROW (rep, n) int relation before
+        # the hv-array joins ship hundreds of hashes per row through
+        # the shuffle. Provably output-identical (the oracle needs no
+        # mirror), pure plan optimization; at 100× under the floor
+        # plan it removed ~4/5 of the 1.6 M candidates (round 8).
+        sizes = rel.select(col("rep"), F.size("hv").alias("n"))
+        cand = (
+            cand.join(
+                sizes.select(col("rep").alias("rep_a"), col("n").alias("n_a")),
+                "rep_a",
+            )
+            .join(
+                sizes.select(col("rep").alias("rep_b"), col("n").alias("n_b")),
+                "rep_b",
+            )
+            .filter(
+                F.least("n_a", "n_b").cast("double")
+                >= F.greatest("n_a", "n_b") * F.lit(_JACCARD_MIN)
+            )
+            .select("rep_a", "rep_b")
         )
-        .transform(materialize)
-    )
-    sa = hv_small.select(
+        hv_rel = rel
+    else:
+        # ---- adaptive tiers: the size prefilter already ran inside
+        # the band self-join; recompute md5 shingle hashes for the
+        # CANDIDATE reps only (candidate-sized work — cand_reps
+        # arrives broadcast-sized after its distinct, so the
+        # rel ⋈ cand_reps probe is a map-side filter over the narrow
+        # text checkpoint). cand feeds three consumers below —
+        # materialize it so none replays the banding chain. NB the
+        # verify hashes with the FLOOR's md5 family regardless of
+        # which family banded the candidates, so emitted jaccard
+        # values are tier-independent.
+        cand = materialize(cand)
+        cand_reps = (
+            cand.select(col("rep_a").alias("rep"))
+            .unionByName(cand.select(col("rep_b").alias("rep")))
+            .distinct()
+        )
+        hv_rel = (
+            rel.join(cand_reps, "rep")
+            .select(
+                "rep",
+                "ckey",
+                shingle_hashes(
+                    char_shingles_of_clean(col("ctext"), _SHINGLE_K)
+                ).alias("hv"),
+            )
+            .transform(materialize)
+        )
+    sa = hv_rel.select(
         col("rep").alias("rep_a"), col("hv").alias("sh_a"), col("ckey").alias("ckey_a")
     )
-    sb = hv_small.select(
+    sb = hv_rel.select(
         col("rep").alias("rep_b"), col("hv").alias("sh_b"), col("ckey").alias("ckey_b")
     )
     jac = F.size(F.array_intersect(col("sh_a"), col("sh_b"))).cast("double") / F.size(
