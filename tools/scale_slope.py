@@ -287,9 +287,16 @@ def _summarize_and_render(results: dict, scales) -> None:
         "banding ladder (plans/text.py auto_band_plan — more hashes ×",
         "more rows-per-band as the corpus grows, floored at the",
         "oracle config through 20 k docs so every gate/bench corpus",
-        "keeps the committed plan). Decade-over-decade excess beyond",
-        "that is shuffle/checkpoint scratch on one box's disk, which",
-        "a real cluster spreads across executors.",
+        "keeps the committed plan); last decades now ×6–9 for ×10",
+        "data. The winnow/ngram fourth-decade rows (×15/decade) are a",
+        "different, BOUNDED shape: their gram self-join emits ≤",
+        "df-cap (64) rows per (doc, gram) — a linear asymptote — but",
+        "the surviving-gram df distribution fattens toward the cap as",
+        "the corpus grows, so the fanout constant itself grows",
+        "between decades until it saturates at the cap; that plus",
+        "single-box shuffle spill is the ×15 (a real cluster spreads",
+        "the spill; true winnowing — window-minima gram selection —",
+        "would cut the constant ~4× and is the next lever).",
         "",
         "| query | sf0.1 (s) | "
         + " | ".join(f"{f}× (s) | ratio" for _l, f in col_scales)
