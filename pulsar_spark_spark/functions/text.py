@@ -85,6 +85,47 @@ def char_shingles(col: Column, k: int = 5) -> Column:
 # ---------------------------------------------------------------------
 
 
+def winnow_minima(grams: Column, w: int) -> Column:
+    """Distinct window-minima fingerprints of a POSITIONAL gram-hash
+    array — true winnowing (Schleimer, Wilkerson & Aiken, SIGMOD'03):
+    for every window of ``w`` consecutive grams keep the window
+    minimum; a document with fewer than ``w`` grams (but ≥ 1) keeps
+    its global minimum, so no non-empty document fingerprints to
+    nothing. ``w=1`` degenerates to ``array_distinct(grams)`` — the
+    select-everything behavior the df-cap tests pin in isolation.
+
+    Selection is VALUE-level (the fingerprint set is the distinct
+    minima values), so the rightmost-vs-leftmost tie rule of the
+    paper's robust variant cannot change the output — ties select the
+    same value either way. Guarantee: any shared run of ≥ w
+    consecutive grams between two documents shares ≥ 1 fingerprint;
+    expected density is 2/(w+1) of the distinct grams, the ~w/2×
+    reduction that keeps the downstream gram self-join linear.
+
+    Scale shape: a pure per-row expression (sequence + slice +
+    array_min inside one transform) — whole-stage-codegen'd JVM work,
+    NO window function, NO per-doc shuffle or sort. O(n·w) element
+    touches per doc; at w=8 that constant beats shipping w/2× more
+    rows into the gram-keyed join by an order of magnitude.
+
+    CALLER CONTRACT: pass a bound attribute (a projected column), not
+    an inline expression — the lambda embeds ``grams`` verbatim and
+    Spark re-evaluates non-lambda subtrees per element (the
+    char_shingles_of_clean trap).
+    """
+    if w <= 1:
+        return F.array_distinct(grams)
+    sel = F.transform(
+        F.sequence(F.lit(w), F.size(grams)),
+        lambda i: F.array_min(F.slice(grams, i - w + 1, w)),
+    )
+    return (
+        F.when(F.size(grams) >= w, F.array_distinct(sel))
+        .when(F.size(grams) > 0, F.array(F.array_min(grams)))
+        .otherwise(F.expr("CAST(array() AS ARRAY<BIGINT>)"))
+    )
+
+
 def md5_i64(col: Column) -> Column:
     """First 60 bits of md5(x) as a non-negative bigint.
 

@@ -51,6 +51,7 @@ from pulsar_spark_spark.functions.text import (
     shingle_hashes,
     simhash16_from_hashes,
     tokens,
+    winnow_minima,
 )
 from pulsar_spark_spark.operators.checkpoint import (
     broadcast_if_bounded,
@@ -191,18 +192,19 @@ _BAND_CAP = 64
 #   (60, 10,  6)             2.0e5     0.95
 #   (96, 12,  8)             1.7e7     0.89
 #   (160, 16, 10)            1.25e9    0.84
+#   (240, 20, 12)            1.0e11    0.76   (0.999 at J=0.9)
 #
 # Recall = 1-(1-J^r)^b is the BANDING hit rate for a true pair at the
 # verify floor; precision is always 1 (the exact-Jaccard verify).
-# Pairs at J ≥ 0.9 stay ≥ 0.97 on every tier, and exact duplicates
-# never depend on banding at all (the collapse + (rep, rep)
-# self-candidate arm). The floor tier is deliberately held through
-# 20 k docs — past its own 5 k budget point — so the sf0.1 bench
-# corpus keeps the committed plan; the cost is a bounded ~4×-of-n
-# candidate overhang at 20 k, paid in narrow int rows. Past 1.25e9
-# docs the top tier's per-pair rate (1.6e-9) starts compounding
-# again — add a (b=20, r=12) tier before pointing this at a 10¹⁰-doc
-# crawl. More hashes cost one extra integer array-transform per
+# Pairs at J ≥ 0.9 stay ≥ 0.97 on every tier (the top tier's J=0.8
+# recall is the honest trade for holding the FP budget at 10¹¹ docs —
+# raise b past 20 if the 0.8-band matters at that scale), and exact
+# duplicates never depend on banding at all (the collapse +
+# (rep, rep) self-candidate arm). The floor tier is deliberately held
+# through 20 k docs — past its own 5 k budget point — so the sf0.1
+# bench corpus keeps the committed plan; the cost is a bounded
+# ~4×-of-n candidate overhang at 20 k, paid in narrow int rows.
+# More hashes cost one extra integer array-transform per
 # permutation per doc (the md5 per shingle is paid ONCE regardless,
 # in shingle_hashes) — linear, trivially parallel; at 100× the
 # round-9 re-measure showed the bigger plan repaying that within the
@@ -211,8 +213,9 @@ BAND_PLANS: list[tuple[int, tuple[int, int, int]]] = [
     (20_000, (_N_HASHES, _N_BANDS, _ROWS_PER_BAND)),
     (200_000, (60, 10, 6)),
     (16_700_000, (96, 12, 8)),
+    (1_250_000_000, (160, 16, 10)),
 ]
-_TOP_PLAN = (160, 16, 10)
+_TOP_PLAN = (240, 20, 12)
 
 
 def auto_band_plan(n_docs: int) -> tuple[int, int, int]:
@@ -259,13 +262,20 @@ def resolve_band_plan(
                 local = p[5:] if p.startswith("file:") else p
                 try:
                     n += pq.ParquetFile(local).metadata.num_rows
-                except OSError:
-                    # non-local / non-parquet source: fall back to one
-                    # counted scan rather than guessing
+                except (OSError, ValueError):
+                    # non-local / non-parquet source (pq raises
+                    # ArrowInvalid — a ValueError — on e.g. a CSV/JSON
+                    # input file): fall back to one counted scan rather
+                    # than guessing
                     n = docs.count()
                     break
             _DOCS_ROWS_MEMO[key] = n
         return auto_band_plan(n)
+    if isinstance(plan, str):
+        raise ValueError(
+            f"band plan {plan!r}: accepted values are 'auto', None, or an"
+            " explicit (n_hashes, n_bands, rows_per_band) 3-tuple"
+        )
     n_hashes, n_bands, rows = plan
     if n_bands * rows != n_hashes:
         raise ValueError(
@@ -643,11 +653,27 @@ def _text_bands_arrow(
             off = np.frombuffer(txt.buffers()[1], dtype=off_dtype)[
                 txt.offset : txt.offset + n_rows + 1
             ].astype(np.int64)
-            data = np.frombuffer(txt.buffers()[2], dtype=np.uint8)
+            dbuf = txt.buffers()[2]
+            # an all-null/all-empty batch may carry no data buffer at
+            # all — treat it as zero bytes, not a frombuffer(None) crash
+            data = (
+                np.frombuffer(dbuf, dtype=np.uint8)
+                if dbuf is not None
+                else np.empty(0, np.uint8)
+            )
             flat = data[off[0] : off[-1]]
             off = off - off[0]
             lens = off[1:] - off[:-1]
             g_counts = np.maximum(lens - (K - 1), 0)
+            if txt.null_count:
+                # mask null slots explicitly (the spec leaves their
+                # offsets undefined-but-monotonic): a null text emits
+                # zero grams → all-sentinel signature → dropped at the
+                # NULL-Jaccard verify, matching the floor's md5(NULL)
+                # behavior — pinned in tests/test_near_dup_tiers.py
+                g_counts = np.where(
+                    np.asarray(txt.is_valid()), g_counts, 0
+                )
             total = int(g_counts.sum())
             if total == 0:
                 hs = np.empty(0, np.int64)
@@ -794,17 +820,26 @@ def near_dup_candidates(
         capped = cap_hot_buckets(banded, ["band_key"], band_cap)
         a = capped.alias("a")
         b = capped.alias("b")
-        # exact size-ratio prefilter INSIDE the self-join:
+        # size-ratio prefilter INSIDE the self-join:
         # J ≤ min(|A|,|B|)/max(|A|,|B|), so size-mismatched pairs are
-        # doomed — drop them before they exist (output-identical)
+        # doomed. The counts here are distinct ROLLING-hash grams while
+        # the verify's Jaccard uses the md5 family — cross-family
+        # 31-bit collision drift shifts a distinct count by ~n²/2³²
+        # expected — so the threshold is relaxed by a count-scaled
+        # slack (≥4× the expected two-sided drift) and the exact
+        # md5-family verify downstream re-filters precisely: no pair
+        # the floor semantics would keep is dropped, extra candidates
+        # cost only verify work.
+        big = F.greatest(col("a.n"), col("b.n")).cast("bigint")
+        slack = F.lit(2) + F.shiftright(big * big, 30)
         cross = (
             a.join(
                 b,
                 (col("a.band_key") == col("b.band_key"))
                 & (col("a.rep") < col("b.rep"))
                 & (
-                    F.least(col("a.n"), col("b.n")).cast("double")
-                    >= F.greatest(col("a.n"), col("b.n")) * F.lit(_JACCARD_MIN)
+                    (F.least(col("a.n"), col("b.n")) + slack).cast("double")
+                    >= (big - slack) * F.lit(_JACCARD_MIN)
                 ),
             )
             .select(col("a.rep").alias("rep_a"), col("b.rep").alias("rep_b"))
@@ -1177,31 +1212,68 @@ def doc_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------
 # document fingerprinting via rolling hash (word 3-gram Rabin-style)
+# with TRUE winnowing (window-minima selection, Schleimer SIGMOD'03)
 # ---------------------------------------------------------------------
-# Hot-gram document-frequency cap (standard winnowing practice): a
-# gram shared by d documents produces ~d²/2 join rows, so one stock
-# phrase in 1% of a 100 TB corpus would turn the gram join into a
-# quadratic hot bucket. Any gram with df > cap is dropped from BOTH
-# sides before the self-join, bounding per-key fanout at cap²/2 rows.
-# 64 is far above the fixture's max df (7 at sf0.01, 25 at sf0.1), so
-# fixture results are unchanged; the oracle applies the same cap.
+# Two orthogonal guards keep the gram self-join 100-TB-shaped:
+#
+# 1. WINNOWING (round 10): instead of emitting every distinct word-
+#    3-gram per document, select the minimum gram hash per sliding
+#    window of _WINNOW_W grams — expected density 2/(w+1), i.e. ~4.4×
+#    fewer (doc, gram) rows at w=8 through the explode, the df agg AND
+#    both self-join sides (the join does ~19× less pair work). Any
+#    shared run of ≥ w consecutive grams still shares ≥ 1 fingerprint
+#    (the winnowing guarantee), so containment detection is preserved;
+#    shared-count thresholds scale by the same 2/(w+1). Rounds 1-9
+#    emitted ALL distinct grams — the measured ×15-per-decade fourth
+#    decade (SCALE.md) came from that gram volume.
+# 2. Hot-gram document-frequency cap (standard practice): a gram
+#    shared by d documents produces ~d²/2 join rows, so one stock
+#    phrase in 1% of a 100 TB corpus would turn the gram join into a
+#    quadratic hot bucket. Any surviving fingerprint with df > cap is
+#    dropped from BOTH sides before the self-join, bounding per-key
+#    fanout at cap²/2 rows. 64 is far above the fixture's max df, so
+#    fixture results are unchanged; the oracle applies the same cap.
 _MAX_GRAM_DF = 64
+_WINNOW_W = 8
 
-_SQL_GRAMS = f"""
-    SELECT doc_id, unnest(grams) AS g FROM (
-        SELECT doc_id, list_distinct(list_transform(
+
+def _sql_winnowed_grams(w: int = _WINNOW_W) -> str:
+    """DuckDB mirror of :func:`pruned_grams`' pre-cap stage: positional
+    word-3-gram hashes → window-minima winnowing → distinct, unnested
+    to (doc_id, g) rows. ``w=1`` degenerates to all distinct grams."""
+    pick = (
+        f"""CASE WHEN len(g_pos) >= {w} THEN list_distinct(list_transform(
+                 range({w}, len(g_pos) + 1),
+                 i -> list_min(g_pos[(i - {w} + 1):i])))
+             WHEN len(g_pos) > 0 THEN [list_min(g_pos)]
+             ELSE [] END"""
+        if w > 1
+        else "list_distinct(g_pos)"
+    )
+    return f"""
+    SELECT doc_id, unnest({pick}) AS g FROM (
+        SELECT doc_id, list_transform(
             range(1, greatest(len(toks) - 2, 0) + 1),
             i -> {_sql_md5_i64("toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]")}
-        )) AS grams
+        ) AS g_pos
         FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
     )
 """
 
 
-def pruned_grams(docs: DataFrame, max_gram_df: int = _MAX_GRAM_DF) -> DataFrame:
-    """(doc_id, g) — distinct hashed word-3-grams per document, with
-    grams hotter than ``max_gram_df`` documents discarded (they
-    identify nothing and explode any downstream gram-keyed join).
+_SQL_GRAMS = _sql_winnowed_grams()
+
+
+def pruned_grams(
+    docs: DataFrame, max_gram_df: int = _MAX_GRAM_DF, w: int = _WINNOW_W
+) -> DataFrame:
+    """(doc_id, g) — winnowed word-3-gram fingerprints per document
+    (distinct window-minima over windows of ``w`` grams, see the
+    block comment above), with fingerprints hotter than
+    ``max_gram_df`` documents discarded (they identify nothing and
+    explode any downstream gram-keyed join). ``w=1`` selects every
+    distinct gram — the pre-round-10 behavior, kept for the df-cap
+    isolation tests.
 
     The hot set is tiny by construction (only pathological grams
     exceed the cap) → broadcast anti-join, no extra shuffle of the
@@ -1219,15 +1291,18 @@ def pruned_grams(docs: DataFrame, max_gram_df: int = _MAX_GRAM_DF) -> DataFrame:
             )
         ),
     )
+    g_pos = F.when(F.size(col("toks")) >= 3, grams3).otherwise(
+        F.expr("CAST(array() AS ARRAY<BIGINT>)")
+    )
     exploded = (
         docs.select(col("doc_id"), tok.alias("toks"))
+        # winnow_minima's lambda must read a BOUND attribute — project
+        # the positional gram array first (the per-element
+        # re-evaluation trap in char_shingles_of_clean's docstring)
+        .select("doc_id", g_pos.alias("g_pos"))
         .select(
             "doc_id",
-            F.explode(
-                F.when(F.size(col("toks")) >= 3, F.array_distinct(grams3)).otherwise(
-                    F.expr("CAST(array() AS ARRAY<BIGINT>)")
-                )
-            ).alias("g"),
+            F.explode(winnow_minima(col("g_pos"), w)).alias("g"),
         )
         # every downstream shape reads this at least twice (the hot-set
         # agg + each join side), and Spark re-evaluates the tokenize +
@@ -1246,19 +1321,24 @@ def pruned_grams(docs: DataFrame, max_gram_df: int = _MAX_GRAM_DF) -> DataFrame:
 
 def winnow_pairs(
     docs: DataFrame,
-    min_shared: int = 20,
+    min_shared: int = 5,
     max_gram_df: int = _MAX_GRAM_DF,
+    w: int = _WINNOW_W,
 ) -> DataFrame:
-    """Shared word-3-gram fingerprint counts between document pairs
-    (MOSS/winnowing-style containment detection) over a ``documents``
+    """Shared winnowed-fingerprint counts between document pairs
+    (MOSS/winnowing containment detection) over a ``documents``
     relation with (doc_id, text).
 
-    Pairs sharing ≥ ``min_shared`` surviving grams are
-    contained/overlapping candidates. The join key is the gram
-    hash — bucketed like the LSH join, never all-pairs, and the df cap
-    bounds any single key's fanout.
+    Pairs sharing ≥ ``min_shared`` surviving fingerprints are
+    contained/overlapping candidates. At the default ``w=8`` the
+    fingerprints are a 2/(w+1) ≈ 0.22 density sample of the distinct
+    grams, so ``min_shared=5`` corresponds to the pre-winnowing
+    threshold of ~20 shared grams. The join key is the fingerprint
+    hash — bucketed like the LSH join, never all-pairs, the df cap
+    bounds any single key's fanout, and winnowing cuts the row volume
+    into the join ~4.4× (≈19× less pair work).
     """
-    pruned = pruned_grams(docs, max_gram_df)
+    pruned = pruned_grams(docs, max_gram_df, w)
     a = pruned.alias("a")
     b = pruned.alias("b")
     return (
@@ -1288,13 +1368,16 @@ def winnow_pairs(
               ON a.g = b.g AND a.doc_id < b.doc_id
             GROUP BY a.doc_id, b.doc_id
         )
-        WHERE n_shared >= 20
+        WHERE n_shared >= 5
         ORDER BY doc_a, doc_b
     """,
 )
 def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing-style containment pairs over the documents table with
-    the hot-gram df cap (see :func:`winnow_pairs`).
+    """True-winnowing containment pairs over the documents table:
+    window-minima fingerprint selection (w=8), hot-fingerprint df cap,
+    fingerprint-keyed self-join (see :func:`winnow_pairs`; the oracle
+    mirrors the deterministic window-min selection with a DuckDB
+    list-slice/list_min transform).
 
     The tokenize + md5-per-gram explode is the CPU-dominant stage at
     scale; a single parquet file scans in ~size/128MB tasks, which
@@ -1346,18 +1429,24 @@ _NGRAM_JACCARD_MIN = 0.5
     """,
 )
 def doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-3-gram Jaccard near-dup pairs (the brief's "n-gram
-    Jaccard" dedup family member).
+    """Word-3-gram Jaccard near-dup pairs over the WINNOWED
+    fingerprint sets (the brief's "n-gram Jaccard" dedup family
+    member).
 
-    Candidates come from the same gram-hash equi-join as winnowing
-    (never all-pairs; the df cap bounds per-key fanout), then the exact
-    Jaccard ``|∩| / (|A| + |B| - |∩|)`` is computed from the shared
-    count and per-doc set sizes — all JVM-side integer/double
-    arithmetic, bit-identical in the oracle. Jaccard is taken over the
-    df-capped gram vocabulary: grams present in > ``_MAX_GRAM_DF`` docs
-    carry no identifying signal (standard stop-gram removal), and
-    dropping them on BOTH the numerator and denominator keeps the
-    measure a true Jaccard of the pruned sets.
+    Candidates come from the same fingerprint-hash equi-join as
+    winnowing (never all-pairs; the df cap bounds per-key fanout),
+    then the exact Jaccard ``|∩| / (|A| + |B| - |∩|)`` of the two
+    documents' fingerprint sets is computed from the shared count and
+    per-doc set sizes — all JVM-side integer/double arithmetic,
+    bit-identical in the oracle. Jaccard is taken over the winnowed,
+    df-capped fingerprint vocabulary: window-minima selection is a
+    similarity-preserving coreset of the gram set (near-identical
+    documents select near-identical minima, so their fingerprint
+    Jaccard tracks their gram Jaccard), and grams present in >
+    ``_MAX_GRAM_DF`` docs carry no identifying signal (standard
+    stop-gram removal) — dropping them on BOTH the numerator and
+    denominator keeps the measure a true Jaccard of the selected
+    sets.
 
     Scale shape: one shuffle on the gram hash for candidates, one tiny
     join of the candidate pairs against per-doc sizes. The pruned-gram

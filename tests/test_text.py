@@ -33,8 +33,9 @@ def _stop_phrase_corpus(spark):
 def test_hot_gram_cap_bounds_candidates(spark):
     docs = _stop_phrase_corpus(spark)
     # stop-phrase grams have df=30 > cap=10 → pruned from both join
-    # sides; the genuine pair's grams (df=2) survive
-    out = winnow_pairs(docs, min_shared=2, max_gram_df=10).collect()
+    # sides; the genuine pair's grams (df=2) survive. w=1 disables
+    # winnowing so this pins the df cap in isolation.
+    out = winnow_pairs(docs, min_shared=2, max_gram_df=10, w=1).collect()
     assert {(r["doc_a"], r["doc_b"]) for r in out} == {(100, 101)}
     assert out[0]["n_shared"] == 6
 
@@ -43,8 +44,87 @@ def test_without_cap_stop_phrase_goes_quadratic(spark):
     docs = _stop_phrase_corpus(spark)
     # uncapped, every stop-doc pair is a candidate: 30×29/2 pairs from
     # the phrase alone — the blow-up the cap exists to prevent
-    out = winnow_pairs(docs, min_shared=2, max_gram_df=10_000).collect()
+    out = winnow_pairs(docs, min_shared=2, max_gram_df=10_000, w=1).collect()
     assert len(out) == 30 * 29 // 2 + 1
+
+
+# ---------------------------------------------------------------------
+# true winnowing (round 10: window-minima fingerprint selection)
+# ---------------------------------------------------------------------
+def test_winnow_minima_expression_parity(spark):
+    """The Spark window-minima expression must match a direct Python
+    reference (and hence the DuckDB oracle's list-slice mirror):
+    distinct minima over every window of w consecutive grams; short
+    docs keep the global min; empty docs select nothing; w=1 is the
+    identity (all distinct grams)."""
+    from pyspark.sql.functions import col
+
+    from pulsar_spark_spark.functions.text import winnow_minima
+
+    cases = [
+        (1, [5, 1, 4, 2, 8, 3]),
+        (2, [7, 9]),
+        (3, []),
+        (4, [3, 3, 3, 3, 3]),
+        (5, list(range(100, 0, -1))),  # strictly decreasing
+        (6, [2, 2, 9, 1, 1, 7, 5, 5, 5, 0]),
+    ]
+    df = spark.createDataFrame(cases, "doc_id int, g array<bigint>")
+    for w in (1, 3, 8):
+        got = {
+            r["doc_id"]: sorted(r["sel"])
+            for r in df.select(
+                "doc_id", winnow_minima(col("g"), w).alias("sel")
+            ).collect()
+        }
+        for doc_id, g in cases:
+            if not g:
+                want = []
+            elif w <= 1:
+                want = sorted(set(g))
+            elif len(g) < w:
+                want = [min(g)]
+            else:
+                want = sorted(
+                    {min(g[i : i + w]) for i in range(len(g) - w + 1)}
+                )
+            assert got[doc_id] == want, (doc_id, w)
+
+
+def test_winnowing_guarantee_and_density(spark):
+    """The winnowing guarantee: two documents sharing a run of ≥ w
+    consecutive grams share ≥ 1 fingerprint. And the point of the
+    exercise: the selected-fingerprint volume is a small fraction of
+    the distinct grams (expected density 2/(w+1))."""
+    import random
+
+    from pulsar_spark_spark.plans.text import _WINNOW_W, pruned_grams
+
+    rng = random.Random(10)
+    # letters only: clean_text strips digits, so "tok123"-style vocab
+    # would collapse every token to "tok"
+    vocab = [
+        "".join(rng.choice("abcdefghijklmnopqrstuvwxyz") for _ in range(6))
+        for _ in range(500)
+    ]
+    shared = " ".join(rng.choice(vocab) for _ in range(30))
+    docs = spark.createDataFrame(
+        [
+            (0, " ".join(rng.choice(vocab) for _ in range(300)) + " " + shared),
+            (1, shared + " " + " ".join(rng.choice(vocab) for _ in range(300))),
+        ],
+        "doc_id long, text string",
+    )
+    out = winnow_pairs(docs, min_shared=1).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in out} == {(0, 1)}
+    # 30 shared tokens = 28 shared grams ≥ several windows of w=8:
+    # expect ≥ 28·2/(w+1) − slack shared fingerprints, not just 1
+    assert out[0]["n_shared"] >= 3
+    n_winnowed = pruned_grams(docs).count()
+    n_all = pruned_grams(docs, w=1).count()
+    density = n_winnowed / n_all
+    assert density < 2.0 * 2 / (_WINNOW_W + 1)  # ≲ 2× expected density
+    assert density > 0.5 * 2 / (_WINNOW_W + 1)
 
 
 def test_dedup_corpus_keeps_canonical_per_cluster(spark):
@@ -127,7 +207,11 @@ def test_auto_band_plan_ladder(spark):
     assert auto_band_plan(50_000) == (60, 10, 6)  # 10x scale point
     assert auto_band_plan(500_000) == (96, 12, 8)  # 100x
     assert auto_band_plan(5_000_000) == (96, 12, 8)  # 1000x
-    assert auto_band_plan(2_000_000_000) == (160, 16, 10)
+    assert auto_band_plan(16_700_000) == (96, 12, 8)  # tier boundary
+    assert auto_band_plan(16_700_001) == (160, 16, 10)
+    assert auto_band_plan(2_000_000_000) == (240, 20, 12)  # past 1.25e9
+    assert auto_band_plan(1_250_000_000) == (160, 16, 10)  # at the bound
+    assert auto_band_plan(10**11) == (240, 20, 12)  # top tier open-ended
     # every ladder plan satisfies bands*rows == hashes
     from pulsar_spark_spark.plans.text import BAND_PLANS, _TOP_PLAN
 
@@ -141,6 +225,10 @@ def test_auto_band_plan_ladder(spark):
 
     with pytest.raises(ValueError):
         resolve_band_plan(df, (16, 4, 5))
+    # a string that is not exactly 'auto' must fail loudly too, not
+    # fall through to tuple unpacking
+    with pytest.raises(ValueError, match="accepted values"):
+        resolve_band_plan(df, "Auto")
 
 
 def test_arrow_minhash_parity_with_expression_form(spark):
@@ -183,6 +271,83 @@ def test_arrow_minhash_parity_with_expression_form(spark):
         }
         assert got == want
         assert got[3] == [None] * n
+
+
+def test_arrow_bands_null_and_utf8_contract(spark):
+    """The fused Arrow signature/banding stage's input contract, pinned
+    (round-10 verdict item): NULL text behaves exactly like empty text
+    (zero grams → all-sentinel signature → identical band keys, later
+    dropped at the NULL-Jaccard verify); non-ASCII text hashes its
+    UTF-8 BYTE 8-grams — checked against an independent pure-Python
+    rolling-hash reference; and an all-null batch (Arrow may omit the
+    data buffer entirely) must not crash."""
+    import numpy as np
+
+    from pulsar_spark_spark.functions.text import MINHASH_P, _mh_constants
+    from pulsar_spark_spark.plans.text import (
+        _band_matrix,
+        _mh_sig_matrix,
+        _text_bands_arrow,
+    )
+
+    def ref_gram_hashes(text: str) -> list[int]:
+        bs = text.encode("utf-8")
+        K, M = 8, MINHASH_P
+        pows = [pow(1099511628211, j, 1 << 64) for j in range(K)]
+        out = set()
+        for i in range(len(bs) - K + 1):
+            h = sum(bs[i + j] * pows[j] for j in range(K)) % (1 << 64)
+            for _ in range(3):
+                h = (h & M) + (h >> 31)
+            if h >= M:
+                h -= M
+            out.add(h)
+        return sorted(out)
+
+    texts = [
+        (1, None),
+        (2, ""),
+        (3, "abc"),  # shorter than K chars -> zero grams
+        (4, "der schnelle braune fuchs springt über den faulen hund"),
+        (5, "the quick brown fox jumps over the lazy dog"),
+        (6, "the quick brown fox jumps over the lazy dog"),  # dup of 5
+    ]
+    n_hashes, n_bands, rows_per_band = 60, 10, 6
+    rel = spark.createDataFrame(texts, "rep long, ctext string")
+    got = {
+        r["rep"]: (r["n"], tuple(r["bands"]))
+        for r in _text_bands_arrow(
+            rel, n_hashes, n_bands, rows_per_band
+        ).collect()
+    }
+    assert len(got) == 6
+    # null ≡ empty ≡ too-short: zero grams, identical sentinel bands
+    assert got[1][0] == got[2][0] == got[3][0] == 0
+    assert got[1][1] == got[2][1] == got[3][1]
+    # identical text -> identical (n, bands); distinct text -> distinct
+    assert got[5] == got[6]
+    assert got[4] != got[5]
+    # non-ASCII row: n and bands match the independent byte-gram
+    # reference fed through the module's own minhash/banding kernels
+    consts = [_mh_constants(i) for i in range(n_hashes)]
+    for rep, text in ((4, texts[3][1]), (5, texts[4][1])):
+        hs = np.array(ref_gram_hashes(text), dtype=np.int64)
+        assert got[rep][0] == len(hs)
+        sig = _mh_sig_matrix(hs, np.array([0]), consts, 1)
+        want_bands = tuple(
+            int(x)
+            for x in _band_matrix(sig, n_bands, rows_per_band)[:, 0].view(
+                np.int64
+            )
+        )
+        assert got[rep][1] == want_bands
+    # all-null batch: no data buffer at all — must yield, not crash
+    nulls = spark.createDataFrame(
+        [(7, None), (8, None)], "rep long, ctext string"
+    )
+    out = _text_bands_arrow(nulls, n_hashes, n_bands, rows_per_band).collect()
+    assert sorted(r["rep"] for r in out) == [7, 8]
+    assert all(r["n"] == 0 for r in out)
 
 
 def test_band_plans_agree_on_gate_fixture(spark):
