@@ -1597,6 +1597,7 @@ def update_emb_pair_graph(
     n_tables: int = _EMB_TABLES,
     n_bits: "int | None" = None,
     n_buckets: int = 16,
+    auto_compact: bool = True,
 ) -> None:
     """Extend the persisted embedding near-dup graph with one shard of
     new vectors — serving parity for the dedup family (the ANN queries
@@ -1634,11 +1635,21 @@ def update_emb_pair_graph(
     degrades linearly as the store accumulates corpus — the exact
     failure :func:`auto_emb_bits` diagnoses for the batch path. The
     store therefore tracks its running unique count in ``_GRAPH.json``
-    and this function WARNS once occupancy outgrows the width; the
-    remedy is :func:`compact_emb_pair_graph`, which re-bands the
-    accumulated reps at the adaptive width (a new banded generation)
-    so occupancy returns to the ~cap/2 target and the per-shard bound
-    is restored. Per-shard WRITE I/O is O(batch): the log arm appends
+    and — ``auto_compact=True``, the default since round 10, the same
+    discipline as the MOR log's ``_AUTO_COMPACT_SEGMENTS`` trigger —
+    runs :func:`compact_emb_pair_graph` AFTER the shard commits once
+    the accumulated count outgrows the pinned width
+    (``auto_emb_bits(n_unique) > n_bits``), re-banding the reps at the
+    adaptive width (a new banded generation) so occupancy returns to
+    the ~cap/2 target and the per-shard bound is restored. The
+    compaction is O(n_unique) but width boundaries are geometric in
+    the corpus (one extra bit per doubling past the floor), so the
+    amortized cost per ingested row is O(1) — and because it runs
+    after the meta commit, a crash inside it leaves a fully-committed
+    shard plus the standing occupancy debt, which the next ingest or
+    manual compaction clears. ``auto_compact=False`` keeps the
+    round-9 behavior: WARN and leave compaction to an operator
+    runbook. Per-shard WRITE I/O is O(batch): the log arm appends
     one segment per table instead of rewriting the accumulated state
     (the COW/MOR trade — reads pay the latest-wins merge, bounded by
     the log's LSM auto-compaction). Candidate semantics equal the
@@ -1691,7 +1702,7 @@ def update_emb_pair_graph(
             )
         n_bits = meta["n_bits"]
         banded_gen = meta["banded_gen"]
-        if auto_emb_bits(meta.get("n_unique", 0)) > n_bits:
+        if not auto_compact and auto_emb_bits(meta.get("n_unique", 0)) > n_bits:
             warnings.warn(
                 f"emb pair-graph store {store_dir}: ~{meta['n_unique']} "
                 f"accumulated unique vectors outgrow the {n_bits}-bit "
@@ -1863,15 +1874,23 @@ def update_emb_pair_graph(
     # crashed post-reps meta write undercounts — benign, the count is
     # a sizing heuristic and compaction recomputes it exactly.
     n_new = new_banded.count() // max(1, n_tables)
+    total_unique = (meta or {}).get("n_unique", 0) + n_new
     _write_graph_meta(
         store_dir,
         {
             "n_tables": n_tables,
             "n_bits": n_bits,
             "banded_gen": banded_gen,
-            "n_unique": (meta or {}).get("n_unique", 0) + n_new,
+            "n_unique": total_unique,
         },
     )
+    # auto re-band AFTER the shard's atomic commit (docstring: the
+    # LSM-trigger discipline) — a crash inside compaction cannot lose
+    # or double-fold shard state, only defer the re-band
+    if auto_compact and auto_emb_bits(total_unique) > n_bits:
+        compact_emb_pair_graph(
+            spark, store_dir, table_prefix, n_buckets=n_buckets
+        )
 
 
 def compact_emb_pair_graph(

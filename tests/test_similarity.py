@@ -576,11 +576,14 @@ def test_emb_pair_graph_rebanding_compaction(spark, tmp_path):
         return pb.join(stored.select("tbl", "bucket"), ["tbl", "bucket"]).count()
 
     try:
+        # auto_compact=False throughout the setup: this test pins the
+        # round-9 MANUAL runbook path (warn → operator compaction);
+        # the round-10 auto trigger is pinned separately below
         for s in range(n_shards):
             ids = list(range(s * n_per_shard, (s + 1) * n_per_shard))
             S.update_emb_pair_graph(
                 make_df(ids, vecs[ids[0] : ids[-1] + 1]), store, version=s,
-                table_prefix=prefix,
+                table_prefix=prefix, auto_compact=False,
             )
         meta = S._read_graph_meta(store)
         assert meta == {
@@ -591,7 +594,8 @@ def test_emb_pair_graph_rebanding_compaction(spark, tmp_path):
         extra_noise = rng.standard_normal((1, dim)).astype("float32")
         with pytest.warns(UserWarning, match="outgrow"):
             S.update_emb_pair_graph(
-                make_df([9600], extra_noise), store, version=3, table_prefix=prefix
+                make_df([9600], extra_noise), store, version=3,
+                table_prefix=prefix, auto_compact=False,
             )
 
         # explicit width mismatching the store is refused
@@ -639,6 +643,80 @@ def test_emb_pair_graph_rebanding_compaction(spark, tmp_path):
             for r in S.read_emb_components(spark, store, prefix).collect()
         }
         assert comp[9700] == comp[2] == comp[3] == comp[4] == comp[5]
+    finally:
+        for t in [r["tableName"] for r in spark.sql("SHOW TABLES").collect()]:
+            if t.startswith(prefix):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_emb_pair_graph_auto_compact_rebands_on_ingest(spark, tmp_path):
+    """Round-10: with the default ``auto_compact=True``, an ingest that
+    pushes the accumulated unique count past the width boundary
+    re-bands the store by ITSELF (no operator runbook): the meta
+    advances a banded generation at the adaptive width, the mean
+    bucket occupancy (what the per-shard candidate join scales with)
+    drops ~2×, and the served graph keeps working — a post-reband
+    near-dup still joins its cluster through the re-banded store."""
+    import numpy as np
+    import pandas as pd
+
+    import pulsar_spark_spark.plans.similarity as S
+
+    rng = np.random.default_rng(1010)
+    dim = 64
+
+    def make_df(ids, rows):
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {"vec_id": ids, "embedding": [list(map(float, v)) for v in rows]}
+            ),
+            "vec_id long, embedding array<float>",
+        )
+
+    store = str(tmp_path / "graph10")
+    prefix = "t_emb_autoc"
+    vecs = rng.standard_normal((9000, dim)).astype("float32")
+    base = rng.standard_normal(dim).astype("float32") * 10
+    vecs[7] = base  # planted anchor for the post-reband join check
+
+    try:
+        # setup: one shard below no trigger... 9000 > 8192 boundary, so
+        # suppress the trigger explicitly to stage the outgrown state
+        S.update_emb_pair_graph(
+            make_df(list(range(9000)), vecs), store, version=0,
+            table_prefix=prefix, auto_compact=False,
+        )
+        meta = S._read_graph_meta(store)
+        assert (meta["n_bits"], meta["banded_gen"]) == (8, 0)
+        occ_before = S.emb_graph_stats(spark, store, prefix)["mean_bucket"]
+
+        # DEFAULT ingest: commits the shard, then auto-rebands
+        extra = rng.standard_normal((5, dim)).astype("float32")
+        S.update_emb_pair_graph(
+            make_df(list(range(9000, 9005)), extra), store, version=1,
+            table_prefix=prefix,
+        )
+        meta = S._read_graph_meta(store)
+        assert (meta["n_bits"], meta["banded_gen"]) == (9, 1)
+        assert meta["n_unique"] == 9005  # compaction recounts exactly
+        occ_after = S.emb_graph_stats(spark, store, prefix)["mean_bucket"]
+        assert occ_after < occ_before * 0.7, (occ_before, occ_after)
+
+        # at the new width no further trigger fires, and serving holds:
+        # a near-dup of the planted anchor joins its cluster through
+        # the re-banded store side
+        joiner = base + 0.03 * np.eye(dim, dtype="float32")[0]
+        S.update_emb_pair_graph(
+            make_df([9100], joiner[None, :]), store, version=2,
+            table_prefix=prefix,
+        )
+        meta = S._read_graph_meta(store)
+        assert (meta["n_bits"], meta["banded_gen"]) == (9, 1)
+        comp = {
+            r["node"]: r["component"]
+            for r in S.read_emb_components(spark, store, prefix).collect()
+        }
+        assert comp[9100] == comp[7]
     finally:
         for t in [r["tableName"] for r in spark.sql("SHOW TABLES").collect()]:
             if t.startswith(prefix):
