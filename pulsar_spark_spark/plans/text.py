@@ -40,6 +40,7 @@ from pyspark.sql.functions import col
 
 from pulsar_spark_spark.functions.text import (
     LANG_MARKERS,
+    MINHASH_P,
     char_shingles_of_clean,
     clean_text,
     fingerprint64,
@@ -1214,33 +1215,57 @@ def doc_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # document fingerprinting via rolling hash (word 3-gram Rabin-style)
 # with TRUE winnowing (window-minima selection, Schleimer SIGMOD'03)
 # ---------------------------------------------------------------------
-# Two orthogonal guards keep the gram self-join 100-TB-shaped:
+# Three coordinated guards keep the gram self-join 100-TB-shaped:
 #
-# 1. WINNOWING (round 10): instead of emitting every distinct word-
-#    3-gram per document, select the minimum gram hash per sliding
-#    window of _WINNOW_W grams — expected density 2/(w+1), i.e. ~4.4×
-#    fewer (doc, gram) rows at w=8 through the explode, the df agg AND
-#    both self-join sides (the join does ~19× less pair work). Any
-#    shared run of ≥ w consecutive grams still shares ≥ 1 fingerprint
-#    (the winnowing guarantee), so containment detection is preserved;
-#    shared-count thresholds scale by the same 2/(w+1). Rounds 1-9
-#    emitted ALL distinct grams — the measured ×15-per-decade fourth
-#    decade (SCALE.md) came from that gram volume.
-# 2. Hot-gram document-frequency cap (standard practice): a gram
-#    shared by d documents produces ~d²/2 join rows, so one stock
+# 1. ONE md5 PER TOKEN, grams by integer mixing (round 10): the
+#    per-gram map work used to be concat_ws + a full md5 + conv per
+#    word-3-gram — measured as the DOMINANT stage cost at 100×/1000×
+#    (the join was already df-capped). Gram hashes are now derived
+#    from per-token md5 hashes by a positional linear mix mod P
+#    (t1·A1 + t2·A2 + t3·A3, distinct odd multipliers per position,
+#    BIGINT-safe: t < 2³¹, A < 2³⁰ ⇒ each product < 2⁶¹, sum < 2⁶³) —
+#    the shingle_hashes discipline: pay the expensive hash once,
+#    derive the rest arithmetically. Same family in the DuckDB
+#    oracle, so fingerprints stay value-checked.
+# 2. WINNOWING (round 10): instead of emitting every distinct gram,
+#    select the minimum gram hash per sliding window of _WINNOW_W
+#    grams — expected density 2/(w+1), i.e. ~4.4× fewer (doc, gram)
+#    rows at w=8 through the explode, the df agg, the materialized
+#    checkpoint AND both self-join sides. Any shared run of ≥ w
+#    consecutive grams still shares ≥ 1 fingerprint (the winnowing
+#    guarantee); shared-count thresholds scale by the same 2/(w+1).
+# 3. Hot-fingerprint document-frequency cap (standard practice): a
+#    key shared by d documents produces ~d²/2 join rows, so one stock
 #    phrase in 1% of a 100 TB corpus would turn the gram join into a
 #    quadratic hot bucket. Any surviving fingerprint with df > cap is
 #    dropped from BOTH sides before the self-join, bounding per-key
-#    fanout at cap²/2 rows. 64 is far above the fixture's max df, so
-#    fixture results are unchanged; the oracle applies the same cap.
+#    fanout. The cap is DENSITY-SCALED under winnowing
+#    (cap_w = 2·cap/(w+1) ≈ 14 at w=8): winnowing divides every
+#    gram's df by ~(w+1)/2, so keeping the raw cap would REVIVE
+#    boilerplate grams the cap exists to kill — measured at 100×:
+#    post-cap rows 72k → 150k and join pairs 0.96M → 2.46M with the
+#    unscaled cap, versus the intended ~4× reduction with the scaled
+#    one. The oracle applies the same scaled constant.
 _MAX_GRAM_DF = 64
 _WINNOW_W = 8
+# positional mixing multipliers for the token-hash → gram-hash derive
+_GRAM_MIX = (1_000_000_007, 998_244_353, 777_767_777)
+
+
+def _fp_cap(max_gram_df: int, w: int) -> int:
+    """Effective df cap for winnowed fingerprints: the raw-gram cap
+    scaled by the 2/(w+1) winnow density (identity at w<=1)."""
+    if w <= 1:
+        return max_gram_df
+    return max(4, (2 * max_gram_df) // (w + 1))
 
 
 def _sql_winnowed_grams(w: int = _WINNOW_W) -> str:
-    """DuckDB mirror of :func:`pruned_grams`' pre-cap stage: positional
-    word-3-gram hashes → window-minima winnowing → distinct, unnested
-    to (doc_id, g) rows. ``w=1`` degenerates to all distinct grams."""
+    """DuckDB mirror of :func:`pruned_grams`' pre-cap stage: per-token
+    md5 hashes → positional gram mix → window-minima winnowing →
+    distinct, unnested to (doc_id, g) rows. ``w=1`` degenerates to
+    all distinct grams."""
+    a1, a2, a3 = _GRAM_MIX
     pick = (
         f"""CASE WHEN len(g_pos) >= {w} THEN list_distinct(list_transform(
                  range({w}, len(g_pos) + 1),
@@ -1253,10 +1278,16 @@ def _sql_winnowed_grams(w: int = _WINNOW_W) -> str:
     return f"""
     SELECT doc_id, unnest({pick}) AS g FROM (
         SELECT doc_id, list_transform(
-            range(1, greatest(len(toks) - 2, 0) + 1),
-            i -> {_sql_md5_i64("toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]")}
+            range(1, greatest(len(th) - 2, 0) + 1),
+            i -> (th[i] * {a1} + th[i+1] * {a2} + th[i+2] * {a3})
+                 % {MINHASH_P}
         ) AS g_pos
-        FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+        FROM (
+            SELECT doc_id, list_transform(
+                toks, t -> {_sql_md5_i64('t')} % {MINHASH_P}
+            ) AS th
+            FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+        )
     )
 """
 
@@ -1269,36 +1300,37 @@ def pruned_grams(
 ) -> DataFrame:
     """(doc_id, g) — winnowed word-3-gram fingerprints per document
     (distinct window-minima over windows of ``w`` grams, see the
-    block comment above), with fingerprints hotter than
-    ``max_gram_df`` documents discarded (they identify nothing and
-    explode any downstream gram-keyed join). ``w=1`` selects every
-    distinct gram — the pre-round-10 behavior, kept for the df-cap
-    isolation tests.
+    block comment above), with fingerprints hotter than the
+    density-scaled cap (:func:`_fp_cap` of ``max_gram_df``) discarded
+    (they identify nothing and explode any downstream gram-keyed
+    join). ``w=1`` selects every distinct gram at the raw cap — the
+    pre-round-10 behavior, kept for the df-cap isolation tests.
 
     The hot set is tiny by construction (only pathological grams
     exceed the cap) → broadcast anti-join, no extra shuffle of the
     gram relation.
     """
-    tok = tokens(col("text"))
+    P = MINHASH_P
+    a1, a2, a3 = _GRAM_MIX
+    th = F.transform(tokens(col("text")), lambda t: md5_i64(t) % P)
     grams3 = F.transform(
-        F.sequence(F.lit(0), F.size(col("toks")) - 3),
-        lambda i: md5_i64(
-            F.concat_ws(
-                " ",
-                F.element_at(col("toks"), i + 1),
-                F.element_at(col("toks"), i + 2),
-                F.element_at(col("toks"), i + 3),
-            )
-        ),
+        F.sequence(F.lit(0), F.size(col("th")) - 3),
+        lambda i: (
+            F.element_at(col("th"), i + 1) * a1
+            + F.element_at(col("th"), i + 2) * a2
+            + F.element_at(col("th"), i + 3) * a3
+        )
+        % P,
     )
-    g_pos = F.when(F.size(col("toks")) >= 3, grams3).otherwise(
+    g_pos = F.when(F.size(col("th")) >= 3, grams3).otherwise(
         F.expr("CAST(array() AS ARRAY<BIGINT>)")
     )
     exploded = (
-        docs.select(col("doc_id"), tok.alias("toks"))
-        # winnow_minima's lambda must read a BOUND attribute — project
-        # the positional gram array first (the per-element
-        # re-evaluation trap in char_shingles_of_clean's docstring)
+        docs.select(col("doc_id"), th.alias("th"))
+        # each transform lambda must read a BOUND attribute — project
+        # token hashes, then the positional gram array (the
+        # per-element re-evaluation trap in char_shingles_of_clean's
+        # docstring)
         .select("doc_id", g_pos.alias("g_pos"))
         .select(
             "doc_id",
@@ -1306,14 +1338,14 @@ def pruned_grams(
         )
         # every downstream shape reads this at least twice (the hot-set
         # agg + each join side), and Spark re-evaluates the tokenize +
-        # md5-per-gram projection per consumer (ReuseExchange doesn't
-        # fire across differently-pruned branches) — pay it once.
+        # hash projection per consumer (ReuseExchange doesn't fire
+        # across differently-pruned branches) — pay it once.
         .transform(materialize)
     )
     hot = (
         exploded.groupBy("g")
         .agg(F.count(F.lit(1)).alias("df"))
-        .filter(col("df") > max_gram_df)
+        .filter(col("df") > _fp_cap(max_gram_df, w))
         .select("g")
     )
     return exploded.join(F.broadcast(hot), "g", "left_anti")
@@ -1355,7 +1387,8 @@ def winnow_pairs(
     oracle=f"""
         WITH grams AS ({_SQL_GRAMS}),
         hot AS (
-            SELECT g FROM grams GROUP BY g HAVING count(*) > {_MAX_GRAM_DF}
+            SELECT g FROM grams GROUP BY g
+            HAVING count(*) > {_fp_cap(_MAX_GRAM_DF, _WINNOW_W)}
         ),
         pruned AS (
             SELECT doc_id, g FROM grams WHERE g NOT IN (SELECT g FROM hot)
@@ -1402,7 +1435,8 @@ _NGRAM_JACCARD_MIN = 0.5
     oracle=f"""
         WITH grams AS ({_SQL_GRAMS}),
         hot AS (
-            SELECT g FROM grams GROUP BY g HAVING count(*) > {_MAX_GRAM_DF}
+            SELECT g FROM grams GROUP BY g
+            HAVING count(*) > {_fp_cap(_MAX_GRAM_DF, _WINNOW_W)}
         ),
         pruned AS (
             SELECT doc_id, g FROM grams WHERE g NOT IN (SELECT g FROM hot)

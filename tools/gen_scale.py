@@ -50,13 +50,19 @@ SMALL_TABLES = (
 
 
 def scale_events(factor: int, out_dir: str) -> int:
+    # streamed one replica at a time (round 10): the 1000× events
+    # point is 100M rows — an in-memory concat of 1000 replicas would
+    # hold the whole table before writing; the writer keeps peak
+    # memory at one replica
     t = pq.read_table(os.path.join(SRC, "events.parquet"))
     n_events = int(pa.compute.max(t["event_id"]).as_py()) + 1
     n_users = int(pa.compute.max(t["user_id"]).as_py()) + 1
-    parts = []
-    for k in range(factor):
-        parts.append(
-            t.set_column(
+    total = 0
+    with pq.ParquetWriter(
+        os.path.join(out_dir, "events.parquet"), t.schema
+    ) as writer:
+        for k in range(factor):
+            part = t.set_column(
                 t.schema.get_field_index("event_id"),
                 "event_id",
                 pa.compute.add(t["event_id"], k * n_events),
@@ -65,12 +71,9 @@ def scale_events(factor: int, out_dir: str) -> int:
                 "user_id",
                 pa.compute.add(t["user_id"], k * n_users),
             )
-        )
-    out = pa.concat_tables(parts)
-    pq.write_table(
-        out, os.path.join(out_dir, "events.parquet"), row_group_size=200_000
-    )
-    return out.num_rows
+            writer.write_table(part, row_group_size=200_000)
+            total += part.num_rows
+    return total
 
 
 def scale_documents(factor: int, out_dir: str) -> int:
@@ -141,18 +144,23 @@ def main() -> None:
         sys.argv[2] if len(sys.argv) > 2 else "/root/repo/.scale/sf1"
     )
     # --corpus-only: documents + embeddings only (the dedup/ANN
-    # family's 1000× point doesn't need 100M event rows on disk)
+    # family's 1000× point doesn't need 100M event rows on disk);
+    # --events-only: the converse, for extending the kernel family's
+    # fourth decade into an existing corpus-only dir (round 10)
     corpus_only = "--corpus-only" in sys.argv
+    events_only = "--events-only" in sys.argv
     os.makedirs(out_dir, exist_ok=True)
     for name in SMALL_TABLES:
-        shutil.copy(
-            os.path.join(SRC, f"{name}.parquet"),
-            os.path.join(out_dir, f"{name}.parquet"),
-        )
+        if not os.path.exists(os.path.join(out_dir, f"{name}.parquet")):
+            shutil.copy(
+                os.path.join(SRC, f"{name}.parquet"),
+                os.path.join(out_dir, f"{name}.parquet"),
+            )
     if not corpus_only:
         print(f"events:     {scale_events(factor, out_dir):>9,} rows")
-    print(f"documents:  {scale_documents(factor, out_dir):>9,} rows")
-    print(f"embeddings: {scale_embeddings(factor, out_dir):>9,} rows")
+    if not events_only:
+        print(f"documents:  {scale_documents(factor, out_dir):>9,} rows")
+        print(f"embeddings: {scale_embeddings(factor, out_dir):>9,} rows")
     total = sum(
         os.path.getsize(os.path.join(out_dir, f))
         for f in os.listdir(out_dir)

@@ -54,10 +54,13 @@ SCALES = [
     ("sf100", os.path.join(ROOT, ".scale", "sf100"), 1000),
 ]
 
-# sf100 is documents+embeddings only (no events at 1000×). The 1000×
-# column covers the corpus family: the serving/embedding rows (the
-# adaptive-sizing story — auto bits/centroids — light at 2M vectors)
-# plus, since round 9, the two text-dedup worst offenders. The text
+# sf100 started corpus-only (documents+embeddings); round 10 adds a
+# streamed 1000× events table (gen_scale.py --events-only) so the
+# kernel family gets a measured fourth decade too. The 1000× column
+# covers: the serving/embedding rows (the adaptive-sizing story —
+# auto bits/centroids — light at 2M vectors), since round 9 the two
+# text-dedup worst offenders, and since round 10 the two kernel-bound
+# worst 100× ratios (delivery_refinement, best_latlng). The text
 # queries each spill tens of GB of shuffle/checkpoint scratch at
 # 1000× — the per-query fresh session + the scratch-deletion wait
 # below exist precisely so one query's cleanup cannot thrash the
@@ -73,6 +76,13 @@ SF100_SUBSET = {
     # candidates are df-cap bounded (linear), measured to confirm
     "doc_winnow_fingerprints",
     "doc_ngram_jaccard",
+    # round 10: the kernel family's fourth decade (delivery_refinement
+    # was the 100× WORST ratio; its "cores finally saturate at 100×"
+    # explanation needs a measured point, not an extrapolation).
+    # Requires events at 1000×:  python tools/gen_scale.py 1000
+    # /root/repo/.scale/sf100 --events-only
+    "delivery_refinement",
+    "best_latlng_per_user",
 }
 
 # The heaviest bench queries (r5 ordering) — every family with a
@@ -288,15 +298,23 @@ def _summarize_and_render(results: dict, scales) -> None:
         "more rows-per-band as the corpus grows, floored at the",
         "oracle config through 20 k docs so every gate/bench corpus",
         "keeps the committed plan); last decades now ×6–9 for ×10",
-        "data. The winnow/ngram fourth-decade rows (×15/decade) are a",
-        "different, BOUNDED shape: their gram self-join emits ≤",
-        "df-cap (64) rows per (doc, gram) — a linear asymptote — but",
-        "the surviving-gram df distribution fattens toward the cap as",
-        "the corpus grows, so the fanout constant itself grows",
-        "between decades until it saturates at the cap; that plus",
-        "single-box shuffle spill is the ×15 (a real cluster spreads",
-        "the spill; true winnowing — window-minima gram selection —",
-        "would cut the constant ~4× and is the next lever).",
+        "data. Round 10 attacked the winnow/ngram rows (were",
+        "×15/decade in the fourth decade) with TRUE winnowing:",
+        "window-minima fingerprint selection (w=8, a pure per-row",
+        "expression — no window function) cuts the (doc, gram) volume",
+        "~4.4× through the explode, df agg, checkpoint and both",
+        "self-join sides. Two coordinated fixes made it actually pay:",
+        "(a) gram hashes are now derived from PER-TOKEN md5 hashes by",
+        "an integer positional mix (the per-gram concat+md5 was the",
+        "measured dominant map cost, not the join), and (b) the df",
+        "cap is density-scaled under winnowing (2·cap/(w+1) ≈ 14):",
+        "winnowing divides every gram's df by ~(w+1)/2, so the raw",
+        "cap REVIVED boilerplate grams it used to kill — measured at",
+        "100×: post-cap rows 72k → 150k and join pairs 0.96M → 2.46M",
+        "with the unscaled cap, vs 27k rows / 96k pairs (10× below",
+        "the round-9 shape) with the scaled one. Residual slope above",
+        "×10/decade in the fourth decade is single-box shuffle/",
+        "checkpoint spill, which a real cluster spreads.",
         "",
         "| query | sf0.1 (s) | "
         + " | ".join(f"{f}× (s) | ratio" for _l, f in col_scales)
