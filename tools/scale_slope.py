@@ -349,10 +349,15 @@ def _summarize_and_render(results: dict, scales) -> None:
         "(cleaning inline inside the transform lambda re-ran the regex",
         "once per shingle — 3.9× the stage wall, fixed round 8).",
         "`ann_topk_lsh` serves from its cached on-disk layout like",
-        "IVF (round 8). Kernel-bound",
-        "queries (delivery_*,",
-        "best_latlng) drop well below K× at 100× because 100× more",
-        "users finally saturate all 32 cores.",
+        "IVF (round 8). Kernel-bound queries (delivery_*,",
+        "best_latlng): their 10×/100× ratios track core headroom, and",
+        "the round-10 fourth-decade points settle the previously",
+        "extrapolated story — once 100× more users saturate all 32",
+        "cores, the NEXT decade is linear-or-better (delivery ×9.0,",
+        "best_latlng ×5.3 wall for ×10 data at 1000×): the per-user",
+        "kernel is one shuffle into applyInPandas with no cross-user",
+        "coupling, so a 1000-executor cluster flattens these ratios",
+        "by spreading exactly that shuffle.",
     ]
     lines.append("")
     tail = (
@@ -367,7 +372,9 @@ def _summarize_and_render(results: dict, scales) -> None:
     if summary.get("geomean_ratio_sf100") is not None:
         tail += (
             f" — **1000×: geomean ×{summary.get('geomean_ratio_sf100')}, "
-            f"worst ×{summary.get('worst_ratio_sf100')}** (corpus family, single pass)"
+            f"worst ×{summary.get('worst_ratio_sf100')}** (corpus + kernel "
+            "families, single pass; the kernel rows saturate 32 cores at "
+            "100× and grow linear-or-better in their LAST decade)"
         )
     lines += [tail + ".", ""]
     # Compose, don't clobber: SCALE.md also carries the recall section
