@@ -35,7 +35,11 @@ from pyspark.sql.functions import col
 
 from pulsar_spark_spark.functions.text import md5_i64
 from pulsar_spark_spark.plans.registry import query
-from pulsar_spark_spark.plans.text import _MAX_GRAM_DF, _SQL_GRAMS, pruned_grams
+from pulsar_spark_spark.plans.text import (
+    _MAX_GRAM_DF,
+    _sql_winnowed_grams,
+    pruned_grams,
+)
 from pulsar_spark_spark.sources.tables import load_table
 
 # Fixture stand-in for "the benchmark suite": every 25th document.
@@ -62,8 +66,14 @@ _HASH_SCALE = float(1 << 60)  # md5_i64 yields a uniform 60-bit int
 # ``doc_curation`` oracle below; the per-stage functions stay public
 # and pytest-covered, but registry slots are capped at the driver's
 # 50-row gate (round 8 consolidation).
+# Decontamination deliberately stays on the FULL distinct gram set
+# (w=1, raw df cap): it is a RECALL operator — production flags on ANY
+# shared high-order gram — so the containment family's round-10
+# winnowing (a density trade for the pairwise self-join) would drop
+# signal here for no join to pay for: the benchmark side is broadcast
+# and tiny, never self-joined.
 _DECONTAM_ORACLE = f"""
-        WITH grams AS ({_SQL_GRAMS}),
+        WITH grams AS ({_sql_winnowed_grams(1)}),
         hot AS (
             SELECT g FROM grams GROUP BY g HAVING count(*) > {_MAX_GRAM_DF}
         ),
@@ -118,7 +128,7 @@ def doc_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     fanout on both sides.
     """
     docs = load_table(spark, "documents", sf_dir)
-    grams = pruned_grams(docs)
+    grams = pruned_grams(docs, w=1)
     bench = grams.filter(col("doc_id") % _BENCH_MOD == 0).select(
         col("doc_id").alias("bench_id"), "g"
     )

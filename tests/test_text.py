@@ -125,6 +125,15 @@ def test_winnowing_guarantee_and_density(spark):
     density = n_winnowed / n_all
     assert density < 2.0 * 2 / (_WINNOW_W + 1)  # ≲ 2× expected density
     assert density > 0.5 * 2 / (_WINNOW_W + 1)
+    # the df cap is density-scaled under winnowing (raw cap at w=1):
+    # winnowing divides each gram's df by ~(w+1)/2, so an unscaled cap
+    # would revive boilerplate grams it exists to kill
+    from pulsar_spark_spark.plans.text import _fp_cap
+
+    assert _fp_cap(64, 1) == 64
+    assert _fp_cap(64, 8) == 14
+    assert _fp_cap(64, 3) == 32
+    assert _fp_cap(8, 8) == 4  # floor
 
 
 def test_dedup_corpus_keeps_canonical_per_cluster(spark):
