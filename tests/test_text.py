@@ -282,6 +282,79 @@ def test_arrow_minhash_parity_with_expression_form(spark):
         assert got[3] == [None] * n
 
 
+def test_arrow_kernel_multi_row_batch_interleaved_empties(spark):
+    """Round-10 regression: in ONE multi-row Arrow batch, a non-empty
+    doc immediately FOLLOWED by an empty doc must still get its exact
+    min signature. The round-9 kernel zeroed empty rows' segment
+    offsets, which degenerated the PRECEDING row's reduceat pair to a
+    singleton — its signature became its first gram's value, not the
+    min. The pinned parity tests missed it because tiny test frames
+    arrive one row per batch; coalesce(1) forces one batch here."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.functions import col
+
+    from pulsar_spark_spark.functions.text import (
+        char_shingles_of_clean,
+        clean_text,
+        minhash_signature_from_hashes,
+        shingle_hashes,
+    )
+    from pulsar_spark_spark.plans.text import (
+        _minhash_sigs_arrow,
+        _text_bands_arrow,
+    )
+
+    texts = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, ""),  # empty directly after a non-empty: the corruption case
+        (3, "pack my box with five dozen liquor jugs"),
+        (4, "sphinx of black quartz judge my vow tonight"),
+        (5, ""),  # trailing empty: the out-of-bounds case
+    ]
+    sh = (
+        spark.createDataFrame(texts, "rep long, text string")
+        .coalesce(1)
+        .select(
+            "rep",
+            shingle_hashes(
+                char_shingles_of_clean(clean_text(col("text")), 8)
+            ).alias("hv"),
+        )
+    )
+    n = 60
+    want = {
+        r["rep"]: r["sig"]
+        for r in sh.select(
+            "rep", minhash_signature_from_hashes(col("hv"), n).alias("sig")
+        ).collect()
+    }
+    got = {r["rep"]: r["sig"] for r in _minhash_sigs_arrow(sh, n).collect()}
+    assert got == want
+    assert got[2] == [None] * n and got[5] == [None] * n
+
+    # same ordering through the fused band stage: bands of a text
+    # computed next to empties must equal bands of the same text in an
+    # empty-free batch
+    rel = spark.createDataFrame(
+        [(r, t.lower()) for r, t in texts], "rep long, ctext string"
+    ).coalesce(1)
+    clean_only = spark.createDataFrame(
+        [(r, t.lower()) for r, t in texts if t],
+        "rep long, ctext string",
+    ).coalesce(1)
+    mixed = {
+        r["rep"]: (r["n"], tuple(r["bands"]))
+        for r in _text_bands_arrow(rel, 60, 10, 6).collect()
+    }
+    alone = {
+        r["rep"]: (r["n"], tuple(r["bands"]))
+        for r in _text_bands_arrow(clean_only, 60, 10, 6).collect()
+    }
+    for rep in (1, 3, 4):
+        assert mixed[rep] == alone[rep], rep
+    assert mixed[2] == mixed[5]  # empties identical (all-sentinel)
+
+
 def test_arrow_bands_null_and_utf8_contract(spark):
     """The fused Arrow signature/banding stage's input contract, pinned
     (round-10 verdict item): NULL text behaves exactly like empty text
