@@ -353,7 +353,14 @@ def _summarize_and_render(results: dict, scales) -> None:
         "(cleaning inline inside the transform lambda re-ran the regex",
         "once per shingle — 3.9× the stage wall, fixed round 8).",
         "`ann_topk_lsh` serves from its cached on-disk layout like",
-        "IVF (round 8). Kernel-bound queries (delivery_*,",
+        "IVF (round 8). A local[32] artifact worth naming: during the",
+        "adaptive tiers' mapInArrow stages, 32 JVM task threads PLUS",
+        "32 Python workers share 32 logical cores — measured round",
+        "10: the 1000× signature/banding stage runs 84 s on local[32]",
+        "but 63 s on local[16] (16+16 matches capacity). A real",
+        "cluster sizes executor cores with Python workers in mind, so",
+        "~25% of the measured tier wall here is oversubscription tax,",
+        "not work. Kernel-bound queries (delivery_*,",
         "best_latlng): their 10×/100× ratios track core headroom, and",
         "the round-10 fourth-decade points settle the previously",
         "extrapolated story — once 100× more users saturate all 32",
