@@ -1423,9 +1423,10 @@ def winnow_pairs(
     fingerprints are a 2/(w+1) ≈ 0.22 density sample of the distinct
     grams, so ``min_shared=5`` corresponds to the pre-winnowing
     threshold of ~20 shared grams. The join key is the fingerprint
-    hash — bucketed like the LSH join, never all-pairs, the df cap
-    bounds any single key's fanout, and winnowing cuts the row volume
-    into the join ~4.4× (≈19× less pair work).
+    hash — bucketed like the LSH join, never all-pairs, the
+    density-scaled df cap bounds any single key's fanout, and
+    winnowing + that cap cut the measured join volume ~10× at 100×
+    data (0.96M → 96k pair rows).
     """
     pruned = pruned_grams(docs, max_gram_df, w)
     a = pruned.alias("a")

@@ -172,23 +172,44 @@ def main(filters) -> None:
 
     # A filtered run MERGES into the existing sidecar (re-measuring
     # only the named queries) so SCALE.md never loses its other rows.
+    # --merge-min additionally keeps the per-POINT minimum between the
+    # new capture and the sidecar's existing row (ratios recomputed
+    # from merged seconds): the single-pass 100×/1000× points run on a
+    # shared-host VM whose contention measured ±2× between captures of
+    # IDENTICAL code in one evening (round 10) — noise is one-sided,
+    # so minima across captures is the bench.py min-of-N discipline
+    # extended across sessions. ONLY use after engine-code-neutral
+    # changes; after a code change, run once WITHOUT it to reset.
+    merge_min = "--merge-min" in filters
+    filters = [f for f in filters if f != "--merge-min"]
     results: dict = {}
     sidecar = os.path.join(ROOT, "scale_slope.json")
     if filters and os.path.exists(sidecar):
         with open(sidecar) as f:
             results = json.load(f).get("queries", {})
         results = {n: r for n, r in results.items() if n in HEAVY}
+    # ALL sf0.1 bases first, in ONE clean session (round 10): a base
+    # pass measured inside the per-query session runs right after the
+    # PREVIOUS query's 1000× scratch cleanup (tens of GB of async
+    # deletes) and captured ×3-inflated walls — e.g. a 1.5 s base read
+    # 5.1 s, flipping its 10× ratio below 1. Bases are tiny (sf0.1),
+    # so one warmed session up front measures them all before any
+    # big-scale churn exists.
+    spark = cluster_session()
+    _warm_python_workers(spark)
+    bases = {name: _time_query(spark, name, BASE[1], RUNS) for name in names}
+    spark.stop()
     for name in names:
-        # Fresh session PER QUERY: a long-lived session accumulates
-        # localCheckpoint blocks and AQE/listener state across the
-        # suite — measured as a hard JVM heap OOM at a 1000× point
-        # that the same query passed comfortably in a fresh session.
-        # Per-query isolation also removes cross-query cache effects
-        # from the numbers; ~10 s restart + worker re-warm per query
-        # is outside every timed region.
+        # Fresh session PER QUERY for the scale points: a long-lived
+        # session accumulates localCheckpoint blocks and AQE/listener
+        # state across the suite — measured as a hard JVM heap OOM at
+        # a 1000× point that the same query passed comfortably in a
+        # fresh session. Per-query isolation also removes cross-query
+        # cache effects from the numbers; ~10 s restart + worker
+        # re-warm per query is outside every timed region.
         spark = cluster_session()
         _warm_python_workers(spark)
-        t_base = _time_query(spark, name, BASE[1], RUNS)
+        t_base = bases[name]
         rec = {f"{BASE[0]}_sec": round(t_base, 3)}
         for label, sf_dir, factor in scales:
             if label == "sf10" and name not in SF10_SUBSET and not filters:
@@ -198,7 +219,17 @@ def main(filters) -> None:
             runs = RUNS if label == "sf1" else RUNS_SF10
             t = _time_query(spark, name, sf_dir, runs)
             rec[f"{label}_sec"] = round(t, 3)
-            rec[f"{label}_ratio"] = round(t / t_base, 2) if t_base else None
+        if merge_min and name in results:
+            old = results[name]
+            for key in list(rec):
+                if key.endswith("_sec") and key in old:
+                    rec[key] = min(rec[key], old[key])
+            t_base = rec[f"{BASE[0]}_sec"]
+        for label, _d, _f in scales:
+            if f"{label}_sec" in rec:
+                rec[f"{label}_ratio"] = (
+                    round(rec[f"{label}_sec"] / t_base, 2) if t_base else None
+                )
         results[name] = rec
         parts = [f"{name:28s} {t_base:7.2f}s"]
         for label, _d, _f in scales:
@@ -274,7 +305,13 @@ def _summarize_and_render(results: dict, scales) -> None:
         "single-row-group files made every documents/embeddings scan",
         "a one-task stage, an artifact, not a workload). Timing: min",
         f"of {RUNS} isolated passes per point (single pass at",
-        "100×/1000×), Python workers pre-warmed, cache cleared",
+        "100×/1000× — and where a single-pass point was re-captured,",
+        "the committed value is the per-point MINIMUM across captures",
+        "of identical code: the shared-host VM measured ±2× between",
+        "same-evening captures, noise is one-sided, and minima is the",
+        "bench min-of-N discipline extended across sessions; the",
+        "tool's --merge-min flag automates it). Python workers",
+        "pre-warmed, cache cleared",
         "between passes — the bench.py methodology, but under the",
         "CLUSTER shuffle profile (AQE initialPartitionNum 256 so",
         "stages size by bytes, 16g heap): cores-many partitions pack",
