@@ -232,6 +232,36 @@ def auto_band_plan(n_docs: int) -> tuple[int, int, int]:
 _DOCS_ROWS_MEMO: dict = {}
 
 
+def _docs_rows(docs: DataFrame) -> "int | None":
+    """Corpus row count from the parquet FOOTERS of the input fileset
+    (zero Spark jobs), memoized per (path, size, mtime) fingerprint.
+    ``None`` for in-memory relations (no input files). Falls back to
+    one counted scan for non-local/non-parquet sources."""
+    from pulsar_spark_spark.plans.similarity import _files_stat_key
+
+    files = docs.inputFiles()
+    if not files:
+        return None
+    key = _files_stat_key(files)
+    if key in _DOCS_ROWS_MEMO:
+        return _DOCS_ROWS_MEMO[key]
+    import pyarrow.parquet as pq
+
+    n = 0
+    for p in files:
+        local = p[5:] if p.startswith("file:") else p
+        try:
+            n += pq.ParquetFile(local).metadata.num_rows
+        except (OSError, ValueError):
+            # non-local / non-parquet source (pq raises ArrowInvalid —
+            # a ValueError — on e.g. a CSV/JSON input file): fall back
+            # to one counted scan rather than guessing
+            n = docs.count()
+            break
+    _DOCS_ROWS_MEMO[key] = n
+    return n
+
+
 def resolve_band_plan(
     docs: DataFrame, plan: "tuple[int, int, int] | str | None"
 ) -> tuple[int, int, int]:
@@ -247,30 +277,9 @@ def resolve_band_plan(
     sanity check. Row count over-counts UNIQUE texts (the collapse
     runs later), which only over-provisions the plan — safe."""
     if plan is None or plan == "auto":
-        from pulsar_spark_spark.plans.similarity import _files_stat_key
-
-        files = docs.inputFiles()
-        if not files:
+        n = _docs_rows(docs)
+        if n is None:
             return BAND_PLANS[0][1]
-        key = _files_stat_key(files)
-        if key in _DOCS_ROWS_MEMO:
-            n = _DOCS_ROWS_MEMO[key]
-        else:
-            import pyarrow.parquet as pq
-
-            n = 0
-            for p in files:
-                local = p[5:] if p.startswith("file:") else p
-                try:
-                    n += pq.ParquetFile(local).metadata.num_rows
-                except (OSError, ValueError):
-                    # non-local / non-parquet source (pq raises
-                    # ArrowInvalid — a ValueError — on e.g. a CSV/JSON
-                    # input file): fall back to one counted scan rather
-                    # than guessing
-                    n = docs.count()
-                    break
-            _DOCS_ROWS_MEMO[key] = n
         return auto_band_plan(n)
     if isinstance(plan, str):
         raise ValueError(
@@ -1352,8 +1361,22 @@ def _sql_winnowed_grams(w: int = _WINNOW_W) -> str:
 _SQL_GRAMS = _sql_winnowed_grams()
 
 
+# Expression plans stay the committed shape through this many docs
+# (mirrors the banding ladder's floor discipline: every oracle-gate
+# and bench corpus — sf0.001/0.01/0.1, all ≤ 5 k docs — keeps the
+# pure-JVM plan the plan-audit tests pin). Above it, the fingerprint
+# map stage routes through the vectorized Arrow kernel, whose output
+# is BIT-IDENTICAL (same md5-per-token family, same integer mix, same
+# window minima), so unlike the banding tiers it stays fully
+# oracle-checkable at any scale.
+_GRAM_ENGINE_FLOOR_DOCS = 20_000
+
+
 def pruned_grams(
-    docs: DataFrame, max_gram_df: int = _MAX_GRAM_DF, w: int = _WINNOW_W
+    docs: DataFrame,
+    max_gram_df: int = _MAX_GRAM_DF,
+    w: int = _WINNOW_W,
+    engine: str = "auto",
 ) -> DataFrame:
     """(doc_id, g) — winnowed word-3-gram fingerprints per document
     (distinct window-minima over windows of ``w`` grams, see the
@@ -1363,42 +1386,69 @@ def pruned_grams(
     join). ``w=1`` selects every distinct gram at the raw cap — the
     pre-round-10 behavior, kept for the df-cap isolation tests.
 
+    ``engine``: ``"expr"`` = the pure-JVM expression pipeline;
+    ``"arrow"`` = the fused vectorized kernel
+    (:func:`_winnowed_grams_arrow` — measured-identical fingerprints,
+    ~interpretation-free); ``"auto"`` = expression at/below
+    ``_GRAM_ENGINE_FLOOR_DOCS`` (every gate/bench corpus), Arrow
+    above. Catalyst evaluates higher-order-function lambdas
+    interpreted (~60 ns per boxed element visit), and this stage is
+    three stacked HOFs (md5-per-token, 3-way mix per gram, slice-min
+    per window) — measured as ~95% of the containment family's 1000×
+    wall; the kernel streams the same arithmetic vectorized.
+
     The hot set is tiny by construction (only pathological grams
     exceed the cap) → broadcast anti-join, no extra shuffle of the
     gram relation.
     """
-    P = MINHASH_P
-    a1, a2, a3 = _GRAM_MIX
-    th = F.transform(tokens(col("text")), lambda t: md5_i64(t) % P)
-    grams3 = F.transform(
-        F.sequence(F.lit(0), F.size(col("th")) - 3),
-        lambda i: (
-            F.element_at(col("th"), i + 1) * a1
-            + F.element_at(col("th"), i + 2) * a2
-            + F.element_at(col("th"), i + 3) * a3
+    if engine not in ("auto", "expr", "arrow"):
+        raise ValueError(
+            f"engine {engine!r}: accepted values are 'auto', 'expr', 'arrow'"
         )
-        % P,
-    )
-    g_pos = F.when(F.size(col("th")) >= 3, grams3).otherwise(
-        F.expr("CAST(array() AS ARRAY<BIGINT>)")
-    )
-    exploded = (
-        docs.select(col("doc_id"), th.alias("th"))
-        # each transform lambda must read a BOUND attribute — project
-        # token hashes, then the positional gram array (the
-        # per-element re-evaluation trap in char_shingles_of_clean's
-        # docstring)
-        .select("doc_id", g_pos.alias("g_pos"))
-        .select(
-            "doc_id",
-            F.explode(winnow_minima(col("g_pos"), w)).alias("g"),
+    if engine == "auto":
+        n = _docs_rows(docs)
+        engine = (
+            "expr" if n is None or n <= _GRAM_ENGINE_FLOOR_DOCS else "arrow"
         )
-        # every downstream shape reads this at least twice (the hot-set
-        # agg + each join side), and Spark re-evaluates the tokenize +
-        # hash projection per consumer (ReuseExchange doesn't fire
-        # across differently-pruned branches) — pay it once.
-        .transform(materialize)
-    )
+    if engine == "arrow":
+        rel = docs.select(
+            col("doc_id"), clean_text(col("text")).alias("ctext")
+        )
+        exploded = _winnowed_grams_arrow(rel, w).transform(materialize)
+    else:
+        P = MINHASH_P
+        a1, a2, a3 = _GRAM_MIX
+        th = F.transform(tokens(col("text")), lambda t: md5_i64(t) % P)
+        grams3 = F.transform(
+            F.sequence(F.lit(0), F.size(col("th")) - 3),
+            lambda i: (
+                F.element_at(col("th"), i + 1) * a1
+                + F.element_at(col("th"), i + 2) * a2
+                + F.element_at(col("th"), i + 3) * a3
+            )
+            % P,
+        )
+        g_pos = F.when(F.size(col("th")) >= 3, grams3).otherwise(
+            F.expr("CAST(array() AS ARRAY<BIGINT>)")
+        )
+        exploded = (
+            docs.select(col("doc_id"), th.alias("th"))
+            # each transform lambda must read a BOUND attribute —
+            # project token hashes, then the positional gram array
+            # (the per-element re-evaluation trap in
+            # char_shingles_of_clean's docstring)
+            .select("doc_id", g_pos.alias("g_pos"))
+            .select(
+                "doc_id",
+                F.explode(winnow_minima(col("g_pos"), w)).alias("g"),
+            )
+            # every downstream shape reads this at least twice (the
+            # hot-set agg + each join side), and Spark re-evaluates
+            # the tokenize + hash projection per consumer
+            # (ReuseExchange doesn't fire across differently-pruned
+            # branches) — pay it once.
+            .transform(materialize)
+        )
     hot = (
         exploded.groupBy("g")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -1406,6 +1456,184 @@ def pruned_grams(
         .select("g")
     )
     return exploded.join(F.broadcast(hot), "g", "left_anti")
+
+
+def _winnowed_grams_arrow(rel: DataFrame, w: int) -> DataFrame:
+    """(doc_id, g) winnowed word-3-gram fingerprints via one
+    vectorized Arrow pass over (doc_id, ctext) — the adaptive-engine
+    twin of the expression pipeline in :func:`pruned_grams`, producing
+    BIT-IDENTICAL fingerprints (pinned in pytest):
+
+    - ``ctext`` is the JVM-side :func:`clean_text` output, so the
+      bytes are pure ``[a-z ]`` ASCII by construction — byte-run
+      tokenization here equals the expression form's split-on-spaces
+      exactly, with no Unicode-lowercasing divergence risk (the regex
+      clean stays JVM-side precisely so the kernel never sees a
+      multi-byte char).
+    - md5 is paid once per DISTINCT token via a worker-lifetime cache
+      (hashlib md5 of the ASCII bytes == Spark's md5 of the same
+      string; first 15 hex chars → int, mod P — the md5_i64 contract),
+      so a zipfian corpus pays ~vocabulary md5s per worker, not
+      ~token-count.
+    - gram hashes are the same positional linear mix mod P; the
+      sliding-window minima use w-1 vectorized shifted-minimum passes
+      with cross-document windows masked out (short docs take their
+      segment min via reduceat); per-doc distinct is the packed-sort
+      trick shared with :func:`_text_bands_arrow`.
+    """
+    a1, a2, a3 = _GRAM_MIX
+
+    def fn(batches):
+        import hashlib
+
+        import numpy as np
+        import pyarrow as pa
+
+        M = MINHASH_P
+        tok_cache: dict = {}
+        for batch in batches:
+            did = batch.column("doc_id")
+            txt = batch.column("ctext")
+            if isinstance(txt, pa.ChunkedArray):
+                txt = txt.combine_chunks()
+            n_rows = len(txt)
+            if n_rows == 0:
+                continue
+            off_dtype = (
+                np.int64 if pa.types.is_large_string(txt.type) else np.int32
+            )
+            off = np.frombuffer(txt.buffers()[1], dtype=off_dtype)[
+                txt.offset : txt.offset + n_rows + 1
+            ].astype(np.int64)
+            dbuf = txt.buffers()[2]
+            data = (
+                np.frombuffer(dbuf, dtype=np.uint8)
+                if dbuf is not None
+                else np.empty(0, np.uint8)
+            )
+            flat = data[off[0] : off[-1]]
+            off = off - off[0]
+            if txt.null_count:
+                # the spec leaves null slots' spans undefined-but-
+                # monotonic: blank any bytes they cover so they can
+                # never fabricate tokens
+                valid = np.asarray(txt.is_valid())
+                if not valid.all():
+                    flat = flat.copy()
+                    span_doc = np.repeat(
+                        np.arange(n_rows), off[1:] - off[:-1]
+                    )
+                    flat[~valid[span_doc]] = 32
+            n = len(flat)
+            # token runs: non-space bytes, with runs BROKEN at doc
+            # boundaries (adjacent docs are contiguous in flat)
+            nonsp = flat != 32
+            doc_start = np.zeros(n + 1, bool)
+            doc_start[np.minimum(off[:-1], n)] = True
+            prev_nonsp = np.zeros(n, bool)
+            if n:
+                prev_nonsp[1:] = nonsp[:-1]
+            t_start = nonsp & (doc_start[:n] | ~prev_nonsp)
+            next_nonsp = np.zeros(n, bool)
+            if n:
+                next_nonsp[:-1] = nonsp[1:]
+            t_end = nonsp & (doc_start[1 : n + 1] | ~next_nonsp)
+            s_idx = np.nonzero(t_start)[0]
+            e_idx = np.nonzero(t_end)[0]
+            # tokens per doc: a token belongs to the doc whose span
+            # contains its start byte
+            tok_off = np.searchsorted(s_idx, off).astype(np.int64)
+            n_tok = len(s_idx)
+            th = np.empty(n_tok, np.int64)
+            if len(tok_cache) > 2_000_000:
+                # vocabulary cache bound (~100 MB worst case): an
+                # adversarial all-unique-token corpus must not grow a
+                # worker's heap without limit
+                tok_cache.clear()
+            get = tok_cache.get
+            fb = flat.tobytes()  # one copy; slicing bytes is cheap
+            for j in range(n_tok):
+                t = fb[s_idx[j] : e_idx[j] + 1]
+                v = get(t)
+                if v is None:
+                    v = (
+                        int(hashlib.md5(t).hexdigest()[:15], 16) % M
+                    )
+                    tok_cache[t] = v
+                th[j] = v
+            t_counts = tok_off[1:] - tok_off[:-1]
+            g_counts = np.maximum(t_counts - 2, 0)
+            total = int(g_counts.sum())
+            if total == 0:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.empty(0, np.int64)),
+                        pa.array(np.empty(0, np.int64)),
+                    ],
+                    ["doc_id", "g"],
+                )
+                continue
+            g_off = np.zeros(n_rows + 1, np.int64)
+            np.cumsum(g_counts, out=g_off[1:])
+            idx = np.repeat(tok_off[:-1], g_counts) + (
+                np.arange(total) - np.repeat(g_off[:-1], g_counts)
+            )
+            g = (th[idx] * a1 + th[idx + 1] * a2 + th[idx + 2] * a3) % M
+            within = np.arange(total) - np.repeat(g_off[:-1], g_counts)
+            if w <= 1:
+                sel = g
+                sel_doc = np.repeat(
+                    np.arange(n_rows, dtype=np.int64), g_counts
+                )
+            else:
+                # sliding min of width w over the flat gram array:
+                # m[i] = min(g[i .. i+w-1]) after w-1 shifted passes
+                m = g.copy()
+                for s in range(1, w):
+                    np.minimum(m[:-s], g[s:], out=m[:-s])
+                # windows fully inside their doc
+                max_start = np.repeat(g_counts - w, g_counts)
+                win_ok = within <= max_start
+                sel = m[win_ok]
+                sel_doc = np.repeat(
+                    np.arange(n_rows, dtype=np.int64), g_counts
+                )[win_ok]
+                # short docs (0 < grams < w) keep their global min.
+                # reduceat over the starts of ALL non-empty docs —
+                # those segments are contiguous, so each reduction
+                # covers exactly one doc's grams (reducing over only
+                # the short docs' starts would extend each segment to
+                # the NEXT short doc, swallowing other docs' grams —
+                # caught by the engine-parity test)
+                short = (g_counts > 0) & (g_counts < w)
+                if short.any():
+                    nz = np.nonzero(g_counts > 0)[0]
+                    mins_nz = np.minimum.reduceat(g, g_off[:-1][nz])
+                    pick = g_counts[nz] < w
+                    sel = np.concatenate([sel, mins_nz[pick]])
+                    sel_doc = np.concatenate(
+                        [sel_doc, nz[pick].astype(np.int64)]
+                    )
+            # distinct (doc, fingerprint): fingerprints are < 2^31 and
+            # batch row indices < 2^32 — pack and single-sort
+            packed = np.sort(
+                (sel_doc.astype(np.uint64) << np.uint64(31))
+                | sel.astype(np.uint64)
+            )
+            keep = np.ones(len(packed), bool)
+            keep[1:] = packed[1:] != packed[:-1]
+            packed = packed[keep]
+            out_g = (packed & np.uint64((1 << 31) - 1)).astype(np.int64)
+            out_row = (packed >> np.uint64(31)).astype(np.int64)
+            doc_ids = np.asarray(did)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(doc_ids[out_row]), pa.array(out_g)],
+                ["doc_id", "g"],
+            )
+
+    return rel.select("doc_id", "ctext").mapInArrow(
+        fn, "doc_id bigint, g bigint"
+    )
 
 
 def winnow_pairs(
