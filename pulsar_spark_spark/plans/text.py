@@ -1286,13 +1286,24 @@ def doc_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 1. ONE md5 PER TOKEN, grams by integer mixing (round 10): the
 #    per-gram map work used to be concat_ws + a full md5 + conv per
 #    word-3-gram — measured as the DOMINANT stage cost at 100×/1000×
-#    (the join was already df-capped). Gram hashes are now derived
-#    from per-token md5 hashes by a positional linear mix mod P
-#    (t1·A1 + t2·A2 + t3·A3, distinct odd multipliers per position,
-#    BIGINT-safe: t < 2³¹, A < 2³⁰ ⇒ each product < 2⁶¹, sum < 2⁶³) —
-#    the shingle_hashes discipline: pay the expensive hash once,
+#    (the join was already df-capped). Gram hashes are derived from
+#    per-token md5 hashes by a positional linear mix
+#    (t1·A1 + t2·A2 + t3·A3, distinct prime multipliers per position)
+#    — the shingle_hashes discipline: pay the expensive hash once,
 #    derive the rest arithmetically. Same family in the DuckDB
 #    oracle, so fingerprints stay value-checked.
+#    FINGERPRINT SPACE (round 11): tokens hash into a 39-bit prime
+#    field (t < _TOK_P < 2³⁹) and the positional sum is taken WITHOUT
+#    a final modulus, so the gram identity lives in a ~62-bit space —
+#    BIGINT-exact on Spark, DuckDB AND numpy (t < 2³⁹, A < 2²² ⇒ each
+#    product < 2⁶¹, sum < 2⁶³). Round 10 reduced the sum mod
+#    P = 2³¹−1, which saturates at corpus scale: at 1e8+ docs,
+#    collision-inflated document frequency pushes genuine fingerprints
+#    over the df cap (silently pruning signal) and decontamination
+#    gains ~n_bench·n_prod/2³¹ false flags. At ~62 bits both terms are
+#    negligible again out past 10¹² grams (pairwise collision rate
+#    ≈ 2⁻⁶¹; token-level 39-bit collisions need the other TWO tokens
+#    of the gram to agree exactly, a strictly smaller term).
 # 2. WINNOWING (round 10): instead of emitting every distinct gram,
 #    select the minimum gram hash per sliding window of _WINNOW_W
 #    grams — expected density 2/(w+1), i.e. ~4.4× fewer (doc, gram)
@@ -1314,8 +1325,15 @@ def doc_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 #    one. The oracle applies the same scaled constant.
 _MAX_GRAM_DF = 64
 _WINNOW_W = 8
-# positional mixing multipliers for the token-hash → gram-hash derive
-_GRAM_MIX = (1_000_000_007, 998_244_353, 777_767_777)
+# token-hash field: the largest prime below 2³⁹ (wide enough that
+# token collisions are a strictly-dominated term, narrow enough that
+# the 3-way positional sum below stays inside signed 64-bit)
+_TOK_P = 549_755_813_881
+# positional mixing multipliers for the token-hash → gram-hash derive:
+# distinct primes < 2²², magnitudes spread (4.19e6 / 3.30e6 / 2.40e6)
+# so no small integer relation links the positions;
+# _TOK_P·(ΣA) < 2⁶³ ⇒ the un-modded sum is BIGINT-exact everywhere
+_GRAM_MIX = (4_194_301, 3_299_969, 2_399_993)
 
 
 def _fp_cap(max_gram_df: int, w: int) -> int:
@@ -1345,12 +1363,11 @@ def _sql_winnowed_grams(w: int = _WINNOW_W) -> str:
     SELECT doc_id, unnest({pick}) AS g FROM (
         SELECT doc_id, list_transform(
             range(1, greatest(len(th) - 2, 0) + 1),
-            i -> (th[i] * {a1} + th[i+1] * {a2} + th[i+2] * {a3})
-                 % {MINHASH_P}
+            i -> th[i] * {a1} + th[i+1] * {a2} + th[i+2] * {a3}
         ) AS g_pos
         FROM (
             SELECT doc_id, list_transform(
-                toks, t -> {_sql_md5_i64('t')} % {MINHASH_P}
+                toks, t -> {_sql_md5_i64('t')} % {_TOK_P}
             ) AS th
             FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
         )
@@ -1416,17 +1433,15 @@ def pruned_grams(
         )
         exploded = _winnowed_grams_arrow(rel, w).transform(materialize)
     else:
-        P = MINHASH_P
         a1, a2, a3 = _GRAM_MIX
-        th = F.transform(tokens(col("text")), lambda t: md5_i64(t) % P)
+        th = F.transform(tokens(col("text")), lambda t: md5_i64(t) % _TOK_P)
         grams3 = F.transform(
             F.sequence(F.lit(0), F.size(col("th")) - 3),
             lambda i: (
                 F.element_at(col("th"), i + 1) * a1
                 + F.element_at(col("th"), i + 2) * a2
                 + F.element_at(col("th"), i + 3) * a3
-            )
-            % P,
+            ),
         )
         g_pos = F.when(F.size(col("th")) >= 3, grams3).otherwise(
             F.expr("CAST(array() AS ARRAY<BIGINT>)")
@@ -1472,14 +1487,17 @@ def _winnowed_grams_arrow(rel: DataFrame, w: int) -> DataFrame:
       multi-byte char).
     - md5 is paid once per DISTINCT token via a worker-lifetime cache
       (hashlib md5 of the ASCII bytes == Spark's md5 of the same
-      string; first 15 hex chars → int, mod P — the md5_i64 contract),
-      so a zipfian corpus pays ~vocabulary md5s per worker, not
-      ~token-count.
-    - gram hashes are the same positional linear mix mod P; the
+      string; first 15 hex chars → int, mod _TOK_P — the md5_i64
+      contract), so a zipfian corpus pays ~vocabulary md5s per
+      worker, not ~token-count.
+    - gram hashes are the same un-modded positional linear mix (a
+      ~62-bit value, int64-exact since _TOK_P·ΣA < 2⁶³); the
       sliding-window minima use w-1 vectorized shifted-minimum passes
       with cross-document windows masked out (short docs take their
-      segment min via reduceat); per-doc distinct is the packed-sort
-      trick shared with :func:`_text_bands_arrow`.
+      segment min via reduceat); per-doc distinct is a lexsort over
+      the (row, fingerprint) pair — the single-word packed-sort trick
+      of :func:`_text_bands_arrow` needs the value to fit beside the
+      row index in 64 bits, which a 62-bit fingerprint does not.
     """
     a1, a2, a3 = _GRAM_MIX
 
@@ -1489,7 +1507,7 @@ def _winnowed_grams_arrow(rel: DataFrame, w: int) -> DataFrame:
         import numpy as np
         import pyarrow as pa
 
-        M = MINHASH_P
+        M = _TOK_P
         tok_cache: dict = {}
         for batch in batches:
             did = batch.column("doc_id")
@@ -1578,7 +1596,7 @@ def _winnowed_grams_arrow(rel: DataFrame, w: int) -> DataFrame:
             idx = np.repeat(tok_off[:-1], g_counts) + (
                 np.arange(total) - np.repeat(g_off[:-1], g_counts)
             )
-            g = (th[idx] * a1 + th[idx + 1] * a2 + th[idx + 2] * a3) % M
+            g = th[idx] * a1 + th[idx + 1] * a2 + th[idx + 2] * a3
             within = np.arange(total) - np.repeat(g_off[:-1], g_counts)
             if w <= 1:
                 sel = g
@@ -1614,17 +1632,18 @@ def _winnowed_grams_arrow(rel: DataFrame, w: int) -> DataFrame:
                     sel_doc = np.concatenate(
                         [sel_doc, nz[pick].astype(np.int64)]
                     )
-            # distinct (doc, fingerprint): fingerprints are < 2^31 and
-            # batch row indices < 2^32 — pack and single-sort
-            packed = np.sort(
-                (sel_doc.astype(np.uint64) << np.uint64(31))
-                | sel.astype(np.uint64)
-            )
-            keep = np.ones(len(packed), bool)
-            keep[1:] = packed[1:] != packed[:-1]
-            packed = packed[keep]
-            out_g = (packed & np.uint64((1 << 31) - 1)).astype(np.int64)
-            out_row = (packed >> np.uint64(31)).astype(np.int64)
+            # distinct (doc, fingerprint): fingerprints are ~62-bit,
+            # too wide to pack beside the row index in one 64-bit
+            # word — lexsort the (row, g) pair and drop consecutive
+            # duplicates instead (two stable counting passes; same
+            # O(n log n), ~1.4× the single packed sort, measured)
+            order = np.lexsort((sel, sel_doc))
+            sd = sel_doc[order]
+            sg = sel[order]
+            keep = np.ones(len(sd), bool)
+            keep[1:] = (sd[1:] != sd[:-1]) | (sg[1:] != sg[:-1])
+            out_row = sd[keep]
+            out_g = sg[keep]
             doc_ids = np.asarray(did)
             yield pa.RecordBatch.from_arrays(
                 [pa.array(doc_ids[out_row]), pa.array(out_g)],
@@ -1641,21 +1660,41 @@ def winnow_pairs(
     min_shared: int = 5,
     max_gram_df: int = _MAX_GRAM_DF,
     w: int = _WINNOW_W,
+    min_shared_raw_grams: "int | None" = None,
 ) -> DataFrame:
     """Shared winnowed-fingerprint counts between document pairs
     (MOSS/winnowing containment detection) over a ``documents``
     relation with (doc_id, text).
 
+    .. warning:: UNIT CHANGE (round 10): ``min_shared`` counts
+       WINNOWED FINGERPRINTS, not raw distinct grams as in rounds
+       ≤ 9. At the default ``w=8`` fingerprint density is
+       2/(w+1) ≈ 0.22 of the distinct grams, so an explicit
+       ``min_shared`` tuned against the old raw-gram behavior is
+       silently ~4.4× stricter here. Callers holding a raw-gram
+       threshold should pass it as ``min_shared_raw_grams`` instead —
+       it is scaled by the winnow density automatically (identity at
+       ``w<=1``, where fingerprints ARE the distinct grams). Passing
+       both is an error.
+
     Pairs sharing ≥ ``min_shared`` surviving fingerprints are
-    contained/overlapping candidates. At the default ``w=8`` the
-    fingerprints are a 2/(w+1) ≈ 0.22 density sample of the distinct
-    grams, so ``min_shared=5`` corresponds to the pre-winnowing
-    threshold of ~20 shared grams. The join key is the fingerprint
-    hash — bucketed like the LSH join, never all-pairs, the
-    density-scaled df cap bounds any single key's fanout, and
-    winnowing + that cap cut the measured join volume ~10× at 100×
-    data (0.96M → 96k pair rows).
+    contained/overlapping candidates (the default 5 corresponds to
+    the pre-winnowing threshold of ~20 shared grams). The join key is
+    the fingerprint hash — bucketed like the LSH join, never
+    all-pairs, the density-scaled df cap bounds any single key's
+    fanout, and winnowing + that cap cut the measured join volume
+    ~10× at 100× data (0.96M → 96k pair rows).
     """
+    if min_shared_raw_grams is not None:
+        if min_shared != 5:
+            raise ValueError(
+                "pass min_shared OR min_shared_raw_grams, not both"
+            )
+        min_shared = (
+            min_shared_raw_grams
+            if w <= 1
+            else max(1, (2 * min_shared_raw_grams) // (w + 1))
+        )
     pruned = pruned_grams(docs, max_gram_df, w)
     a = pruned.alias("a")
     b = pruned.alias("b")

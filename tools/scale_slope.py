@@ -46,6 +46,28 @@ from pulsar_spark_spark.session import get_session  # noqa: E402
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 BASE = ("sf0.1", "/root/testdata/sf0.1", 1)
+
+
+def _engine_hash() -> str:
+    """Content hash of the engine package (every .py under
+    pulsar_spark_spark/), recorded per sidecar row. --merge-min's
+    'identical code' precondition used to be purely user-asserted; a
+    stale minimum captured before a perf regression would permanently
+    mask that regression in SCALE.md. Now the merge REFUSES rows whose
+    stored hash differs from the working tree's."""
+    import hashlib
+
+    h = hashlib.sha256()
+    pkg = os.path.join(ROOT, "pulsar_spark_spark")
+    for dirpath, dirnames, filenames in sorted(os.walk(pkg)):
+        dirnames.sort()
+        for fn in sorted(filenames):
+            if fn.endswith(".py"):
+                p = os.path.join(dirpath, fn)
+                h.update(os.path.relpath(p, pkg).encode())
+                with open(p, "rb") as f:
+                    h.update(f.read())
+    return h.hexdigest()[:16]
 SCALES = [
     ("sf1", os.path.join(ROOT, ".scale", "sf1"), 10),
     ("sf10", os.path.join(ROOT, ".scale", "sf10"), 100),
@@ -178,16 +200,33 @@ def main(filters) -> None:
     # shared-host VM whose contention measured ±2× between captures of
     # IDENTICAL code in one evening (round 10) — noise is one-sided,
     # so minima across captures is the bench.py min-of-N discipline
-    # extended across sessions. ONLY use after engine-code-neutral
-    # changes; after a code change, run once WITHOUT it to reset.
+    # extended across sessions. The 'identical code' precondition is
+    # ENFORCED (round 11): rows carry an engine-package content hash
+    # and --merge-min refuses rows captured under different code —
+    # run once without it to reset after an engine change.
     merge_min = "--merge-min" in filters
     filters = [f for f in filters if f != "--merge-min"]
+    cur_hash = _engine_hash()
     results: dict = {}
     sidecar = os.path.join(ROOT, "scale_slope.json")
     if filters and os.path.exists(sidecar):
         with open(sidecar) as f:
             results = json.load(f).get("queries", {})
         results = {n: r for n, r in results.items() if n in HEAVY}
+    if merge_min:
+        stale = sorted(
+            n
+            for n in results
+            if (not filters or any(f in n for f in filters))
+            and results[n].get("engine_hash") != cur_hash
+        )
+        if stale:
+            sys.exit(
+                "--merge-min refused: engine package changed since these "
+                f"sidecar rows were captured ({', '.join(stale)}). Run once "
+                "WITHOUT --merge-min to reset them, then merge later "
+                "captures of the same code."
+            )
     # ALL sf0.1 bases first, in ONE clean session (round 10): a base
     # pass measured inside the per-query session runs right after the
     # PREVIOUS query's 1000× scratch cleanup (tens of GB of async
@@ -230,6 +269,7 @@ def main(filters) -> None:
                 rec[f"{label}_ratio"] = (
                     round(rec[f"{label}_sec"] / t_base, 2) if t_base else None
                 )
+        rec["engine_hash"] = cur_hash
         results[name] = rec
         parts = [f"{name:28s} {t_base:7.2f}s"]
         for label, _d, _f in scales:
