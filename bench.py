@@ -679,6 +679,47 @@ def _bucketed_kernel_bench(spark) -> tuple[float, dict]:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _bucketed_refinement_bench(spark) -> tuple[float, dict]:
+    """Serve-path timing for the refinement pipeline's bucketed arm
+    (round 11): G5-G7 over the user_id-bucketed scaled-points layout —
+    the recurring-rescore shape the reference re-runs every 120 min
+    (JOBS/DeliveryLocationRefinementApp.scala:33,67). Layout build is
+    offline (untimed, fingerprint-cached like the ANN indexes); the
+    timed part is the full registered query on the bucketed arm:
+    Exchange-free interval join + pre-partitioned kernel, no per-run
+    md5 projection."""
+    from pulsar_spark_spark.plans.kernels import ensure_refinement_layout
+
+    t0 = time.perf_counter()
+    ensure_refinement_layout(spark, SF_DIR)
+    layout_sec = round(time.perf_counter() - t0, 3)
+    prev = os.environ.get("SPARK_GRAFT_REFINE_ARM")
+    os.environ["SPARK_GRAFT_REFINE_ARM"] = "bucketed"
+    try:
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            QUERIES["delivery_refinement"](spark, SF_DIR).collect()
+            sec = round(time.perf_counter() - t0, 3)
+            best = sec if best is None or sec < best else best
+            spark.catalog.clearCache()
+    finally:
+        if prev is None:
+            os.environ.pop("SPARK_GRAFT_REFINE_ARM", None)
+        else:
+            os.environ["SPARK_GRAFT_REFINE_ARM"] = prev
+    return best, {
+        "kernel_sec": best,
+        "layout_build_sec": layout_sec,
+        "note": (
+            "full delivery_refinement on the bucketed serve arm; "
+            "layout build untimed in the headline (offline, amortized "
+            "over every 120-min re-run). layout_build_sec ~0 when the "
+            "fingerprint cache already holds the layout."
+        ),
+    }
+
+
 def _calibration(spark) -> float:
     """Fixed, code-stable, data-independent machine probe: min-of-3 of
     a pure whole-stage-codegen aggregate over a constant range. Round
@@ -835,6 +876,18 @@ def main() -> None:
         "layout amortizes: the shuffle AND the geo_events lat/lng "
         "derivation (the layout stores the derived columns)."
     )
+    refine_bucketed_sec, refine_bucketed_detail = _bucketed_refinement_bench(
+        spark
+    )
+    timings["delivery_refinement_bucketed"] = refine_bucketed_sec
+    knob_notes["delivery_refinement_bucketed"] = (
+        "G5-G7 refinement served from the user_id-bucketed layout "
+        "(zero shuffle Exchange: the interval join reads co-located "
+        "buckets and the kernel is pre-partitioned on delivery_id; "
+        "layout build untimed like any index build). The delta vs "
+        "delivery_refinement is the per-run shuffle + md5-projection "
+        "cost the layout amortizes away."
+    )
     emb_graph = _emb_graph_bench(spark)
     ingest = _stream_ingest_bench(spark)
     session = _session_stream_bench(spark)
@@ -896,6 +949,7 @@ def main() -> None:
                     "emb_graph_detail": emb_graph,
                     "lsh_probe_detail": lsh_detail,
                     "bucketed_kernel_detail": bucketed_detail,
+                    "bucketed_refinement_detail": refine_bucketed_detail,
                     "scale_slope": scale_slope,
                 }
             }

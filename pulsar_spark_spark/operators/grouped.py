@@ -272,7 +272,9 @@ def apply_trimmed_centroid(
     return py.unionByName(jvm)
 
 
-def apply_delivery_refinement(joined: DataFrame) -> DataFrame:
+def apply_delivery_refinement(
+    joined: DataFrame, pre_partitioned: bool = False
+) -> DataFrame:
     """G5-G7 per delivery. Input: one row per (delivery × candidate
     ping) from a left interval join, columns delivery_id, user_id,
     del_ts_ms, del_lat, del_lng, del_accuracy, p_ts_ms, p_lat, p_lng,
@@ -280,6 +282,14 @@ def apply_delivery_refinement(joined: DataFrame) -> DataFrame:
 
     Output: one row per refinement result (1-2 per delivery):
     delivery_id, user_id, is_refined, method, ref_lat, ref_lng.
+
+    ``pre_partitioned=True`` skips the kernel's delivery_id shuffle.
+    Unlike the bucketed-scan kernels this is SAFE FOR ANY input that
+    came out of the interval join: delivery_id is unique on the join's
+    left side (one row per delivery), so every delivery's joined rows
+    are produced inside one task under any join strategy — the
+    "every key in exactly one partition" guarantee holds by
+    construction, no scan pinning required.
 
     No pre-dispatch here, deliberately: a < 3-ping delivery can never
     form a cluster (DBSCAN min_count) and always resolves to the
@@ -350,7 +360,9 @@ def apply_delivery_refinement(joined: DataFrame) -> DataFrame:
     )
     # tens of thousands of ~1-row groups → partition-stream grouped map
     # (per-group applyInPandas overhead would dominate the kernel)
-    return stream_key_runs(joined, "delivery_id", body, schema)
+    return stream_key_runs(
+        joined, "delivery_id", body, schema, pre_partitioned=pre_partitioned
+    )
 
 
 def grouped_map_in_pandas(

@@ -707,6 +707,179 @@ def _scaled_geo_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------
+# Bucketed serve path for the refinement pipeline (round 11).
+#
+# The reference re-runs DeliveryLocationRefinementApp every 120 min
+# (JOBS/DeliveryLocationRefinementApp.scala:33,67) over the same
+# accumulating point history — the write-once-analyze-many shape. The
+# plain plan pays, per run: the md5 geo projection over the full
+# events scan, a user_id shuffle of BOTH interval-join sides, and the
+# kernel's delivery_id shuffle. The layout pays the projection and the
+# user_id shuffle ONCE at write time (a user_id-bucketed, sorted
+# catalog table of the scaled 7-column projection); every later run
+# gets an Exchange-free sort-merge interval join between two filters
+# of the same buckets, and the kernel streams the join output in place
+# (pre_partitioned — safe unconditionally, see
+# operators/grouped.py::apply_delivery_refinement).
+# ---------------------------------------------------------------------
+# Queries route to the layout above this many event rows ('auto'):
+# every gate/bench corpus (sf0.001/0.01/0.1 ≤ 1M rows) keeps the
+# committed plan the plan-audit tests pin; the 100×/1000× scale points
+# serve from the layout. SPARK_GRAFT_REFINE_ARM=plain|bucketed
+# overrides (the scale harness pins 'bucketed' at every decade so the
+# slope is one arm's slope, and the bench's A/B row pins each arm).
+_REFINE_LAYOUT_FLOOR_ROWS = 1_500_000
+_EVENTS_ROWS_MEMO: dict = {}
+
+
+def _events_files(sf_dir: str) -> list[str]:
+    import os
+
+    src = os.path.join(sf_dir, "events.parquet")
+    if os.path.isfile(src):
+        return [src]
+    return [
+        os.path.join(base, f)
+        for base, _, fs in os.walk(src)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+
+
+def _events_rows(sf_dir: str) -> int:
+    """events row count from parquet FOOTERS (no Spark job), memoized
+    per (size, mtime) — the similarity._corpus_rows discipline."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    files = _events_files(sf_dir)
+    key = tuple(
+        (f, os.path.getsize(f), os.stat(f).st_mtime_ns) for f in files
+    )
+    if key in _EVENTS_ROWS_MEMO:
+        return _EVENTS_ROWS_MEMO[key]
+    n = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    _EVENTS_ROWS_MEMO[key] = n
+    return n
+
+
+def ensure_refinement_layout(
+    spark: SparkSession,
+    sf_dir: str,
+    n_buckets: "int | None" = None,
+    index_root: "str | None" = None,
+) -> str:
+    """Build-once bucketed layout of the scaled kernel points for
+    ``sf_dir``; returns the registered catalog table name.
+
+    Data rides the shared on-disk fingerprint cache
+    (:func:`~pulsar_spark_spark.plans.similarity._ensure_index` —
+    built in a staging dir, swapped in whole, invalidated when the
+    source events parquet changes), so the expensive part (projection
+    + bucket shuffle + write) is paid once per corpus across sessions.
+    Bucket metadata lives only in a catalog, so each session cheaply
+    re-registers an EXTERNAL table definition over the cached files
+    (sources/bucketed.py::register_external_bucketed); dropping the
+    definition never touches the data.
+
+    ``n_buckets`` defaults to ~25M rows per bucket in units of 32
+    (one wave of local[32]; a cluster profile passes its own) — it is
+    part of the cache key, so resizing rebuilds.
+    """
+    import hashlib
+    import math
+    import os
+    import uuid
+
+    from pulsar_spark_spark.plans.similarity import _ensure_index
+    from pulsar_spark_spark.sources.bucketed import (
+        register_external_bucketed,
+        save_bucketed,
+    )
+
+    if n_buckets is None:
+        n_buckets = 32 * max(1, math.ceil(_events_rows(sf_dir) / 25_000_000))
+
+    def build(tmp: str) -> None:
+        ge = geo_events(spark, sf_dir)
+        pts = ge.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            ts_millis("ts", clock_div=_PING_CLOCK_DIV).alias("ts_ms"),
+            "lat",
+            "lng",
+            "accuracy",
+        )
+        tmp_table = f"refine_pts_build_{uuid.uuid4().hex[:10]}"
+        try:
+            save_bucketed(
+                pts,
+                tmp_table,
+                "user_id",
+                n_buckets,
+                sort_cols=("user_id",),
+                path=os.path.join(tmp, "data"),
+            )
+        finally:
+            # external table: dropping the definition keeps the files
+            spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")
+
+    idx = _ensure_index(
+        "refine_pts",
+        sf_dir,
+        {"n_buckets": n_buckets, "clock_div": _PING_CLOCK_DIV, "v": 1},
+        build,
+        index_root=index_root,
+    )
+    table = "refine_pts_{}_{}".format(
+        hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10],
+        n_buckets,
+    )
+    register_external_bucketed(
+        spark,
+        table,
+        os.path.join(idx, "data"),
+        (
+            "user_id BIGINT, event_id BIGINT, event_type STRING, "
+            "ts_ms BIGINT, lat DOUBLE, lng DOUBLE, accuracy DOUBLE"
+        ),
+        "user_id",
+        n_buckets,
+        sort_cols=("user_id",),
+    )
+    return table
+
+
+def _refinement_input(
+    spark: SparkSession, sf_dir: str
+) -> "tuple[DataFrame, bool]":
+    """(points relation, serving_from_layout) for the refinement
+    queries — the arm-routing contract documented above
+    ``_REFINE_LAYOUT_FLOOR_ROWS``. The bucketed relation is NOT
+    materialized: the layout already IS the narrow projection on disk,
+    so each consumer's re-scan is pruned columnar IO against bucketed
+    files (the :func:`_geo_points` argument), while localCheckpointing
+    it would both copy the full relation into the block manager and
+    hide the scan's bucket partitioning from the planner."""
+    import os
+
+    arm = os.environ.get("SPARK_GRAFT_REFINE_ARM", "auto")
+    if arm not in ("auto", "plain", "bucketed"):
+        raise ValueError(
+            f"SPARK_GRAFT_REFINE_ARM {arm!r}: accepted values are "
+            "'auto', 'plain', 'bucketed'"
+        )
+    if arm == "plain" or (
+        arm == "auto" and _events_rows(sf_dir) <= _REFINE_LAYOUT_FLOOR_ROWS
+    ):
+        return _scaled_geo_points(spark, sf_dir), False
+    table = ensure_refinement_layout(spark, sf_dir)
+    return spark.table(table), True
+
+
 @query("best_latlng_per_user", oracle=_g1_oracle())
 def best_latlng_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G1: per-user best location by 300 m Vincenty neighbor count."""
@@ -752,13 +925,20 @@ def ping_cluster_score_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _refinement_results(
-    spark: SparkSession, sf_dir: str, pts: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    pts: DataFrame | None = None,
+    pre_partitioned: bool = False,
 ) -> DataFrame:
     """Unsorted G5-G7 refinement pipeline (shared by the registered
     query and the G8 history merge, which must not inherit the
     registered form's output sort/checkpoint mid-pipeline). ``pts``
     lets the history merge pass its already-materialized scaled
-    points so the md5 geo projection is computed once per query."""
+    points so the md5 geo projection is computed once per query;
+    ``pre_partitioned=True`` (the bucketed serve arm) deletes the
+    kernel's delivery_id shuffle — unconditionally safe here, see
+    :func:`~pulsar_spark_spark.operators.grouped
+    .apply_delivery_refinement`."""
     if pts is None:
         pts = _scaled_geo_points(spark, sf_dir)
     deliveries = pts.filter(col("event_type") == "purchase").select(
@@ -784,7 +964,7 @@ def _refinement_results(
         & (col("p_ts_ms") <= col("del_ts_ms") + 300_000),
         "left",
     ).drop("p_user_id")
-    return apply_delivery_refinement(joined)
+    return apply_delivery_refinement(joined, pre_partitioned=pre_partitioned)
 
 
 def _round6(name: str) -> F.Column:
@@ -813,9 +993,17 @@ def delivery_refinement(spark: SparkSession, sf_dir: str) -> DataFrame:
     same nudged 6 dp coordinate rounding as the G4 surface; stability
     margins for every float decision in the chain are measured and
     pinned in tests/test_kernel_margins.py.
+
+    Round 11: above ``_REFINE_LAYOUT_FLOOR_ROWS`` (or with
+    ``SPARK_GRAFT_REFINE_ARM=bucketed``) the pipeline serves from the
+    write-once bucketed layout — identical rows (pinned in
+    tests/test_bucketed.py), zero per-run projection/shuffle cost.
     """
+    pts, from_layout = _refinement_input(spark, sf_dir)
     res = (
-        _refinement_results(spark, sf_dir)
+        _refinement_results(
+            spark, sf_dir, pts=pts, pre_partitioned=from_layout
+        )
         .withColumn("ref_lat", _round6("ref_lat"))
         .withColumn("ref_lng", _round6("ref_lng"))
     )
@@ -894,9 +1082,11 @@ def delivery_refined_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     6 dp surface rounding (survivor-rule comparisons stay on the raw
     doubles in both engines).
     """
-    pts_all = _scaled_geo_points(spark, sf_dir)  # one materialization,
-    # four consumers: history rows, the delivery dim, and the
-    # refinement pipeline's delivery/ping sides
+    # plain arm: one materialization, four consumers (history rows,
+    # the delivery dim, and the refinement pipeline's delivery/ping
+    # sides). Bucketed arm: the layout IS the materialized projection
+    # on disk — consumers re-scan pruned bucketed files instead.
+    pts_all, from_layout = _refinement_input(spark, sf_dir)
     pts = pts_all.drop("event_type")
     deliveries = pts_all.filter(col("event_type") == "purchase").select(
         col("event_id").alias("delivery_id"),
@@ -910,7 +1100,9 @@ def delivery_refined_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         col("del_ts_ms").desc(), col("delivery_id").desc()
     )
     chosen = (
-        _refinement_results(spark, sf_dir, pts=pts_all)
+        _refinement_results(
+            spark, sf_dir, pts=pts_all, pre_partitioned=from_layout
+        )
         .filter(col("is_refined"))
         .join(deliveries, "delivery_id")
         .withColumn("__rk", F.dense_rank().over(w_latest))

@@ -2040,6 +2040,52 @@ def emb_graph_stats(
     }
 
 
+def read_emb_member_pairs(
+    spark: SparkSession, store_dir: str, table_prefix: str = "emb_graph"
+) -> DataFrame:
+    """Member-level (vec_a, vec_b, cos_sim) from the persisted
+    pair-graph store — the serving-side twin of
+    :func:`emb_near_dup_pairs` (same fan-out rules: the verified
+    rep-level relation fans out through the membership map; the
+    ``(rep_a != rep_b) | (m_a < m_b)`` filter keeps cross-group pairs
+    once and expands a multi-member group's self-mark to its internal
+    pairs). Used by tools/emb_recall.py to measure recall through an
+    auto-compaction width boundary."""
+    from pulsar_spark_spark.sources.bucketed import read_log_bucketed
+
+    t = lambda name: f"{table_prefix}_{name}"
+    p = lambda name: os.path.join(store_dir, name)
+    keyed = read_log_bucketed(spark, t("keyed"), p("keyed"), "vec_id", "version")
+    reps = read_log_bucketed(spark, t("reps"), p("reps"), "vkey", "version")
+    pairs = read_log_bucketed(
+        spark, t("pairs"), p("pairs"), ["vkey_a", "vkey_b"], "version"
+    )
+    rep_of = reps.select("vkey", "rep")
+    verified = (
+        pairs.join(
+            rep_of.select(col("vkey").alias("vkey_a"), col("rep").alias("rep_a")),
+            "vkey_a",
+        )
+        .join(
+            rep_of.select(col("vkey").alias("vkey_b"), col("rep").alias("rep_b")),
+            "vkey_b",
+        )
+        .select("vkey_a", "vkey_b", "rep_a", "rep_b", "cos_sim")
+    )
+    ma = keyed.select(col("vkey").alias("vkey_a"), col("vec_id").alias("m_a"))
+    mb = keyed.select(col("vkey").alias("vkey_b"), col("vec_id").alias("m_b"))
+    return (
+        ma.join(broadcast_if_bounded(verified), "vkey_a")
+        .join(mb, "vkey_b")
+        .filter((col("rep_a") != col("rep_b")) | (col("m_a") < col("m_b")))
+        .select(
+            F.least("m_a", "m_b").alias("vec_a"),
+            F.greatest("m_a", "m_b").alias("vec_b"),
+            F.round("cos_sim", 6).alias("cos_sim"),
+        )
+    )
+
+
 def read_emb_components(
     spark: SparkSession, store_dir: str, table_prefix: str = "emb_graph"
 ) -> DataFrame:

@@ -71,6 +71,40 @@ def save_bucketed(
     w.saveAsTable(table)
 
 
+def register_external_bucketed(
+    spark: SparkSession,
+    table: str,
+    path: str,
+    schema_sql: str,
+    key: str | list[str],
+    n_buckets: int,
+    sort_cols: tuple[str, ...] = (),
+) -> None:
+    """(Re-)register an EXTERNAL bucketed table definition over data
+    already written by :func:`save_bucketed`.
+
+    Bucket metadata lives only in a catalog, never in the parquet
+    files — so a layout built once on disk (e.g. under the on-disk
+    fingerprint cache) needs this cheap DDL in each NEW session to get
+    its no-shuffle property back. The files keep Spark's bucket-id
+    naming, and the CLUSTERED BY spec here must match the writing
+    spec exactly (same key, same count) or reads would assign rows to
+    the wrong buckets. The definition is external (LOCATION), so
+    DROP/re-CREATE never touches the data.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    sorted_sql = (
+        f"SORTED BY ({', '.join(sort_cols)}) " if sort_cols else ""
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    spark.sql(
+        f"CREATE TABLE {table} ({schema_sql}) USING parquet "
+        f"CLUSTERED BY ({', '.join(keys)}) {sorted_sql}"
+        f"INTO {n_buckets} BUCKETS "
+        f"LOCATION '{path}'"
+    )
+
+
 def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     """Read a bucketed table back (bucket metadata comes from the
     catalog, so joins on the bucket key skip their Exchange)."""

@@ -572,3 +572,63 @@ def test_compact_log_keeps_segment_appended_during_compaction(spark, tmp_path):
         for t in [r["tableName"] for r in spark.sql("SHOW TABLES").collect()]:
             if t.startswith(tb):
                 spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_refinement_bucketed_arm_parity_and_no_shuffle(
+    spark, tmp_path, monkeypatch
+):
+    """Round 11: the refinement pipeline's bucketed serve arm returns
+    bit-identical rows to the committed plain plan, and its physical
+    plan carries ZERO shuffle Exchanges (the per-run user_id join
+    shuffle and the kernel's delivery_id shuffle both moved to layout
+    write time; only an AQE broadcast of the small side may remain)."""
+    from pulsar_spark_spark.plans.kernels import (
+        _refinement_input,
+        _refinement_results,
+        ensure_refinement_layout,
+    )
+    from pulsar_spark_spark.plans import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_ROOT", str(tmp_path))
+    table = ensure_refinement_layout(spark, sf)
+    try:
+        for q in ("delivery_refinement", "delivery_refined_history"):
+            monkeypatch.setenv("SPARK_GRAFT_REFINE_ARM", "plain")
+            plain = [tuple(r) for r in QUERIES[q](spark, sf).collect()]
+            monkeypatch.setenv("SPARK_GRAFT_REFINE_ARM", "bucketed")
+            bucketed = [tuple(r) for r in QUERIES[q](spark, sf).collect()]
+            assert plain == bucketed, q
+            assert len(plain) > 0, q
+        monkeypatch.setenv("SPARK_GRAFT_REFINE_ARM", "bucketed")
+        pts, from_layout = _refinement_input(spark, sf)
+        assert from_layout
+        res = _refinement_results(
+            spark, sf, pts=pts, pre_partitioned=from_layout
+        )
+        plan = _plan(res)
+        assert _n_shuffles(plan) == 0, plan
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_refinement_arm_routing(spark, tmp_path, monkeypatch):
+    """'auto' keeps every gate/bench corpus on the committed plain
+    plan (events rows <= floor); explicit arms override; an unknown
+    arm raises."""
+    import pytest
+
+    from pulsar_spark_spark.plans.kernels import (
+        _REFINE_LAYOUT_FLOOR_ROWS,
+        _events_rows,
+        _refinement_input,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    assert _events_rows(sf) <= _REFINE_LAYOUT_FLOOR_ROWS
+    monkeypatch.delenv("SPARK_GRAFT_REFINE_ARM", raising=False)
+    _pts, from_layout = _refinement_input(spark, sf)
+    assert not from_layout
+    monkeypatch.setenv("SPARK_GRAFT_REFINE_ARM", "nope")
+    with pytest.raises(ValueError, match="SPARK_GRAFT_REFINE_ARM"):
+        _refinement_input(spark, sf)
