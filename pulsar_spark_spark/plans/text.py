@@ -193,14 +193,19 @@ _BAND_CAP = 64
 #   (60, 10,  6)             2.0e5     0.95
 #   (96, 12,  8)             1.7e7     0.89
 #   (160, 16, 10)            1.25e9    0.84
-#   (240, 20, 12)            1.0e11    0.76   (0.999 at J=0.9)
+#   (240, 20, 12)            1.0e11    0.76   (0.9997 at J=0.9)
+#   (288, 24, 12)            8.3e10    0.82   (recall_boost arm)
 #
 # Recall = 1-(1-J^r)^b is the BANDING hit rate for a true pair at the
 # verify floor; precision is always 1 (the exact-Jaccard verify).
 # Pairs at J ≥ 0.9 stay ≥ 0.97 on every tier (the top tier's J=0.8
-# recall is the honest trade for holding the FP budget at 10¹¹ docs —
-# raise b past 20 if the 0.8-band matters at that scale), and exact
-# duplicates never depend on banding at all (the collapse +
+# recall is the honest trade for holding the FP budget at 10¹¹ docs).
+# Corpora past 1.25e9 docs where the 0.8-band matters opt into the
+# ``recall_boost`` top tier instead: 4 more bands at the same r buys
+# J=0.8 recall 0.76 → 0.82 for +20% banding compute and a 24/20 FP
+# budget haircut (still ~8e10 docs) — the b-boost caveat the ladder
+# always documented, now a knob (auto_band_plan(recall_boost=True)).
+# Exact duplicates never depend on banding at all (the collapse +
 # (rep, rep) self-candidate arm). The floor tier is deliberately held
 # through 20 k docs — past its own 5 k budget point — so the sf0.1
 # bench corpus keeps the committed plan; the cost is a bounded
@@ -217,16 +222,26 @@ BAND_PLANS: list[tuple[int, tuple[int, int, int]]] = [
     (1_250_000_000, (160, 16, 10)),
 ]
 _TOP_PLAN = (240, 20, 12)
+_TOP_PLAN_BOOSTED = (288, 24, 12)
 
 
-def auto_band_plan(n_docs: int) -> tuple[int, int, int]:
+def auto_band_plan(
+    n_docs: int, recall_boost: bool = False
+) -> tuple[int, int, int]:
     """Smallest (n_hashes, n_bands, rows_per_band) whose expected
     false-candidate count stays linear in a corpus of ``n_docs``
-    documents (derivation in the ladder comment above)."""
+    documents (derivation in the ladder comment above).
+
+    ``recall_boost=True`` swaps the TOP tier (corpora past the
+    1.25e9-doc ladder) for the b-boosted (288, 24, 12) plan — J=0.8
+    banding recall 0.82 instead of 0.76 at +20% banding compute; the
+    ladder tiers themselves are unchanged (their recalls already sit
+    at 0.84-0.95, and changing them would move the oracle-mirrored
+    floor discipline for no benefit)."""
     for bound, plan in BAND_PLANS:
         if n_docs <= bound:
             return plan
-    return _TOP_PLAN
+    return _TOP_PLAN_BOOSTED if recall_boost else _TOP_PLAN
 
 
 _DOCS_ROWS_MEMO: dict = {}

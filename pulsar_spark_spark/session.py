@@ -32,6 +32,29 @@ from pyspark.sql import SparkSession
 _DEFAULT_LOCAL_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 
+def _local_cores() -> int:
+    """Task-slot count for local mode, honoring the Arrow-heavy
+    measurement profile.
+
+    ``SPARK_GRAFT_ARROW_PROFILE=1`` halves the local task slots
+    (floor 8): a local[N] JVM runs N task threads AND — during
+    mapInArrow/mapInPandas stages — N Python workers on the same N
+    cores, a structural 2× oversubscription measured as ~25% wall tax
+    on Arrow-dominated stages (SCALE.md round 10: the 1000× signature
+    stage ran 84 s on local[32] vs 63 s on local[16]). Halving slots
+    gives each (JVM thread, Python worker) pair a core. This is a
+    MEASUREMENT profile for local tier captures (tools/scale_slope.py
+    sets it for the corpus-family queries); a real cluster solves the
+    same problem by sizing executor cores below the node's physical
+    cores and reserving spark.executor.pyspark.memory — not by this
+    knob.
+    """
+    cpus = int(_DEFAULT_LOCAL_CPUS)
+    if os.environ.get("SPARK_GRAFT_ARROW_PROFILE", "") not in ("", "0"):
+        return max(8, cpus // 2)
+    return cpus
+
+
 def get_session(
     app_name: str = "pulsar_spark_spark",
     master: str | None = None,
@@ -39,7 +62,8 @@ def get_session(
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     """Create (or fetch) the engine SparkSession."""
-    master = master or f"local[{_DEFAULT_LOCAL_CPUS}]"
+    cores = _local_cores()
+    master = master or f"local[{cores}]"
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -49,7 +73,7 @@ def get_session(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config(
             "spark.sql.shuffle.partitions",
-            str(shuffle_partitions or int(_DEFAULT_LOCAL_CPUS)),
+            str(shuffle_partitions or cores),
         )
         # Timestamps in the reference are fixed-offset strings (+0530);
         # pin the session zone so parsing never depends on host TZ.

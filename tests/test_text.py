@@ -221,10 +221,21 @@ def test_auto_band_plan_ladder(spark):
     assert auto_band_plan(2_000_000_000) == (240, 20, 12)  # past 1.25e9
     assert auto_band_plan(1_250_000_000) == (160, 16, 10)  # at the bound
     assert auto_band_plan(10**11) == (240, 20, 12)  # top tier open-ended
+    # round 11: the recall-boost arm swaps ONLY the top tier for the
+    # b-boosted plan (J=0.8 banding recall 0.76 -> 0.82, same r);
+    # every ladder tier below the 1.25e9 bound is untouched
+    assert auto_band_plan(2_000_000_000, recall_boost=True) == (288, 24, 12)
+    assert auto_band_plan(10**11, recall_boost=True) == (288, 24, 12)
+    for n in (500, 20_000, 500_000, 1_250_000_000):
+        assert auto_band_plan(n, recall_boost=True) == auto_band_plan(n)
     # every ladder plan satisfies bands*rows == hashes
-    from pulsar_spark_spark.plans.text import BAND_PLANS, _TOP_PLAN
+    from pulsar_spark_spark.plans.text import (
+        BAND_PLANS,
+        _TOP_PLAN,
+        _TOP_PLAN_BOOSTED,
+    )
 
-    for _, (h, b, r) in BAND_PLANS + [(0, _TOP_PLAN)]:
+    for _, (h, b, r) in BAND_PLANS + [(0, _TOP_PLAN), (0, _TOP_PLAN_BOOSTED)]:
         assert b * r == h
     # in-memory relations (no input files) pin to the floor
     df = spark.createDataFrame([(1, "a b c")], "doc_id int, text string")

@@ -38,6 +38,10 @@ SCALES = [
     ("sf0.1", "/root/testdata/sf0.1", 1),
     ("sf1", os.path.join(ROOT, ".scale", "sf1"), 10),
     ("sf10", os.path.join(ROOT, ".scale", "sf10"), 100),
+    # round 11: the 1000x point (2M vectors). numpy ground truth is
+    # out of reach (truth cap below), so its row carries the
+    # recall-vs-uncapped-same-width number only.
+    ("sf100", os.path.join(ROOT, ".scale", "sf100"), 1000),
 ]
 # numpy ground truth is 2*n^2*dim flops — fine to 200k vectors
 # (~5 TFLOP, seconds under threaded BLAS), prohibitive at 2M
@@ -103,6 +107,149 @@ def _numpy_truth_pairs(sf_dir: str, thresh: float) -> "dict | None":
 
 
 
+def _truth_pair_set(sf_dir: str, thresh: float):
+    """(ids, {frozen (id_a, id_b) -> cos}) ground-truth pairs with
+    float64-confirmed cosine >= thresh — the pair-level twin of
+    :func:`_numpy_truth_pairs`, kept as an explicit set so the
+    compaction experiment can restrict truth to each ingested prefix."""
+    import glob
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    p = os.path.join(sf_dir, "embeddings.parquet")
+    files = [p] if os.path.isfile(p) else sorted(
+        glob.glob(p + "/**/*.parquet", recursive=True)
+    )
+    mats, ids = [], []
+    for f in files:
+        t = pq.read_table(f, columns=["vec_id", "embedding"])
+        ids.append(t["vec_id"].to_numpy())
+        mats.append(np.array(t["embedding"].to_pylist(), dtype="float32"))
+    vid = np.concatenate(ids)
+    m = np.vstack(mats)
+    order = np.argsort(vid)
+    vid, m = vid[order], m[order]
+    norms = np.linalg.norm(m.astype("float64"), axis=1)
+    ok = norms > 0
+    m64 = m.astype("float64")[ok]
+    vid_ok = vid[ok]
+    nrm = norms[ok]
+    mn = (m64 / nrm[:, None]).astype("float32")
+    n = mn.shape[0]
+    pairs = {}
+    B = 8192
+    for i0 in range(0, n, B):
+        a = mn[i0 : i0 + B]
+        for j0 in range(i0, n, B):
+            b = mn[j0 : j0 + B]
+            sims = a @ b.T
+            ii, jj = np.nonzero(sims >= thresh - 1e-4)
+            gi, gj = ii + i0, jj + j0
+            keep = gi < gj
+            gi, gj = gi[keep], gj[keep]
+            if len(gi):
+                cs = np.round(
+                    np.einsum("ij,ij->i", m64[gi], m64[gj])
+                    / (nrm[gi] * nrm[gj]),
+                    6,
+                )
+                sel = cs >= thresh
+                for a_id, b_id, c in zip(vid_ok[gi[sel]], vid_ok[gj[sel]], cs[sel]):
+                    pairs[(int(a_id), int(b_id))] = float(c)
+    return vid, pairs
+
+
+def compaction_recall(shard_size: int = 30_000) -> dict:
+    """Round 11 (VERDICT missing #2 / wrong #3): ingest the 100x
+    corpus (200k vectors) through the pair-graph store in vec_id-order
+    shards with ``auto_compact=True``, and after EVERY shard measure
+
+    - the ≥0.9-band member-pair recall vs numpy float64 ground truth
+      restricted to the ingested prefix — recall THROUGH each width
+      re-band, including recall of post-boundary candidates generated
+      at the new width against pre-boundary reps;
+    - the shard's ingest wall — boundary shards absorb the synchronous
+      O(n_unique) re-band, so wall(boundary) vs wall(quiet neighbors)
+      IS the worst-case inline-compaction stall the round-10 verdict
+      asked to bound.
+
+    Writes rows under emb_recall.json["compaction"].
+    """
+    import shutil
+    import tempfile
+
+    from pulsar_spark_spark.plans import similarity as S
+    from pulsar_spark_spark.session import get_session
+    from pulsar_spark_spark.sources.tables import load_table
+    from pyspark.sql.functions import col
+
+    sf_dir = os.path.join(ROOT, ".scale", "sf10")
+    ids, truth = _truth_pair_set(sf_dir, 0.9)
+    spark = get_session(app_name="emb_compaction_recall")
+    spark.sparkContext.setLogLevel("ERROR")
+    emb = load_table(spark, "embeddings", sf_dir)
+    work = tempfile.mkdtemp(prefix="emb_graph_recall_")
+    store = os.path.join(work, "store")
+    rows = []
+    try:
+        n_total = int(ids.max()) + 1
+        prev_gen = 0
+        for k, lo in enumerate(range(0, n_total, shard_size)):
+            hi = min(lo + shard_size, n_total)
+            batch = emb.filter(
+                (col("vec_id") >= lo) & (col("vec_id") < hi)
+            )
+            t0 = time.time()
+            S.update_emb_pair_graph(batch, store, version=k)
+            ingest_sec = round(time.time() - t0, 1)
+            meta = S._read_graph_meta(store)
+            stored = {
+                (r["vec_a"], r["vec_b"]): r["cos_sim"]
+                for r in S.read_emb_member_pairs(spark, store)
+                .filter(col("cos_sim") >= 0.9)
+                .collect()
+            }
+            t_pref = {pr for pr in truth if pr[1] < hi}
+            hit = sum(1 for pr in t_pref if pr in stored)
+            rows.append(
+                {
+                    "shard": k,
+                    "n_ingested": hi,
+                    "n_bits": meta["n_bits"],
+                    "banded_gen": meta["banded_gen"],
+                    "rebanded_this_shard": meta["banded_gen"] != prev_gen,
+                    "ingest_sec": ingest_sec,
+                    "truth_ge_0.9": len(t_pref),
+                    "stored_ge_0.9": len(stored),
+                    "recall_ge_0.9": (
+                        round(hit / len(t_pref), 4) if t_pref else None
+                    ),
+                }
+            )
+            prev_gen = meta["banded_gen"]
+            print(json.dumps(rows[-1]), flush=True)
+    finally:
+        spark.stop()
+        shutil.rmtree(work, ignore_errors=True)
+    quiet = [r["ingest_sec"] for r in rows if not r["rebanded_this_shard"]]
+    boundary = [r["ingest_sec"] for r in rows if r["rebanded_this_shard"]]
+    return {
+        "corpus": "sf10 (100x, 200k vectors)",
+        "shard_size": shard_size,
+        "shards": rows,
+        "worst_boundary_ingest_sec": max(boundary, default=None),
+        "worst_quiet_ingest_sec": max(quiet, default=None),
+        "note": (
+            "recall measured from the persisted store via "
+            "read_emb_member_pairs after every shard; boundary shards "
+            "run the synchronous auto-compaction re-band inside the "
+            "ingest call, so boundary-vs-quiet wall is the inline "
+            "stall bound."
+        ),
+    }
+
+
 def main(filters) -> None:
     from pulsar_spark_spark.plans import similarity as S
     from pulsar_spark_spark.plans.text import hot_bucket_stats
@@ -110,6 +257,19 @@ def main(filters) -> None:
     from pulsar_spark_spark.sources.tables import load_table
     import pyspark.sql.functions as F
     from pyspark.sql.functions import col
+
+    if "--compaction" in filters:
+        comp = compaction_recall()
+        out = os.path.join(ROOT, "emb_recall.json")
+        merged = {}
+        if os.path.exists(out):
+            with open(out) as f:
+                merged = json.load(f)
+        merged["compaction"] = comp
+        with open(out, "w") as f:
+            json.dump(merged, f, indent=1)
+        _rewrite_scale_md(merged)
+        return
 
     results = {}
     for tag, sf_dir, mult in SCALES:
@@ -233,6 +393,8 @@ def _rewrite_scale_md(results: dict) -> None:
         return "—" if v is None else v
 
     for tag, r in results.items():
+        if tag == "compaction":
+            continue
         lines.append(
             f"| {tag} ({r['multiplier']}x) | {r['n_vectors']} | {r['n_bits']} "
             f"| {r['hot_buckets_over_cap']} | {r['hottest_bucket']} "
@@ -240,6 +402,39 @@ def _rewrite_scale_md(results: dict) -> None:
             f"| {fmt(r, 'recall_prod_ge_0.35')} "
             f"| {fmt(r, 'recall_prod_ge_0.9')} "
             f"| {fmt(r, 'recall_prod_ge_0.99')} |"
+        )
+    comp = results.get("compaction")
+    if comp:
+        lines += [
+            "",
+            "### Recall through auto-compaction width boundaries "
+            "(round 11, --compaction)",
+            "",
+            f"{comp['corpus']} ingested in vec_id-order shards of "
+            f"{comp['shard_size']} with ``auto_compact=True``; after "
+            "every shard the ≥0.9-band member-pair recall is measured "
+            "FROM THE PERSISTED STORE vs numpy float64 truth over the "
+            "ingested prefix. Shards marked ⟳ crossed a width "
+            "boundary and ran the synchronous re-band inside the "
+            "ingest call — their wall vs quiet shards is the inline "
+            "compaction stall.",
+            "",
+            "| shard | ingested | bits | gen | ingest s | truth ≥0.9 "
+            "| stored ≥0.9 | recall ≥0.9 |",
+            "|---|---|---|---|---|---|---|---|",
+        ]
+        for r in comp["shards"]:
+            mark = " ⟳" if r["rebanded_this_shard"] else ""
+            lines.append(
+                f"| {r['shard']}{mark} | {r['n_ingested']} "
+                f"| {r['n_bits']} | {r['banded_gen']} "
+                f"| {r['ingest_sec']} | {r['truth_ge_0.9']} "
+                f"| {r['stored_ge_0.9']} | {r['recall_ge_0.9']} |"
+            )
+        lines.append(
+            f"\nWorst boundary-shard ingest "
+            f"{comp['worst_boundary_ingest_sec']} s vs worst quiet "
+            f"shard {comp['worst_quiet_ingest_sec']} s."
         )
     lines.append("")
     with open(path, "w") as f:

@@ -204,14 +204,35 @@ def main(filters) -> None:
     # at sf0.1 the same wide setting costs 42% total bench wall
     # (per-task overhead), which is why it lives HERE and not in the
     # engine session defaults — a real deployment sets it per profile.
-    def cluster_session():
-        return get_session(
-            extra_conf={
-                "spark.sql.adaptive.coalescePartitions.initialPartitionNum": (
-                    "256"
-                )
-            }
-        )
+    # The doc corpus family's big-scale points run mapInArrow tiers —
+    # on local[N] that is N JVM threads + N Python workers on N cores,
+    # a ~25% oversubscription tax on the Arrow-dominated stages
+    # (SCALE.md round 10). Their per-query sessions run under the
+    # documented measurement profile (session.py::_local_cores halves
+    # the task slots). The sf0.1 bases stay in the shared full-width
+    # session: below the 20k-doc engine floor the plans are pure JVM,
+    # so the profile has nothing to fix there.
+    ARROW_TIER = {
+        "doc_winnow_fingerprints",
+        "doc_ngram_jaccard",
+        "doc_near_dup_pairs",
+        "doc_dedup_clusters",
+    }
+
+    def cluster_session(name: "str | None" = None):
+        if name in ARROW_TIER:
+            os.environ["SPARK_GRAFT_ARROW_PROFILE"] = "1"
+        else:
+            os.environ.pop("SPARK_GRAFT_ARROW_PROFILE", None)
+        try:
+            return get_session(
+                extra_conf={
+                    "spark.sql.adaptive.coalescePartitions."
+                    "initialPartitionNum": "256"
+                }
+            )
+        finally:
+            os.environ.pop("SPARK_GRAFT_ARROW_PROFILE", None)
 
     from bench import _warm_python_workers
 
@@ -269,7 +290,7 @@ def main(filters) -> None:
         # fresh session. Per-query isolation also removes cross-query
         # cache effects from the numbers; ~10 s restart + worker
         # re-warm per query is outside every timed region.
-        spark = cluster_session()
+        spark = cluster_session(name)
         _warm_python_workers(spark)
         t_base = bases[name]
         rec = {f"{BASE[0]}_sec": round(t_base, 3)}
