@@ -1647,9 +1647,22 @@ def update_emb_pair_graph(
     amortized cost per ingested row is O(1) — and because it runs
     after the meta commit, a crash inside it leaves a fully-committed
     shard plus the standing occupancy debt, which the next ingest or
-    manual compaction clears. ``auto_compact=False`` keeps the
-    round-9 behavior: WARN and leave compaction to an operator
-    runbook. Per-shard WRITE I/O is O(batch): the log arm appends
+    manual compaction clears.
+
+    .. warning:: LATENCY (upgraders from round 9): with the round-10
+       ``auto_compact=True`` default, the ingest call that crosses a
+       width boundary synchronously absorbs the whole O(n_unique)
+       re-band — its wall is the re-band's, not the shard's (measured
+       round 11, SCALE.md compaction table / emb_recall.json:
+       tens of seconds at 200k uniques on local[32], vs ~5 s quiet
+       shards; grows linearly in store size, shrinks with cluster
+       width). Amortized cost is unchanged, but p99 shard latency is
+       not amortized: SLO-bound ingesters should pass
+       ``auto_compact=False`` and run :func:`compact_emb_pair_graph`
+       from a maintenance window / operator runbook instead — the
+       standing occupancy debt only degrades candidate-join cost,
+       never correctness. ``auto_compact=False`` is exactly the
+       round-9 behavior (WARN and leave it to the runbook). Per-shard WRITE I/O is O(batch): the log arm appends
     one segment per table instead of rewriting the accumulated state
     (the COW/MOR trade — reads pay the latest-wins merge, bounded by
     the log's LSM auto-compaction). Candidate semantics equal the

@@ -163,21 +163,30 @@ def _truth_pair_set(sf_dir: str, thresh: float):
 def compaction_recall(shard_size: int = 30_000) -> dict:
     """Round 11 (VERDICT missing #2 / wrong #3): ingest the 100x
     corpus (200k vectors) through the pair-graph store in vec_id-order
-    shards with ``auto_compact=True``, and after EVERY shard measure
+    shards with ``auto_compact=True``, then a FINAL shard of PLANTED
+    near-duplicates (every 20th organic vector, unit-sphere noise at
+    ε=0.3 → cos ≈ 0.95), and after EVERY shard measure
 
     - the ≥0.9-band member-pair recall vs numpy float64 ground truth
-      restricted to the ingested prefix — recall THROUGH each width
-      re-band, including recall of post-boundary candidates generated
-      at the new width against pre-boundary reps;
-    - the shard's ingest wall — boundary shards absorb the synchronous
-      O(n_unique) re-band, so wall(boundary) vs wall(quiet neighbors)
-      IS the worst-case inline-compaction stall the round-10 verdict
-      asked to bound.
+      restricted to the ingested prefix. The organic corpus's ≥0.9
+      pairs are all EXACT duplicates (isometry-aligned replicas) that
+      the vkey collapse catches without banding, so the planted shard
+      is the load-bearing evidence: its pairs are genuine near-dups
+      (0.9 < cos < 1) whose discovery REQUIRES banding new candidates
+      against reps ingested before every width re-band — recall OF
+      FUTURE CANDIDATES at the migrated width, the exact hole the
+      round-10 verdict named;
+    - the shard's ingest wall plus the inner re-band wall
+      (``compact_sec``, timed around compact_emb_pair_graph) —
+      boundary shards absorb the synchronous O(n_unique) re-band, so
+      compact_sec IS the inline-compaction stall to bound.
 
     Writes rows under emb_recall.json["compaction"].
     """
     import shutil
     import tempfile
+
+    import numpy as np
 
     from pulsar_spark_spark.plans import similarity as S
     from pulsar_spark_spark.session import get_session
@@ -185,21 +194,88 @@ def compaction_recall(shard_size: int = 30_000) -> dict:
     from pyspark.sql.functions import col
 
     sf_dir = os.path.join(ROOT, ".scale", "sf10")
-    ids, truth = _truth_pair_set(sf_dir, 0.9)
+    # organic matrix (vec_id-sorted) for the planted shard's sources
+    import glob
+
+    import pyarrow.parquet as pq
+
+    p = os.path.join(sf_dir, "embeddings.parquet")
+    files = [p] if os.path.isfile(p) else sorted(
+        glob.glob(p + "/**/*.parquet", recursive=True)
+    )
+    mats, idl = [], []
+    for f in files:
+        t = pq.read_table(f, columns=["vec_id", "embedding"])
+        idl.append(t["vec_id"].to_numpy())
+        mats.append(np.array(t["embedding"].to_pylist(), dtype="float64"))
+    vid = np.concatenate(idl)
+    m = np.vstack(mats)
+    order = np.argsort(vid)
+    vid, m = vid[order], m[order]
+    n_total = int(vid.max()) + 1
+    src_rows = np.arange(0, len(vid), 20)
+    rng = np.random.default_rng(811)
+    noise = rng.standard_normal((len(src_rows), m.shape[1]))
+    src = m[src_rows]
+    s_norm = np.linalg.norm(src, axis=1, keepdims=True)
+    n_norm = np.linalg.norm(noise, axis=1, keepdims=True)
+    ok = (s_norm[:, 0] > 0) & (n_norm[:, 0] > 0)
+    planted = src[ok] + 0.3 * s_norm[ok] * (noise[ok] / n_norm[ok])
+    planted_src_ids = vid[src_rows[ok]]
+    planted_ids = n_total + np.arange(len(planted))
+    # float64 planted-pair truth (cos(v, v+0.3||v||ĝ) ≈ 0.958 ± noise)
+    p_cos = np.round(
+        np.einsum("ij,ij->i", src[ok], planted)
+        / (s_norm[ok][:, 0] * np.linalg.norm(planted, axis=1)),
+        6,
+    )
+    planted_truth = {
+        (int(a), int(b)): float(c)
+        for a, b, c in zip(planted_src_ids, planted_ids, p_cos)
+        if c >= 0.9
+    }
+    _ids, organic_truth = _truth_pair_set(sf_dir, 0.9)
+    truth = {**organic_truth, **planted_truth}
+
     spark = get_session(app_name="emb_compaction_recall")
     spark.sparkContext.setLogLevel("ERROR")
     emb = load_table(spark, "embeddings", sf_dir)
     work = tempfile.mkdtemp(prefix="emb_graph_recall_")
     store = os.path.join(work, "store")
     rows = []
+    # time the inline re-band separately from the rest of the ingest:
+    # update_emb_pair_graph resolves compact_emb_pair_graph through
+    # the module namespace, so a module-level wrap sees the auto call
+    orig_compact = S.compact_emb_pair_graph
+    last_compact = {"sec": None}
+
+    def timed_compact(*a, **k):
+        t0 = time.time()
+        out = orig_compact(*a, **k)
+        last_compact["sec"] = round(time.time() - t0, 1)
+        return out
+
+    S.compact_emb_pair_graph = timed_compact
     try:
-        n_total = int(ids.max()) + 1
+        shards = [
+            ("organic", lo, min(lo + shard_size, n_total))
+            for lo in range(0, n_total, shard_size)
+        ] + [("planted", n_total, n_total + len(planted))]
         prev_gen = 0
-        for k, lo in enumerate(range(0, n_total, shard_size)):
-            hi = min(lo + shard_size, n_total)
-            batch = emb.filter(
-                (col("vec_id") >= lo) & (col("vec_id") < hi)
-            )
+        for k, (kind, lo, hi) in enumerate(shards):
+            if kind == "organic":
+                batch = emb.filter(
+                    (col("vec_id") >= lo) & (col("vec_id") < hi)
+                )
+            else:
+                batch = spark.createDataFrame(
+                    [
+                        (int(i), [float(x) for x in v])
+                        for i, v in zip(planted_ids, planted)
+                    ],
+                    "vec_id long, embedding array<double>",
+                )
+            last_compact["sec"] = None
             t0 = time.time()
             S.update_emb_pair_graph(batch, store, version=k)
             ingest_sec = round(time.time() - t0, 1)
@@ -212,40 +288,52 @@ def compaction_recall(shard_size: int = 30_000) -> dict:
             }
             t_pref = {pr for pr in truth if pr[1] < hi}
             hit = sum(1 for pr in t_pref if pr in stored)
+            t_planted = {pr for pr in planted_truth if pr[1] < hi}
+            hit_planted = sum(1 for pr in t_planted if pr in stored)
             rows.append(
                 {
                     "shard": k,
+                    "kind": kind,
                     "n_ingested": hi,
                     "n_bits": meta["n_bits"],
                     "banded_gen": meta["banded_gen"],
                     "rebanded_this_shard": meta["banded_gen"] != prev_gen,
                     "ingest_sec": ingest_sec,
+                    "compact_sec": last_compact["sec"],
                     "truth_ge_0.9": len(t_pref),
                     "stored_ge_0.9": len(stored),
                     "recall_ge_0.9": (
                         round(hit / len(t_pref), 4) if t_pref else None
+                    ),
+                    "planted_truth": len(t_planted),
+                    "planted_recall": (
+                        round(hit_planted / len(t_planted), 4)
+                        if t_planted
+                        else None
                     ),
                 }
             )
             prev_gen = meta["banded_gen"]
             print(json.dumps(rows[-1]), flush=True)
     finally:
+        S.compact_emb_pair_graph = orig_compact
         spark.stop()
         shutil.rmtree(work, ignore_errors=True)
+    stalls = [r["compact_sec"] for r in rows if r["compact_sec"]]
     quiet = [r["ingest_sec"] for r in rows if not r["rebanded_this_shard"]]
-    boundary = [r["ingest_sec"] for r in rows if r["rebanded_this_shard"]]
     return {
-        "corpus": "sf10 (100x, 200k vectors)",
+        "corpus": "sf10 (100x, 200k vectors) + 10k planted near-dups",
         "shard_size": shard_size,
         "shards": rows,
-        "worst_boundary_ingest_sec": max(boundary, default=None),
+        "worst_compact_stall_sec": max(stalls, default=None),
         "worst_quiet_ingest_sec": max(quiet, default=None),
         "note": (
             "recall measured from the persisted store via "
-            "read_emb_member_pairs after every shard; boundary shards "
-            "run the synchronous auto-compaction re-band inside the "
-            "ingest call, so boundary-vs-quiet wall is the inline "
-            "stall bound."
+            "read_emb_member_pairs after every shard; the planted "
+            "final shard's recall is banding recall of NEW candidates "
+            "against pre-re-band reps at the migrated width; "
+            "compact_sec is the synchronous inline re-band wall "
+            "inside the triggering ingest call."
         ),
     }
 
@@ -414,27 +502,33 @@ def _rewrite_scale_md(results: dict) -> None:
             f"{comp['shard_size']} with ``auto_compact=True``; after "
             "every shard the ≥0.9-band member-pair recall is measured "
             "FROM THE PERSISTED STORE vs numpy float64 truth over the "
-            "ingested prefix. Shards marked ⟳ crossed a width "
-            "boundary and ran the synchronous re-band inside the "
-            "ingest call — their wall vs quiet shards is the inline "
-            "compaction stall.",
+            "ingested prefix. The organic ≥0.9 pairs are all exact "
+            "duplicates (vkey-collapse arm, banding-independent); the "
+            "final PLANTED shard (noise copies at cos≈0.95 of vectors "
+            "spread across every earlier shard) is the load-bearing "
+            "row: recall of genuinely-banded NEW candidates against "
+            "reps stored before every width re-band. Shards marked ⟳ "
+            "crossed a boundary; compact s is the synchronous inline "
+            "re-band wall inside that ingest call (the stall bound).",
             "",
-            "| shard | ingested | bits | gen | ingest s | truth ≥0.9 "
-            "| stored ≥0.9 | recall ≥0.9 |",
-            "|---|---|---|---|---|---|---|---|",
+            "| shard | kind | ingested | bits | gen | ingest s "
+            "| compact s | truth ≥0.9 | recall ≥0.9 | planted recall |",
+            "|---|---|---|---|---|---|---|---|---|---|",
         ]
         for r in comp["shards"]:
             mark = " ⟳" if r["rebanded_this_shard"] else ""
             lines.append(
-                f"| {r['shard']}{mark} | {r['n_ingested']} "
+                f"| {r['shard']}{mark} | {r['kind']} | {r['n_ingested']} "
                 f"| {r['n_bits']} | {r['banded_gen']} "
-                f"| {r['ingest_sec']} | {r['truth_ge_0.9']} "
-                f"| {r['stored_ge_0.9']} | {r['recall_ge_0.9']} |"
+                f"| {r['ingest_sec']} | {r['compact_sec'] or '—'} "
+                f"| {r['truth_ge_0.9']} | {r['recall_ge_0.9']} "
+                f"| {r['planted_recall'] if r['planted_recall'] is not None else '—'} |"
             )
         lines.append(
-            f"\nWorst boundary-shard ingest "
-            f"{comp['worst_boundary_ingest_sec']} s vs worst quiet "
-            f"shard {comp['worst_quiet_ingest_sec']} s."
+            f"\nWorst inline compaction stall "
+            f"{comp['worst_compact_stall_sec']} s (inside one ingest "
+            f"call) vs worst quiet-shard ingest "
+            f"{comp['worst_quiet_ingest_sec']} s."
         )
     lines.append("")
     with open(path, "w") as f:

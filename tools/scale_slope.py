@@ -105,6 +105,9 @@ SF100_SUBSET = {
     # /root/repo/.scale/sf100 --events-only
     "delivery_refinement",
     "best_latlng_per_user",
+    # round 11: the G8 twin (VERDICT stretch item) — cheap now that
+    # the sf100 events table and the bucketed serve arm exist
+    "delivery_refined_history",
 }
 
 # The heaviest bench queries (r5 ordering) — every family with a
@@ -382,8 +385,17 @@ def _summarize_and_render(results: dict, scales) -> None:
         f"# SCALE — measured wall-time slope ({arrow_title})",
         "",
         "Datasets from `tools/gen_scale.py` (events ×K users at",
-        "constant per-user density; documents ×K with seeded word",
-        "shuffle; embeddings ×K isometric replicas; documents and",
+        "constant per-user density; documents OPEN-VOCABULARY since",
+        "round 11 — Zipf-Mandelbrot vocabulary growing with the",
+        "corpus plus planted near-duplicates (2%) and containments",
+        "(1%), replacing the word-shuffled replicas whose ~31-word",
+        "vocabulary went entirely hot at 100×/1000×, emptied the",
+        "df-capped candidate set, and left the winnow/ngram slope",
+        "rows timing map machinery over ~zero join volume — the",
+        "round-10 verdict's lead caveat; every doc row now carries",
+        "LIVE candidate volume at every decade (e.g. winnow pairs",
+        "1144 at 10×, ~linear beyond). Embeddings stay ×K isometric",
+        "replicas; documents and",
         "embeddings written in 20k-row groups since round 8 so scans",
         "parallelize like a real multi-file corpus — the earlier",
         "single-row-group files made every documents/embeddings scan",
