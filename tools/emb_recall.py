@@ -530,6 +530,8 @@ def _rewrite_scale_md(results: dict) -> None:
             f"call) vs worst quiet-shard ingest "
             f"{comp['worst_quiet_ingest_sec']} s."
         )
+        if comp.get("analysis"):
+            lines.append("\n" + comp["analysis"])
     lines.append("")
     with open(path, "w") as f:
         f.write(txt + "\n".join(lines) + "\n")
