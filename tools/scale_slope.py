@@ -495,13 +495,24 @@ def _summarize_and_render(results: dict, scales) -> None:
         "~25% of the measured tier wall here is oversubscription tax,",
         "not work. Kernel-bound queries (delivery_*,",
         "best_latlng): their 10×/100× ratios track core headroom, and",
-        "the round-10 fourth-decade points settle the previously",
-        "extrapolated story — once 100× more users saturate all 32",
-        "cores, the NEXT decade is linear-or-better (delivery ×9.0,",
-        "best_latlng ×5.3 wall for ×10 data at 1000×): the per-user",
-        "kernel is one shuffle into applyInPandas with no cross-user",
-        "coupling, so a 1000-executor cluster flattens these ratios",
-        "by spreading exactly that shuffle.",
+        "the fourth-decade points settle the previously extrapolated",
+        "story — once 100× more users saturate all 32 cores, the NEXT",
+        "decade is linear-or-better (round 11: delivery ×9.2,",
+        "refined_history ×8.7 wall for ×10 data at 1000×): the",
+        "per-user kernel is one shuffle into applyInPandas with no",
+        "cross-user coupling, so a 1000-executor cluster flattens",
+        "these ratios by spreading exactly that shuffle. Round 11",
+        "moved the delivery rows to the BUCKETED serve arm (layout",
+        "built untimed like the ANN indexes; arm pinned at every",
+        "decade so the slope is one arm's): wall seconds dropped at",
+        "every point (1000× 399→329 s, 100× 42→36 s, base 2.2→1.5 s)",
+        "— but the RATIOS rose, arithmetically, because the base",
+        "shrank more (its per-run fixed costs were the biggest share",
+        "of a 1.5 s query). Read the seconds, not the ratio, for the",
+        "layout's effect; the measured split says the deleted",
+        "shuffle+projection was ~20% of the big-scale wall and the",
+        "remaining ~80% is the Python kernel itself — the part a",
+        "cluster scales out by adding executors.",
     ]
     lines.append("")
     tail = (
