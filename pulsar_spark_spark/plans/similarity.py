@@ -110,6 +110,19 @@ def sign_bucket(a_sql: str, n_bits: int, seed: str = "srp") -> Column:
     instead costs n_bits × (dim + ~6) py4j round-trips — measured
     ~1.4 s of DRIVER time per plan build at 4 tables × 4 bits × 64
     dims, dwarfing the 0.1 s of executor work it encodes.
+
+    Dim robustness (round 11): the hyperplanes are ``_EMB_DIM``-wide
+    and ``zip_with`` pads the shorter array with NULLs, so a vector of
+    any OTHER dimensionality used to NULL-poison the whole fold —
+    every bucket became the constant all-'0' key, the hot-bucket cap
+    (correctly) dropped it, and the pipeline returned ZERO pairs
+    silently (found by the round-11 multiprobe fixture). The fold now
+    coalesces each term to 0.0, which is exactly "project onto the
+    first min(dim, _EMB_DIM) components" — a valid (if
+    lower-resolution) SRP for short vectors, a truncated projection
+    for long ones, and BIT-IDENTICAL on conforming corpora (the
+    coalesce never fires at dim == _EMB_DIM, which is all the DuckDB
+    oracle ever sees).
     """
     bits = []
     for row in _srp_hyperplanes(n_bits, seed=seed):
@@ -118,7 +131,7 @@ def sign_bucket(a_sql: str, n_bits: int, seed: str = "srp") -> Column:
         d = (
             f"aggregate(zip_with({lit}, {a_sql}, "
             "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
-            "0.0D, (acc, x) -> acc + x)"
+            "0.0D, (acc, x) -> acc + coalesce(x, 0.0D))"
         )
         bits.append(f"(CASE WHEN {d} >= 0 THEN '1' ELSE '0' END)")
     return F.expr("concat(" + ", ".join(bits) + ")")
@@ -653,6 +666,7 @@ def emb_near_dup_candidates(
     n_tables: int = _EMB_TABLES,
     n_bits: "int | None" = None,
     bucket_cap: int = _EMB_BUCKET_CAP,
+    multiprobe: bool = False,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Candidate-generation stage of :func:`emb_near_dup_pairs`,
     exposed so the skew guards are testable in isolation.
@@ -668,7 +682,18 @@ def emb_near_dup_candidates(
     grouping semantics must match, not the key bytes). The collapse is
     an AGGREGATE (min/min_by/count, all map-side combinable), not a
     window: a million-copy vector ships one partial row per map task.
-    """
+
+    ``multiprobe=True`` (round 11, OPT-IN — the registered queries and
+    their DuckDB oracles stay exact-bucket) additionally probes every
+    Hamming-1 neighbor bucket on one join side, the same trade as the
+    ANN serving path's :func:`_probe_buckets`: per-table hit
+    probability for a true pair rises from p^b to
+    p^b + b·p^(b-1)(1-p), e.g. at the adaptive 12-bit width and
+    cos 0.95 the 4-table banding recall goes 0.78 → ~0.99, for a
+    (n_bits+1)× larger probe side of the candidate join (verification
+    stays exact, so precision is unchanged). Use it on corpora where
+    the 0.9-0.97 near-dup band is the payload rather than exact-copy
+    collapse."""
     spark = emb.sparkSession
     n_bits = resolve_emb_bits(emb, n_bits)
     vkey = _emb_vkey()
@@ -704,7 +729,27 @@ def emb_near_dup_candidates(
     from pulsar_spark_spark.plans.text import cap_hot_buckets
 
     capped = cap_hot_buckets(banded, ["tbl", "bucket"], bucket_cap)
-    a = capped.alias("a")
+    if multiprobe:
+        # expand ONE side to the bucket + its Hamming-1 flips; the
+        # other side stays exact, so a pair at Hamming distance 1 is
+        # still found (either endpoint probes the other's bucket) and
+        # the join volume grows (n_bits+1)×, not (n_bits+1)²×
+        probe_side = capped.select(
+            "rep",
+            "tbl",
+            F.explode(
+                F.array(
+                    col("bucket"),
+                    *[
+                        _flip_bit(col("bucket"), i, n_bits)
+                        for i in range(n_bits)
+                    ],
+                )
+            ).alias("bucket"),
+        )
+        a = probe_side.alias("a")
+    else:
+        a = capped.alias("a")
     b = capped.alias("b")
     cross = (
         a.join(
@@ -729,6 +774,7 @@ def emb_verified_rep_pairs(
     n_tables: int = _EMB_TABLES,
     n_bits: "int | None" = None,
     bucket_cap: int = _EMB_BUCKET_CAP,
+    multiprobe: bool = False,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Candidate generation + exact-cosine verify at REPRESENTATIVE
     level: returns ``(keyed, reps, verified)`` where verified is (vkey_a,
@@ -739,7 +785,9 @@ def emb_verified_rep_pairs(
     size. The (rep, rep) self-pair goes through the same cosine
     expression as cross pairs (cos(v, v) is computed, not assumed
     1.0), keeping the oracle bit-identical."""
-    keyed, reps, cand = emb_near_dup_candidates(emb, n_tables, n_bits, bucket_cap)
+    keyed, reps, cand = emb_near_dup_candidates(
+        emb, n_tables, n_bits, bucket_cap, multiprobe=multiprobe
+    )
     ea = reps.select(
         col("rep").alias("rep_a"),
         col("embedding").alias("emb_a"),
@@ -766,6 +814,7 @@ def emb_near_dup_pairs(
     n_tables: int = _EMB_TABLES,
     n_bits: "int | None" = None,
     bucket_cap: int = _EMB_BUCKET_CAP,
+    multiprobe: bool = False,
 ) -> DataFrame:
     """Member-level near-dup pairs (vec_a, vec_b, cos_sim): the
     verified rep pairs fanned back out to group members. The verified
@@ -773,8 +822,12 @@ def emb_near_dup_pairs(
     the fan-out never shuffles the membership relation, behind a
     row-count guard (:func:`broadcast_if_bounded`): on a
     near-dup-dense corpus the verified relation is data-dependent and
-    unbounded, and past ~5M rows the shuffle join is the right plan."""
-    keyed, _, verified = emb_verified_rep_pairs(emb, n_tables, n_bits, bucket_cap)
+    unbounded, and past ~5M rows the shuffle join is the right plan.
+    ``multiprobe``: see :func:`emb_near_dup_candidates` (opt-in
+    Hamming-1 recall boost; the registered query keeps the default)."""
+    keyed, _, verified = emb_verified_rep_pairs(
+        emb, n_tables, n_bits, bucket_cap, multiprobe=multiprobe
+    )
     ma = keyed.select(col("vkey").alias("vkey_a"), col("vec_id").alias("m_a"))
     mb = keyed.select(col("vkey").alias("vkey_b"), col("vec_id").alias("m_b"))
     return (
@@ -848,6 +901,7 @@ def emb_components(
     n_bits: "int | None" = None,
     bucket_cap: int = _EMB_BUCKET_CAP,
     cc: str = "auto",
+    multiprobe: bool = False,
 ) -> DataFrame:
     """(node=vec_id, component=min vec_id in its near-dup cluster) for
     every CLUSTERED vector — the rep-level decomposition underlying
@@ -862,7 +916,9 @@ def emb_components(
     dispatch as ``doc_components``."""
     from pulsar_spark_spark.plans.text import component_walk
 
-    keyed, reps, verified = emb_verified_rep_pairs(emb, n_tables, n_bits, bucket_cap)
+    keyed, reps, verified = emb_verified_rep_pairs(
+        emb, n_tables, n_bits, bucket_cap, multiprobe=multiprobe
+    )
     cross = verified.filter(col("rep_a") != col("rep_b"))
     comp_rep = component_walk(cross, "rep_a", "rep_b", cc)
     self_only = (
@@ -1598,6 +1654,7 @@ def update_emb_pair_graph(
     n_bits: "int | None" = None,
     n_buckets: int = 16,
     auto_compact: bool = True,
+    multiprobe: bool = False,
 ) -> None:
     """Extend the persisted embedding near-dup graph with one shard of
     new vectors — serving parity for the dedup family (the ANN queries
@@ -1815,9 +1872,31 @@ def update_emb_pair_graph(
         if stored_banded is None
         else stored_banded.unionByName(new_banded.select("vkey", "tbl", "bucket"))
     )
-    a = new_banded.select(
-        col("vkey").alias("vkey_a"), "tbl", "bucket"
-    ).alias("a")
+    if multiprobe:
+        # opt-in Hamming-1 probing of the NEW side only (same trade
+        # as emb_near_dup_candidates' knob): a new vector probes the
+        # stored buckets one flip away, lifting banding recall in the
+        # 0.9-0.97 band at (n_bits+1)× probe volume. Knob choice must
+        # be CONSISTENT across a store's shards — pairs already
+        # verified stay verified either way, but recall of pairs
+        # discovered later depends on the arm each shard ran.
+        a = new_banded.select(
+            col("vkey").alias("vkey_a"),
+            "tbl",
+            F.explode(
+                F.array(
+                    col("bucket"),
+                    *[
+                        _flip_bit(col("bucket"), i, n_bits)
+                        for i in range(n_bits)
+                    ],
+                )
+            ).alias("bucket"),
+        ).alias("a")
+    else:
+        a = new_banded.select(
+            col("vkey").alias("vkey_a"), "tbl", "bucket"
+        ).alias("a")
     b = both.select(col("vkey").alias("vkey_b"), "tbl", "bucket").alias("b")
     cand = (
         a.join(b, ["tbl", "bucket"])

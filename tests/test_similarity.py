@@ -901,3 +901,95 @@ def test_compact_emb_pair_graph_crash_leaves_old_generation_live(spark, tmp_path
         for t in [r["tableName"] for r in spark.sql("SHOW TABLES").collect()]:
             if t.startswith(prefix):
                 spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def _noise_copy_corpus(spark, n_base=300, n_planted=60, dim=64, eps=0.3):
+    """Seeded corpus: n_base random unit-ish vectors plus noise copies
+    of the first n_planted at cos = 1/sqrt(1+eps^2) ≈ 0.958 — genuine
+    near-dups (no exact-collapse shortcut). Returns (df, planted_pairs)."""
+    import numpy as np
+
+    rng = np.random.default_rng(4711)
+    base = rng.standard_normal((n_base, dim))
+    src = base[:n_planted]
+    g = rng.standard_normal((n_planted, dim))
+    g /= np.linalg.norm(g, axis=1, keepdims=True)
+    copies = src + eps * np.linalg.norm(src, axis=1, keepdims=True) * g
+    rows = [
+        (i, [float(x) for x in v]) for i, v in enumerate(base)
+    ] + [
+        (n_base + i, [float(x) for x in v]) for i, v in enumerate(copies)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    planted = {(i, n_base + i) for i in range(n_planted)}
+    return df, planted
+
+
+def test_emb_multiprobe_superset_and_recall_lift(spark):
+    """Round 11: the opt-in Hamming-1 multiprobe knob. Candidates (and
+    therefore verified pairs — verification is exact either way) are a
+    SUPERSET of the exact-bucket arm's, and on a genuine near-dup
+    corpus (cos ≈ 0.958, below the exact-collapse shortcut) the
+    planted-pair recall rises to ~the closed-form Hamming-1 value
+    (≈ 0.999 at 8 bits / 4 tables vs ≈ 0.91 exact-bucket)."""
+    from pulsar_spark_spark.plans import similarity as sim
+
+    df, planted = _noise_copy_corpus(spark)
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in sim.emb_near_dup_pairs(df, n_bits=8).collect()
+    }
+    probed = {
+        (r["vec_a"], r["vec_b"])
+        for r in sim.emb_near_dup_pairs(df, n_bits=8, multiprobe=True).collect()
+    }
+    assert exact <= probed
+    rec_exact = len(planted & exact) / len(planted)
+    rec_probed = len(planted & probed) / len(planted)
+    assert rec_probed >= rec_exact
+    assert rec_probed >= 0.95, (rec_exact, rec_probed)
+
+
+def test_emb_pair_graph_multiprobe_superset(spark, tmp_path):
+    """The store twin of the multiprobe knob: same shards ingested
+    into two stores, the multiprobe arm's member pairs are a superset
+    with at least the exact arm's planted recall."""
+    from pulsar_spark_spark.plans import similarity as sim
+    from pyspark.sql.functions import col
+
+    df, planted = _noise_copy_corpus(spark)
+    pairs = {}
+    for arm, mp in (("exact", False), ("probed", True)):
+        store = str(tmp_path / f"store_{arm}")
+        for k, (lo, hi) in enumerate([(0, 180), (180, 360)]):
+            batch = df.filter((col("vec_id") >= lo) & (col("vec_id") < hi))
+            sim.update_emb_pair_graph(
+                batch, store, version=k, n_bits=8, multiprobe=mp
+            )
+        pairs[arm] = {
+            (r["vec_a"], r["vec_b"])
+            for r in sim.read_emb_member_pairs(spark, store).collect()
+        }
+    assert pairs["exact"] <= pairs["probed"]
+    assert len(planted & pairs["probed"]) >= len(planted & pairs["exact"])
+    assert len(planted & pairs["probed"]) / len(planted) >= 0.95
+
+
+def test_emb_banding_handles_nonconforming_dim(spark):
+    """Round 11 regression: vectors whose dimensionality differs from
+    _EMB_DIM used to NULL-poison the SRP fold (zip_with pads with
+    NULL) — every bucket collapsed to the all-'0' key and the pipeline
+    silently returned zero pairs. The coalesced fold projects onto the
+    first min(dim, _EMB_DIM) hyperplane components instead, so a
+    16-dim corpus bands normally and finds its planted near-dups."""
+    from pulsar_spark_spark.plans import similarity as sim
+
+    df, planted = _noise_copy_corpus(spark, dim=16)
+    probed = {
+        (r["vec_a"], r["vec_b"])
+        for r in sim.emb_near_dup_pairs(
+            df, n_bits=8, multiprobe=True
+        ).collect()
+    }
+    assert len(probed) > 0
+    assert len(planted & probed) / len(planted) >= 0.9
