@@ -118,16 +118,24 @@ def best_lat_lng(lats: np.ndarray, lngs: np.ndarray) -> tuple[float, float]:
 # G2 / G3 shared score + neighbor-count maps
 # ---------------------------------------------------------------------
 def _score_maps(
-    lats: np.ndarray, lngs: np.ndarray, threshold_m: float
+    lats: np.ndarray,
+    lngs: np.ndarray,
+    threshold_m: float,
+    d: "np.ndarray | None" = None,
 ) -> tuple[list[tuple[float, float]], dict, dict]:
     """Coordinate-keyed score/neighbor maps with the reference's
     overwrite-by-last-differing-neighbor scoring and per-row count
     accumulation. Returns (unique coords in first-occurrence order,
-    score map, count map)."""
+    score map, count map). ``d`` optionally supplies the pairwise
+    Vincenty matrix for these points (row order == input order) —
+    bit-identical to computing it here (vincenty_np is the only
+    producer either way), used by the batched refinement path to
+    avoid one tiny-array numpy dispatch per cluster."""
     n = len(lats)
     lat_a = np.asarray(lats, float)
     lng_a = np.asarray(lngs, float)
-    d = _pairwise_vincenty(lat_a, lng_a)
+    if d is None:
+        d = _pairwise_vincenty(lat_a, lng_a)
     differs = (lat_a[None, :] != lat_a[:, None]) | (lng_a[None, :] != lng_a[:, None])
 
     uniq: list[tuple[float, float]] = []
@@ -182,11 +190,12 @@ def cluster_best_lat_lng_with_score(
     distance_threshold_m: float = SCORE_DISTANCE_THRESHOLD_M,
     min_points: int = SCORE_MIN_POINTS,
     majority_pct: float = SCORE_MAJORITY_PCT,
+    d: "np.ndarray | None" = None,
 ) -> tuple[float, float, float, bool]:
     """G3: argmax-by-neighbor-count location with a real-ceil majority
-    bar; score 0.0 below min_points."""
+    bar; score 0.0 below min_points. ``d``: see :func:`_score_maps`."""
     n = len(lats)
-    uniq, _score, count = _score_maps(lats, lngs, distance_threshold_m)
+    uniq, _score, count = _score_maps(lats, lngs, distance_threshold_m, d=d)
     best = uniq[0]
     best_count = count[best]
     for c in uniq[1:]:  # first max wins in first-occurrence order
@@ -263,7 +272,9 @@ def dbscan_clusters(
     pings: list[tuple[int, float, float, float]],
     eps_m: float = DBSCAN_EPS_M,
     min_count: int = DBSCAN_MIN_COUNT,
-) -> list[tuple[list[tuple[float, float, float, int]], float, float, int]]:
+    pair_dist: "np.ndarray | None" = None,
+    return_indices: bool = False,
+) -> list:
     """G5: time-sorted single-pass DBSCAN variant.
 
     ``pings`` are (ts_ms, lat, lng, accuracy) tuples; they are sorted
@@ -271,28 +282,53 @@ def dbscan_clusters(
     pin with a secondary key). Cluster points are stored in PREPEND
     order (newest first), matching the reference's ``+=:``; the
     head/tail asymmetry and the silent drop case are reproduced.
-    Returns (points, centroid_lat, centroid_lng, floor-avg ts) tuples.
+    Returns (points, centroid_lat, centroid_lng, floor-avg ts) tuples;
+    points are (lat, lng, accuracy, ts_ms).
+
+    ``pair_dist`` optionally supplies the pings' pairwise Vincenty
+    matrix IN INPUT ORDER — bit-identical values to the scalar
+    fallback (the batch and scalar Vincenty are engineered
+    ulp-identical, pinned in tests), used by the batched refinement
+    path: the walk queries ~1-2 distances per ping and paying a
+    scalar Python Vincenty for each was ~45% of the pipeline's
+    measured kernel wall. ``return_indices=True`` appends each
+    cluster's INPUT-ORDER index list (head-first, matching the point
+    list) as a 5th element so callers can slice ``pair_dist``
+    submatrices for downstream scoring.
     """
     clusters: list = []
     cur: list[tuple[float, float, float, int]] = []
+    cur_idx: list[int] = []
     sum_lat = sum_lng = 0.0
     sum_ts = 0
-    ordered = sorted(pings, key=lambda p: p[0])
+    order = sorted(range(len(pings)), key=lambda k: pings[k][0])
+    if pair_dist is not None:
+        dist = lambda i, j: float(pair_dist[i, j])  # noqa: E731
+    else:
+        dist = lambda i, j: _dist(  # noqa: E731
+            pings[i][1], pings[i][2], pings[j][1], pings[j][2]
+        )
 
     def _close() -> None:
         if len(cur) >= min_count:
             m = len(cur)
-            clusters.append((list(cur), sum_lat / m, sum_lng / m, sum_ts // m))
+            rec = [list(cur), sum_lat / m, sum_lng / m, sum_ts // m]
+            if return_indices:
+                rec.append(list(cur_idx))
+            clusters.append(tuple(rec))
 
-    for ts_ms, lat, lng, acc in ordered:
-        if not cur or _dist(lat, lng, cur[0][0], cur[0][1]) <= eps_m:
+    for k in order:
+        ts_ms, lat, lng, acc = pings[k]
+        if not cur or dist(k, cur_idx[0]) <= eps_m:
             cur.insert(0, (lat, lng, acc, ts_ms))
+            cur_idx.insert(0, k)
             sum_lat += lat
             sum_lng += lng
             sum_ts += ts_ms
-        elif _dist(lat, lng, cur[-1][0], cur[-1][1]) > eps_m:
+        elif dist(k, cur_idx[-1]) > eps_m:
             _close()
             cur = [(lat, lng, acc, ts_ms)]
+            cur_idx = [k]
             sum_lat, sum_lng, sum_ts = lat, lng, ts_ms
         # else: within eps of the tail but not the head → dropped
         # (reference quirk — no branch handles this case)
@@ -314,21 +350,27 @@ def best_cluster(
 ) -> list:
     """G6: choose by min centroid distance (bounded) when the delivery
     fix is accurate, else by min |avg_ts − delivery_ts|. The reference
-    compares with ≤, so ties go to the LATER cluster."""
+    compares with ≤, so ties go to the LATER cluster. Cluster records
+    may carry a trailing index list (``dbscan_clusters``'s
+    ``return_indices`` form) — only the first four fields are read,
+    and the WHOLE winning record is returned (callers using the plain
+    form see the points list as before via ``best_cluster(...)[0]``
+    — see :func:`refine_delivery`)."""
     min_distance = float("inf")
     min_time_diff = float("inf")
-    best: list = []
-    for points, c_lat, c_lng, avg_ts in clusters:
+    best: "tuple | None" = None
+    for rec in clusters:
+        _points, c_lat, c_lng, avg_ts = rec[0], rec[1], rec[2], rec[3]
         if del_accuracy <= del_accuracy_threshold:
             d = _dist(c_lat, c_lng, del_lat, del_lng)
             if d <= min_distance and d <= cluster_del_distance_threshold:
                 min_distance = d
-                best = points
+                best = rec
         else:
             td = abs(avg_ts - del_time_ms)
             if td <= min_time_diff:
                 min_time_diff = td
-                best = points
+                best = rec
     return best
 
 
@@ -341,25 +383,54 @@ def refine_delivery(
     del_time_ms: int,
     del_accuracy: float,
     pings: list[tuple[int, float, float, float]],
+    pair_dist: "np.ndarray | None" = None,
 ) -> tuple[bool, list[tuple[float, float, str]]]:
     """G7: full refinement orchestration → (is_refined, [(lat, lng,
-    label)]). Pings are (ts_ms, lat, lng, accuracy)."""
-    filtered = [
-        p
-        for p in pings
+    label)]). Pings are (ts_ms, lat, lng, accuracy).
+
+    ``pair_dist`` optionally supplies the pings' pairwise Vincenty
+    matrix in INPUT ORDER (rows/cols = ping position). The DBSCAN walk
+    and the cluster scoring then read precomputed entries instead of
+    dispatching one scalar (walk) / one tiny-array (scoring) Vincenty
+    per query — the batched path `apply_delivery_refinement` uses to
+    compute ALL deliveries' distances in one vectorized call per Arrow
+    body (profiled: ~75% of the kernel wall was that dispatch
+    overhead). Values are bit-identical either way (vincenty_np ≡
+    vincenty_py by construction, pinned in tests), so results cannot
+    differ; the default None keeps the self-contained scalar form the
+    parity oracles call."""
+    fidx = [
+        k
+        for k, p in enumerate(pings)
         if p[3] <= PINGS_ACCURACY_THRESHOLD
         and del_time_ms + PINGS_WINDOW_START_MS <= p[0] <= del_time_ms + PINGS_WINDOW_END_MS
     ]
-    clusters = dbscan_clusters(filtered)
+    filtered = [pings[k] for k in fidx]
+    sub = (
+        pair_dist[np.ix_(fidx, fidx)]
+        if pair_dist is not None and fidx
+        else None
+    )
+    clusters = dbscan_clusters(
+        filtered, pair_dist=sub, return_indices=sub is not None
+    )
     if not clusters:
         return False, [(del_lat, del_lng, LABEL_ORIGINAL)]
     chosen = best_cluster(del_lat, del_lng, del_time_ms, del_accuracy, clusters)
     if not chosen:
         return False, [(del_lat, del_lng, LABEL_ORIGINAL)]
-    c_lats = np.array([p[0] for p in chosen])
-    c_lngs = np.array([p[1] for p in chosen])
-    c_accs = np.array([p[2] for p in chosen])
-    s_lat, s_lng, _score, high = cluster_best_lat_lng_with_score(c_lats, c_lngs)
+    points = chosen[0]
+    c_lats = np.array([p[0] for p in points])
+    c_lngs = np.array([p[1] for p in points])
+    c_accs = np.array([p[2] for p in points])
+    d_sub = (
+        sub[np.ix_(chosen[4], chosen[4])]
+        if sub is not None and len(chosen) > 4
+        else None
+    )
+    s_lat, s_lng, _score, high = cluster_best_lat_lng_with_score(
+        c_lats, c_lngs, d=d_sub
+    )
     results = [(s_lat, s_lng, LABEL_SCORE_HIGH if high else LABEL_SCORE_LOW)]
     cen = trimmed_centroid(c_lats, c_lngs, c_accs)
     if cen is not None:

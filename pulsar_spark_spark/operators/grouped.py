@@ -326,15 +326,56 @@ def apply_delivery_refinement(
         change = np.nonzero(did[1:] != did[:-1])[0] + 1
         starts = np.concatenate(([0], change))
         ends = np.concatenate((change, [len(did)]))
+        # ONE vectorized Vincenty call for every delivery's pairwise
+        # ping distances (round 11): the walk + scoring inside
+        # refine_delivery query ~1-2 distances per ping and a handful
+        # per cluster, and paying a scalar-Python (walk) or tiny-array
+        # numpy (scoring) Vincenty per query profiled as ~75% of this
+        # kernel's wall at 10× data (tools-profiled: 44 s of 1.48M
+        # scalar walk calls + 30 s of 101k tiny-array scoring calls in
+        # a 105 s profiled body).
+        # Values are bit-identical (vincenty_np ≡ vincenty_py
+        # by construction). Degenerate groups are guarded: a delivery
+        # with > 1500 candidate pings would put a > 2.25M-entry block
+        # in the flat matrix — it falls back to the lazy scalar path
+        # (same results), bounding memory at ~n_body × k̄² doubles.
+        from pulsar_spark_spark.functions.geo import vincenty_np
+
+        cv = np.concatenate(([0], np.cumsum(valid)))
+        k_g = (cv[ends] - cv[starts]).astype(np.int64)
+        big = k_g > 1500
+        k2 = np.where(big, 0, k_g * k_g)
+        tot = int(k2.sum())
+        v_idx = np.nonzero(valid)[0]
+        vlat = plat[v_idx]
+        vlng = plng[v_idx]
+        o_g = np.concatenate(([0], np.cumsum(k_g)))[:-1]
+        off2 = np.concatenate(([0], np.cumsum(k2)))[:-1]
+        if tot:
+            within = np.arange(tot) - np.repeat(off2, k2)
+            kk = np.repeat(k_g, k2)
+            base = np.repeat(o_g, k2)
+            ii = base + within // kk
+            jj = base + within % kk
+            dflat = vincenty_np(vlat[ii], vlng[ii], vlat[jj], vlng[jj])
+        else:
+            dflat = None
         o_did, o_uid, o_ref, o_m, o_la, o_ln = [], [], [], [], [], []
-        for a, b in zip(starts, ends):
+        for g, (a, b) in enumerate(zip(starts, ends)):
             pl = [
                 (int(pts_[k]), float(plat[k]), float(plng[k]), float(pacc[k]))
                 for k in range(a, b)
                 if valid[k]
             ]
+            kg = int(k_g[g])
+            pd_g = (
+                dflat[off2[g] : off2[g] + kg * kg].reshape(kg, kg)
+                if dflat is not None and kg and not big[g]
+                else None
+            )
             refined, results = refine_delivery(
-                float(dlat[a]), float(dlng[a]), int(dts[a]), float(dacc[a]), pl
+                float(dlat[a]), float(dlng[a]), int(dts[a]), float(dacc[a]), pl,
+                pair_dist=pd_g,
             )
             for la, ln, m in results:
                 o_did.append(did[a])

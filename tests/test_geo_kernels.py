@@ -171,8 +171,10 @@ class TestDbscan:
     def test_best_cluster_tie_goes_to_later(self):
         c1 = ([(1.0, 2.0, 3.0, 100)], BLR[0], BLR[1], 1000)
         c2 = ([(4.0, 5.0, 6.0, 200)], BLR[0], BLR[1], 1000)
+        # round 11: best_cluster returns the whole winning RECORD
+        # (so index-carrying records pass through); points are [0]
         best = best_cluster(BLR[0], BLR[1], 0, 50.0, [c1, c2])
-        assert best == c2[0]  # ≤ comparison → later cluster wins ties
+        assert best[0] == c2[0]  # ≤ comparison → later cluster wins ties
 
 
 # ---------------------------------------------------------------------

@@ -497,22 +497,28 @@ def _summarize_and_render(results: dict, scales) -> None:
         "best_latlng): their 10×/100× ratios track core headroom, and",
         "the fourth-decade points settle the previously extrapolated",
         "story — once 100× more users saturate all 32 cores, the NEXT",
-        "decade is linear-or-better (round 11: delivery ×9.2,",
-        "refined_history ×8.7 wall for ×10 data at 1000×): the",
+        "decade is linear-or-better (round 11: delivery ×5.4,",
+        "refined_history ×9.8 wall for ×10 data at 1000×): the",
         "per-user kernel is one shuffle into applyInPandas with no",
         "cross-user coupling, so a 1000-executor cluster flattens",
-        "these ratios by spreading exactly that shuffle. Round 11",
-        "moved the delivery rows to the BUCKETED serve arm (layout",
-        "built untimed like the ANN indexes; arm pinned at every",
-        "decade so the slope is one arm's): wall seconds dropped at",
-        "every point (1000× 399→329 s, 100× 42→36 s, base 2.2→1.5 s)",
-        "— but the RATIOS rose, arithmetically, because the base",
-        "shrank more (its per-run fixed costs were the biggest share",
-        "of a 1.5 s query). Read the seconds, not the ratio, for the",
-        "layout's effect; the measured split says the deleted",
-        "shuffle+projection was ~20% of the big-scale wall and the",
-        "remaining ~80% is the Python kernel itself — the part a",
-        "cluster scales out by adding executors.",
+        "these ratios by spreading exactly that shuffle. Round 11 cut",
+        "the delivery walls TWICE. First the BUCKETED serve arm",
+        "(layout built untimed like the ANN indexes; arm pinned at",
+        "every decade so the slope is one arm's): 1000× 399→329 s —",
+        "the deleted shuffle+projection was ~20% of the wall. Then",
+        "the other ~80% was profiled INSIDE the Python kernel and",
+        "~75% of that was Vincenty DISPATCH, not math: the DBSCAN",
+        "walk paid a scalar-Python call per queried pair (1.48M at",
+        "10×) and cluster scoring a tiny-array numpy call per cluster",
+        "(101k × ~290 µs of pure numpy overhead). The batched path",
+        "now computes every delivery's pairwise matrix in ONE",
+        "vectorized call per Arrow body and the walk/scoring read",
+        "precomputed entries — bit-identical values (vincenty_np ≡",
+        "vincenty_py by construction, gate re-verified), 1000×",
+        "329→148 s and refined_history 378→158 s (2.7×/2.4×",
+        "cumulative vs round 10). RATIOS still read high because the",
+        "base shrank even more (0.88 s — fixed costs dominate); read",
+        "the seconds for the effect.",
     ]
     lines.append("")
     tail = (
