@@ -114,6 +114,105 @@ def best_lat_lng(lats: np.ndarray, lngs: np.ndarray) -> tuple[float, float]:
     return float(lats[max_index]), float(lngs[max_index])
 
 
+_PRE_R_M = 6371008.8  # IUGG mean radius — prefilter geometry only
+
+# Conservative prefilter band around the 300 m neighbor cut. A WGS-84
+# geodesic and a mean-radius great circle differ by at most the
+# flattening-scale curvature spread: local curvature radii span
+# [6335.4, 6399.6] km vs R=6371.0088 km, a ratio within [0.9944,
+# 1.0045] (±0.56%). The band below allows ±17% — a ~30× margin — so
+# great-circle < LO ⇒ Vincenty < 300 and great-circle > HI ⇒
+# Vincenty ≥ 300 are mathematically safe, and ONLY pairs inside
+# [LO, HI] pay the exact (iterative) Vincenty. The great-circle test
+# itself is chord²-based: with per-POINT unit vectors precomputed,
+# each pair costs ~8 flops and zero transcendentals, and chord is
+# monotonic in arc, so comparing chord² against the band's chord²
+# thresholds is an exact great-circle band test.
+_BAND_LO_M = 250.0
+_BAND_HI_M = 350.0
+_CHORD2_LO = float((2.0 * np.sin(_BAND_LO_M / (2.0 * _PRE_R_M))) ** 2)
+_CHORD2_HI = float((2.0 * np.sin(_BAND_HI_M / (2.0 * _PRE_R_M))) ** 2)
+_PAIR_CHUNK = 2_000_000  # ~16 MB per temporary — stays cache-friendly
+
+
+def _unit_xyz(lat: np.ndarray, lng: np.ndarray):
+    """Unit-sphere coordinates per POINT (n transcendentals, not n²)."""
+    p = np.radians(lat)
+    l = np.radians(lng)
+    cp = np.cos(p)
+    return cp * np.cos(l), cp * np.sin(l), np.sin(p)
+
+
+def best_lat_lng_batch(
+    lat: np.ndarray, lng: np.ndarray, starts: np.ndarray, ends: np.ndarray
+) -> np.ndarray:
+    """G1 over MANY groups in one call: returns the best point's GLOBAL
+    index per group (``lat``/``lng`` are the whole batch; group ``g``
+    is rows ``starts[g]:ends[g]``, already time-sorted).
+
+    Result-identical to calling :func:`best_lat_lng` per group, but
+    O(n²/2) and mostly Vincenty-free: neighbor counts are symmetric,
+    so only upper-triangle pairs are evaluated (scatter-added to both
+    endpoints), and each pair's ``< 300 m`` verdict is decided by the
+    chord² band test above — exact Vincenty only inside the ambiguous
+    [250, 350] m ring, equal points (chord 0) in by rule, the lat==0
+    sentinel out by rule (vincenty_np's own precedence: equal → 0 m,
+    then sentinel → 1e7 m overrides). Counts are exact integers
+    either way, so the per-group first-max argmax — the reference
+    loop's tie rule (BestLatLngCalculator.scala:37-39) — cannot
+    differ. Guard groups (n<4 / n>500) resolve to the last sorted
+    row. Pairs are processed in ~2M-element chunks: one giant flat
+    Vincenty measured ~10× slower per element than chunked (iteration
+    over a >100 MB working set thrashes cache).
+    """
+    k_g = ends - starts
+    best_idx = ends - 1  # guard arm: last time-sorted point
+    ker = (k_g >= 4) & (k_g <= 500)
+    if not ker.any():
+        return best_idx
+    ks = k_g[ker]
+    ss = starts[ker]
+    nrows = int(ks.sum())
+    g_off = np.concatenate(([0], np.cumsum(ks)))[:-1]
+    pos = np.arange(nrows)
+    glob = np.repeat(ss, ks) + (pos - np.repeat(g_off, ks))
+    # upper-triangle pair construction: kernel row r (global glob[r])
+    # pairs with the (k-1-r_within) rows after it in the same group
+    row_len = np.repeat(ks, ks) - 1 - (pos - np.repeat(g_off, ks))
+    row_off = np.concatenate(([0], np.cumsum(row_len)))[:-1]
+    totp = int(row_len.sum())
+    ux, uy, uz = _unit_xyz(lat, lng)
+    nonsent = lat != 0.0
+    counts = np.zeros(len(lat), dtype=np.int64)
+    # self-neighbor: d=0 < 300 unless the sentinel kills it
+    counts[glob] = nonsent[glob].astype(np.int64)
+    for c0 in range(0, totp, _PAIR_CHUNK):
+        c1 = min(c0 + _PAIR_CHUNK, totp)
+        p = np.arange(c0, c1)
+        r = np.searchsorted(row_off, p, side="right") - 1
+        ii = glob[r]
+        jj = ii + (p - row_off[r]) + 1
+        dx = ux[ii] - ux[jj]
+        dy = uy[ii] - uy[jj]
+        dz = uz[ii] - uz[jj]
+        c2 = dx * dx + dy * dy + dz * dz
+        inn = c2 < _CHORD2_LO
+        ring = ~inn & (c2 <= _CHORD2_HI)
+        if ring.any():
+            q = np.nonzero(ring)[0]
+            dv = vincenty_np(lat[ii[q]], lng[ii[q]], lat[jj[q]], lng[jj[q]])
+            inn[q] = dv < NEIGHBOR_RADIUS_M
+        inn &= nonsent[ii] & nonsent[jj]  # sentinel overrides everything
+        both = np.concatenate((ii[inn], jj[inn]))
+        counts += np.bincount(both, minlength=len(lat))
+    ck = counts[glob]
+    gmax = np.maximum.reduceat(ck, g_off)
+    cand = ck == np.repeat(gmax, ks)
+    first = np.minimum.reduceat(np.where(cand, pos, nrows), g_off)
+    best_idx[ker] = glob[first]
+    return best_idx
+
+
 # ---------------------------------------------------------------------
 # G2 / G3 shared score + neighbor-count maps
 # ---------------------------------------------------------------------

@@ -51,7 +51,7 @@ from pyspark.sql.functions import col
 
 from pulsar_spark_spark.operators.shipping import ensure_package_on_executors
 from pulsar_spark_spark.operators.geo_kernels import (
-    best_lat_lng,
+    best_lat_lng_batch,
     best_lat_lng_with_cluster_score,
     cluster_best_lat_lng_with_score,
     refine_delivery,
@@ -93,8 +93,14 @@ def apply_best_latlng(points: DataFrame, pre_partitioned: bool = False) -> DataF
     and its non-guard keys route the surviving rows into the Python
     kernel via an equi-join (AQE broadcasts the small keyset; at real
     scale with a huge keyset it degrades to the same user_id shuffle
-    the kernel needs anyway). At sf0.1 every group has ~4 000 points,
-    so the kernel side is empty and nothing crosses into Python.
+    the kernel needs anyway).
+
+    The Python stage is fully batched (round 11): ONE sort + ONE flat
+    vectorized Vincenty + segmented reduceat counts/argmax per Arrow
+    body (geo_kernels.best_lat_lng_batch, bit-identical to the
+    per-group kernel by construction) — the per-group pandas
+    slice/sort/frame cost plus one numpy dispatch per ~67-point group
+    dominated the 1000× wall before this.
     """
     ensure_package_on_executors(points.sparkSession)
     agg = points.groupBy("user_id").agg(
@@ -109,15 +115,21 @@ def apply_best_latlng(points: DataFrame, pre_partitioned: bool = False) -> DataF
         col("__n").cast("int").alias("n_points"),
     )
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(_SORT)
-        lat, lng = best_lat_lng(pdf["lat"].to_numpy(), pdf["lng"].to_numpy())
+    def body(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["user_id", *_SORT], kind="mergesort")
+        uid = pdf["user_id"].to_numpy()
+        lat = pdf["lat"].to_numpy(dtype=np.float64)
+        lng = pdf["lng"].to_numpy(dtype=np.float64)
+        change = np.nonzero(uid[1:] != uid[:-1])[0] + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [len(uid)]))
+        best = best_lat_lng_batch(lat, lng, starts, ends)
         return pd.DataFrame(
             {
-                "user_id": [pdf["user_id"].iloc[0]],
-                "best_lat": [lat],
-                "best_lng": [lng],
-                "n_points": [len(pdf)],
+                "user_id": uid[starts],
+                "best_lat": lat[best],
+                "best_lng": lng[best],
+                "n_points": (ends - starts).astype(np.int32),
             }
         )
 
@@ -129,8 +141,8 @@ def apply_best_latlng(points: DataFrame, pre_partitioned: bool = False) -> DataF
         # is promising downstream
         keyset = F.broadcast(keyset)
     kernel_in = points.join(keyset, "user_id")
-    py = grouped_map_in_pandas(
-        kernel_in, "user_id", kernel, schema, pre_partitioned=pre_partitioned
+    py = stream_key_runs(
+        kernel_in, "user_id", body, schema, pre_partitioned=pre_partitioned
     )
     return py.unionByName(jvm)
 

@@ -70,6 +70,40 @@ class TestBestLatLng:
         # first real point wins
         assert best_lat_lng(lats, lngs) == pts[3]
 
+    def test_batch_kernel_bit_parity_per_group(self):
+        # best_lat_lng_batch (the one-Vincenty-per-Arrow-body path the
+        # grouped wrapper dispatches) must be BIT-identical to the
+        # per-group kernel on every group shape: tiny guards, the 4 and
+        # 500 boundaries, the 501 guard, sentinel zero-lat rows, ties.
+        from pulsar_spark_spark.operators.geo_kernels import best_lat_lng_batch
+
+        rng = np.random.default_rng(7)
+        sizes = rng.integers(1, 40, size=120).tolist() + [3, 4, 500, 501, 1]
+        lats, lngs, starts, ends = [], [], [], []
+        pos = 0
+        for s in sizes:
+            base = (rng.uniform(-60, 60), rng.uniform(-170, 170))
+            la = base[0] + rng.normal(0, 0.002, s)
+            ln = base[1] + rng.normal(0, 0.002, s)
+            la[rng.random(s) < 0.05] = 0.0  # sentinel rows
+            # force exact-duplicate points so count ties exercise the
+            # first-max-wins rule
+            if s >= 6:
+                la[3], ln[3] = la[1], ln[1]
+            lats.append(la)
+            lngs.append(ln)
+            starts.append(pos)
+            ends.append(pos + s)
+            pos += s
+        lat = np.concatenate(lats)
+        lng = np.concatenate(lngs)
+        idx = best_lat_lng_batch(
+            lat, lng, np.asarray(starts), np.asarray(ends)
+        )
+        for g, (a, b) in enumerate(zip(starts, ends)):
+            exp = best_lat_lng(lat[a:b], lng[a:b])
+            assert (float(lat[idx[g]]), float(lng[idx[g]])) == exp
+
 
 # ---------------------------------------------------------------------
 # G2
