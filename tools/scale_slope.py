@@ -108,6 +108,15 @@ SF100_SUBSET = {
     # round 11: the G8 twin (VERDICT stretch item) — cheap now that
     # the sf100 events table and the bucketed serve arm exist
     "delivery_refined_history",
+    # round 11 (cont.): the REST of the heavy set — the fourth-decade
+    # column is now complete, no "—" cells; these are the cheap
+    # event/embedding rows (all ≤ ~12 s at 100×) that only ever
+    # lacked a 1000× events table
+    "event_attrs_quality",
+    "geofence_containment",
+    "user_sessions",
+    "geotag_history_merge",
+    "ann_topk_bruteforce",
 }
 
 # The heaviest bench queries (r5 ordering) — every family with a
