@@ -28,9 +28,11 @@ Scale rules baked in:
   One hash aggregate computes count + last point per group; its
   guard rows ARE the result rows, and the non-guard keys equi-join
   back against the input to feed the Python stage. Guard groups
-  never cross the JVM↔Python boundary; at scales where most groups
-  trip (sf0.1: ~4 000 events/user, all > 500), the Python stage is
-  empty. The routing costs one partial-agg shuffle (tiny output)
+  never cross the JVM↔Python boundary (the fixture corpora sit at
+  ~45-99 events/user, inside the kernel band, so the real win there
+  is the batched kernels below; corpora with out-of-band groups
+  skip Python entirely for them). The routing costs one
+  partial-agg shuffle (tiny output)
   plus re-reading the (cheap, columnar) source — it is applied only
   where the input is a scan-shaped relation, NOT to the
   delivery-refinement kernel whose input is an expensive join that

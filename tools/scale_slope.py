@@ -196,6 +196,54 @@ def _time_query(spark, name: str, sf_dir: str, runs: int) -> float:
     return best
 
 
+def _stream_scale_lines() -> list:
+    """Streaming-throughput-vs-state section from stream_scale.json
+    (tools/stream_scale.py owns the sidecar; this renderer composes it
+    into SCALE.md like the recall section)."""
+    path = os.path.join(ROOT, "stream_scale.json")
+    if not os.path.exists(path):
+        return []
+    with open(path) as f:
+        data = json.load(f)
+    rows = data.get("rows", {})
+    if not rows:
+        return []
+    labels = sorted(
+        {(r["factor"], lbl) for per in rows.values() for lbl, r in per.items()}
+    )
+    lines = [
+        "## Streaming throughput vs state cardinality "
+        "(tools/stream_scale.py)",
+        "",
+        "The slope table above answers \"does the batch plan stay",
+        "linear in rows\"; this one answers the streaming twin: does",
+        "micro-batch throughput HOLD while the keyed state grows",
+        "10×/100× (users 1.5k → 150k; the batch COUNT per stream is",
+        "fixed by the benches' file-split construction, so rows/s",
+        "across scales isolates per-row state cost from trigger",
+        "overhead)? Same pipelines the driver's bench.py times at",
+        "sf0.1. A falling line would be the first sign the RocksDB",
+        "state-store provider is needed before cluster scale.",
+        "",
+        "| stream | " + " | ".join(f"{lbl} rows/s" for _f, lbl in labels) + " |",
+        "|---|" + "---|" * len(labels),
+    ]
+    for name in ("ingest", "session", "geofence"):
+        per = rows.get(name, {})
+        cells = []
+        for _f, lbl in labels:
+            r = per.get(lbl)
+            if not r:
+                cells.append("—")
+            elif r.get("timed_out"):
+                cells.append(f"timeout@{r.get('wall_sec')}s")
+            else:
+                cells.append(f"{r.get('rows_per_sec', 0):,}")
+        lines.append(f"| {name} | " + " | ".join(cells) + " |")
+    lines.append("")
+    return lines
+
+
 def main(filters) -> None:
     if "--render-only" in filters:
         # regenerate SCALE.md + summary fields from the committed
@@ -567,6 +615,7 @@ def _summarize_and_render(results: dict, scales) -> None:
             "100× and grow linear-or-better in their LAST decade)"
         )
     lines += [tail + ".", ""]
+    lines += _stream_scale_lines()
     # Compose, don't clobber: SCALE.md also carries the recall section
     # maintained by tools/emb_recall.py — re-append it from its own
     # sidecar after rewriting the slope content (each tool owns one
