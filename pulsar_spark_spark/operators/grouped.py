@@ -58,7 +58,6 @@ from pulsar_spark_spark.operators.geo_kernels import (
     best_lat_lng_with_cluster_score,
     cluster_best_lat_lng_with_score,
     refine_delivery,
-    trimmed_centroid,
     trimmed_centroid_batch,
 )
 
@@ -262,18 +261,30 @@ def apply_trimmed_centroid(
         col("__n_acc").cast("int").alias("n_accurate"),
     )
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(_SORT)
-        cen = trimmed_centroid(
-            pdf["lat"].to_numpy(), pdf["lng"].to_numpy(), pdf["accuracy"].to_numpy()
-        )
-        n_acc = int((pdf["accuracy"] <= 100.0).sum())
+    def body(pdf: pd.DataFrame) -> pd.DataFrame:
+        # lockstep trim loops across the whole Arrow body — same
+        # batched arm the refinement kernel uses (one Vincenty
+        # dispatch per trim ITERATION per body, statement-identical
+        # math; see geo_kernels.trimmed_centroid_batch)
+        pdf = pdf.sort_values(["user_id", *_SORT], kind="mergesort")
+        uid = pdf["user_id"].to_numpy()
+        lat = pdf["lat"].to_numpy(dtype=np.float64)
+        lng = pdf["lng"].to_numpy(dtype=np.float64)
+        acc = pdf["accuracy"].to_numpy(dtype=np.float64)
+        change = np.nonzero(uid[1:] != uid[:-1])[0] + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [len(uid)]))
+        jobs = [
+            (lat[a:b], lng[a:b], acc[a:b]) for a, b in zip(starts, ends)
+        ]
+        cents = trimmed_centroid_batch(jobs)
+        cv = np.concatenate(([0], np.cumsum(acc <= 100.0)))
         return pd.DataFrame(
             {
-                "user_id": [pdf["user_id"].iloc[0]],
-                "centroid_lat": [cen[0] if cen else None],
-                "centroid_lng": [cen[1] if cen else None],
-                "n_accurate": [n_acc],
+                "user_id": uid[starts],
+                "centroid_lat": [c[0] if c else None for c in cents],
+                "centroid_lng": [c[1] if c else None for c in cents],
+                "n_accurate": (cv[ends] - cv[starts]).astype(np.int32),
             }
         )
 
@@ -282,8 +293,8 @@ def apply_trimmed_centroid(
     if pre_partitioned:
         keyset = F.broadcast(keyset)  # see apply_best_latlng
     kernel_in = points.join(keyset, "user_id")
-    py = grouped_map_in_pandas(
-        kernel_in, "user_id", kernel, schema, pre_partitioned=pre_partitioned
+    py = stream_key_runs(
+        kernel_in, "user_id", body, schema, pre_partitioned=pre_partitioned
     )
     return py.unionByName(jvm)
 

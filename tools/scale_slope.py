@@ -224,6 +224,10 @@ def _stream_scale_lines() -> list:
         "overhead)? Same pipelines the driver's bench.py times at",
         "sf0.1. A falling line would be the first sign the RocksDB",
         "state-store provider is needed before cluster scale.",
+        "1000× runs ingest only (the sessionizer/geofence 100M-row",
+        "points would exceed the benches' 600 s stream budget by",
+        "construction at their measured ~50-100k rows/s, not by",
+        "state cost).",
         "",
         "| stream | " + " | ".join(f"{lbl} rows/s" for _f, lbl in labels) + " |",
         "|---|" + "---|" * len(labels),
