@@ -261,13 +261,16 @@ def best_lat_lng_with_cluster_score(
     lats: np.ndarray,
     lngs: np.ndarray,
     distance_threshold_m: float = SCORE_DISTANCE_THRESHOLD_M,
+    d: "np.ndarray | None" = None,
 ) -> tuple[float, float, float]:
     """G2: max-score location, high-confidence iff a max-score location
-    has ≥ n//2 neighbors within the threshold (ties by neighbor count)."""
+    has ≥ n//2 neighbors within the threshold (ties by neighbor count).
+    ``d``: optional precomputed pairwise Vincenty matrix in input order
+    (see :func:`_score_maps` — bit-identical either way)."""
     n = len(lats)
     if n < 3:
         return float(lats[n - 1]), float(lngs[n - 1]), 0.0
-    uniq, score, count = _score_maps(lats, lngs, distance_threshold_m)
+    uniq, score, count = _score_maps(lats, lngs, distance_threshold_m, d=d)
     max_score = max(score.values())
     candidates = [c for c in uniq if score[c] == max_score]
     best = candidates[0]
@@ -305,6 +308,98 @@ def cluster_best_lat_lng_with_score(
     if best_count >= math.ceil((majority_pct / 100.0) * n):
         return best[0], best[1], 1.0, True
     return best[0], best[1], 0.0, False
+
+
+def cluster_score_batch(
+    lat: np.ndarray,
+    lng: np.ndarray,
+    starts: np.ndarray,
+    ends: np.ndarray,
+    distance_threshold_m: float = SCORE_DISTANCE_THRESHOLD_M,
+    min_points: int = SCORE_MIN_POINTS,
+    majority_pct: float = SCORE_MAJORITY_PCT,
+):
+    """G3 over MANY groups in one call → (best_lat, best_lng, score,
+    high) arrays, one entry per group (group ``g`` = rows
+    ``starts[g]:ends[g]``, time-sorted).
+
+    Result-identical to :func:`cluster_best_lat_lng_with_score` per
+    group: per-row neighbor counts use the same ``d <= 200 m &
+    differs`` predicate — decided by the chord² band trick
+    (:func:`best_lat_lng_batch`'s soundness argument, band
+    [160, 240] m here, exact Vincenty only inside the ring; the
+    lat==0 sentinel forces a pair out exactly like vincenty_np's
+    1e7) — counts fold onto first-occurrence-ordered unique
+    coordinates (np.unique's stable sort), the winner is the first
+    strict max in that order (the reference loop's rule,
+    BestLatLngCalculator.scala:123-163), and the real-ceil majority
+    bar is evaluated with the same float expression.
+    """
+    n_rows = len(lat)
+    n_g = len(starts)
+    k_g = ends - starts
+    g_off = starts
+    gidx = np.repeat(np.arange(n_g), k_g)
+    pos = np.arange(n_rows)
+    # ---- per-row neighbor counts over upper-triangle pairs ----
+    c2_lo = float((2.0 * np.sin(160.0 / (2.0 * _PRE_R_M))) ** 2)
+    c2_hi = float((2.0 * np.sin(240.0 / (2.0 * _PRE_R_M))) ** 2)
+    ux, uy, uz = _unit_xyz(lat, lng)
+    nonsent = lat != 0.0
+    row_len = np.repeat(k_g, k_g) - 1 - (pos - np.repeat(g_off, k_g))
+    row_off = np.concatenate(([0], np.cumsum(row_len)))[:-1]
+    totp = int(row_len.sum())
+    counts = np.zeros(n_rows, dtype=np.int64)
+    for a in range(0, totp, _PAIR_CHUNK):
+        b = min(a + _PAIR_CHUNK, totp)
+        p = np.arange(a, b)
+        r = np.searchsorted(row_off, p, side="right") - 1
+        ii = r
+        jj = ii + (p - row_off[r]) + 1
+        dx = ux[ii] - ux[jj]
+        dy = uy[ii] - uy[jj]
+        dz = uz[ii] - uz[jj]
+        c2 = dx * dx + dy * dy + dz * dz
+        inn = c2 < c2_lo
+        ring = ~inn & (c2 <= c2_hi)
+        if ring.any():
+            q = np.nonzero(ring)[0]
+            dv = vincenty_np(lat[ii[q]], lng[ii[q]], lat[jj[q]], lng[jj[q]])
+            inn[q] = dv <= distance_threshold_m
+        differs = (lat[ii] != lat[jj]) | (lng[ii] != lng[jj])
+        inn &= differs & nonsent[ii] & nonsent[jj]
+        counts += np.bincount(
+            np.concatenate((ii[inn], jj[inn])), minlength=n_rows
+        )
+    # ---- fold row counts onto unique (group, coord) keys ----
+    key = np.stack([gidx, lat.view(np.int64), lng.view(np.int64)], axis=1)
+    _u, first, inv = np.unique(
+        key, axis=0, return_index=True, return_inverse=True
+    )
+    inv = inv.ravel()  # numpy 2.x returns (n,1) for axis unique
+    coord_counts = np.bincount(inv, weights=counts.astype(np.float64))
+    coord_counts = coord_counts.astype(np.int64)
+    # uniq in FIRST-OCCURRENCE order per group (the reference's
+    # insertion order): order uniques by their first row position
+    order = np.argsort(first, kind="stable")
+    of = first[order]
+    oc = coord_counts[order]
+    og = gidx[of]
+    u_starts = np.searchsorted(og, np.arange(n_g), side="left")
+    u_ends = np.searchsorted(og, np.arange(n_g), side="right")
+    nu = u_ends - u_starts
+    gmax = np.maximum.reduceat(oc, u_starts)
+    upos = np.arange(len(oc))
+    cand = oc == np.repeat(gmax, nu)
+    winner = np.minimum.reduceat(np.where(cand, upos, len(oc)), u_starts)
+    best_row = of[winner]
+    best_count = oc[winner]
+    # ---- score / high (same float expression as the scalar kernel) ----
+    n = k_g
+    bar = np.ceil((majority_pct / 100.0) * n)
+    high = (n >= min_points) & (best_count >= bar)
+    score = np.where(high, 1.0, 0.0)
+    return lat[best_row], lng[best_row], score, high
 
 
 # ---------------------------------------------------------------------

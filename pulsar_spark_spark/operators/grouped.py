@@ -56,10 +56,11 @@ from pulsar_spark_spark.operators.geo_kernels import (
     LABEL_CENTROID,
     best_lat_lng_batch,
     best_lat_lng_with_cluster_score,
-    cluster_best_lat_lng_with_score,
+    cluster_score_batch,
     refine_delivery,
     trimmed_centroid_batch,
 )
+from pulsar_spark_spark.functions.geo import vincenty_np
 
 _SORT = ["ts_ms", "event_id"]
 
@@ -171,18 +172,54 @@ def apply_cluster_score(points: DataFrame, pre_partitioned: bool = False) -> Dat
         col("__n").cast("int").alias("n_points"),
     )
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(_SORT)
-        lat, lng, score = best_lat_lng_with_cluster_score(
-            pdf["lat"].to_numpy(), pdf["lng"].to_numpy()
-        )
+    def body(pdf: pd.DataFrame) -> pd.DataFrame:
+        # ONE flat Vincenty per Arrow body (the refinement body's
+        # trick): each group's full pairwise matrix is a slice view,
+        # so the per-group kernel keeps its reference-quirk scoring
+        # loop but stops paying a numpy dispatch per group. Groups
+        # over 1500 rows fall back to the kernel's lazy matrix (G2
+        # has no upper guard) to bound the flat allocation.
+        pdf = pdf.sort_values(["user_id", *_SORT], kind="mergesort")
+        uid = pdf["user_id"].to_numpy()
+        lat = pdf["lat"].to_numpy(dtype=np.float64)
+        lng = pdf["lng"].to_numpy(dtype=np.float64)
+        change = np.nonzero(uid[1:] != uid[:-1])[0] + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [len(uid)]))
+        k_g = ends - starts
+        k2 = np.where(k_g > 1500, 0, k_g * k_g)
+        off2 = np.concatenate(([0], np.cumsum(k2)))[:-1]
+        tot = int(k2.sum())
+        if tot:
+            within = np.arange(tot) - np.repeat(off2, k2)
+            kk = np.repeat(k_g, k2)
+            base = np.repeat(starts, k2)
+            ii = base + within // kk
+            jj = base + within % kk
+            dflat = vincenty_np(lat[ii], lng[ii], lat[jj], lng[jj])
+        else:
+            dflat = None
+        out_lat, out_lng, out_sc = [], [], []
+        for g, (a, b) in enumerate(zip(starts, ends)):
+            kg = int(k_g[g])
+            pd_g = (
+                dflat[off2[g] : off2[g] + kg * kg].reshape(kg, kg)
+                if dflat is not None and k2[g]
+                else None
+            )
+            la, ln, sc = best_lat_lng_with_cluster_score(
+                lat[a:b], lng[a:b], d=pd_g
+            )
+            out_lat.append(la)
+            out_lng.append(ln)
+            out_sc.append(sc)
         return pd.DataFrame(
             {
-                "user_id": [pdf["user_id"].iloc[0]],
-                "lat": [lat],
-                "lng": [lng],
-                "cluster_score": [score],
-                "n_points": [len(pdf)],
+                "user_id": uid[starts],
+                "lat": out_lat,
+                "lng": out_lng,
+                "cluster_score": out_sc,
+                "n_points": k_g.astype(np.int32),
             }
         )
 
@@ -191,8 +228,8 @@ def apply_cluster_score(points: DataFrame, pre_partitioned: bool = False) -> Dat
     if pre_partitioned:
         keyset = F.broadcast(keyset)  # see apply_best_latlng
     kernel_in = points.join(keyset, "user_id")
-    py = grouped_map_in_pandas(
-        kernel_in, "user_id", kernel, schema, pre_partitioned=pre_partitioned
+    py = stream_key_runs(
+        kernel_in, "user_id", body, schema, pre_partitioned=pre_partitioned
     )
     return py.unionByName(jvm)
 
@@ -207,22 +244,29 @@ def apply_cluster_score_v3(
     No pre-dispatch: the reference's G3 has no size guard — even a
     2-point group's winner is the argmax over per-coordinate neighbor
     counts (BestLatLngCalculator.scala:123-163), which is not a plain
-    last-point and must run in the kernel.
+    last-point and must run in the kernel. The Python stage is fully
+    batched (geo_kernels.cluster_score_batch — chord-band pair
+    verdicts + stable-unique coord fold, bit-identical to the scalar
+    kernel, pinned by a randomized parity test).
     """
     ensure_package_on_executors(points.sparkSession)
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(_SORT)
-        lat, lng, score, high = cluster_best_lat_lng_with_score(
-            pdf["lat"].to_numpy(), pdf["lng"].to_numpy()
-        )
+    def body(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["user_id", *_SORT], kind="mergesort")
+        uid = pdf["user_id"].to_numpy()
+        lat = pdf["lat"].to_numpy(dtype=np.float64)
+        lng = pdf["lng"].to_numpy(dtype=np.float64)
+        change = np.nonzero(uid[1:] != uid[:-1])[0] + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [len(uid)]))
+        bl, bn, sc, hi = cluster_score_batch(lat, lng, starts, ends)
         return pd.DataFrame(
             {
-                "user_id": [pdf["user_id"].iloc[0]],
-                "lat": [lat],
-                "lng": [lng],
-                "cluster_score": [score],
-                "is_high_confidence": [high],
+                "user_id": uid[starts],
+                "lat": bl,
+                "lng": bn,
+                "cluster_score": sc,
+                "is_high_confidence": hi,
             }
         )
 
@@ -230,8 +274,8 @@ def apply_cluster_score_v3(
         "user_id bigint, lat double, lng double, cluster_score double, "
         "is_high_confidence boolean"
     )
-    return grouped_map_in_pandas(
-        points, "user_id", kernel, schema, pre_partitioned=pre_partitioned
+    return stream_key_runs(
+        points, "user_id", body, schema, pre_partitioned=pre_partitioned
     )
 
 

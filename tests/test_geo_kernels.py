@@ -109,6 +109,39 @@ class TestBestLatLng:
 # G2
 # ---------------------------------------------------------------------
 class TestClusterScore:
+    def test_cluster_score_batch_bit_parity_per_group(self):
+        # cluster_score_batch (the G3 chord-band batch arm) must be
+        # BIT-identical to the scalar kernel on every group shape:
+        # tiny groups, sentinel rows, exact-duplicate coords (the
+        # unique-coord fold + first-occurrence tie rule).
+        from pulsar_spark_spark.operators.geo_kernels import cluster_score_batch
+
+        rng = np.random.default_rng(21)
+        lats, lngs, starts, ends = [], [], [], []
+        pos = 0
+        for _ in range(250):
+            m = int(rng.integers(1, 40))
+            base = (rng.uniform(-60, 60), rng.uniform(-170, 170))
+            la = base[0] + rng.normal(0, 0.0015, m)
+            ln = base[1] + rng.normal(0, 0.0015, m)
+            la[rng.random(m) < 0.05] = 0.0
+            if m >= 6:
+                la[3], ln[3] = la[1], ln[1]
+                la[5], ln[5] = la[1], ln[1]
+            lats.append(la)
+            lngs.append(ln)
+            starts.append(pos)
+            ends.append(pos + m)
+            pos += m
+        lat = np.concatenate(lats)
+        lng = np.concatenate(lngs)
+        bl, bn, sc, hi = cluster_score_batch(
+            lat, lng, np.asarray(starts), np.asarray(ends)
+        )
+        for g, (a, b) in enumerate(zip(starts, ends)):
+            exp = cluster_best_lat_lng_with_score(lat[a:b], lng[a:b])
+            assert (float(bl[g]), float(bn[g]), float(sc[g]), bool(hi[g])) == exp
+
     def test_below_min_points_last_and_zero(self):
         pts = [_jitter(BLR, 0, 0), _jitter(BLR, 5, 0)]
         lat, lng, score = best_lat_lng_with_cluster_score(
