@@ -310,6 +310,166 @@ def cluster_best_lat_lng_with_score(
     return best[0], best[1], 0.0, False
 
 
+def _pair_neighbor_counts(
+    lat: np.ndarray,
+    lng: np.ndarray,
+    starts: np.ndarray,
+    ends: np.ndarray,
+    threshold_m: float,
+) -> np.ndarray:
+    """Per-ROW counts of ``d <= threshold & differs`` neighbors within
+    each group, via upper-triangle chord-band pair verdicts (exact
+    Vincenty only inside the ±20% ring; lat==0 sentinel forces a pair
+    out, exactly vincenty_np's 1e7). Shared by the G2/G3 batch arms."""
+    n_rows = len(lat)
+    k_g = ends - starts
+    pos = np.arange(n_rows)
+    g_off = starts
+    c2_lo = float(
+        (2.0 * np.sin(threshold_m * 0.8 / (2.0 * _PRE_R_M))) ** 2
+    )
+    c2_hi = float(
+        (2.0 * np.sin(threshold_m * 1.2 / (2.0 * _PRE_R_M))) ** 2
+    )
+    ux, uy, uz = _unit_xyz(lat, lng)
+    nonsent = lat != 0.0
+    row_len = np.repeat(k_g, k_g) - 1 - (pos - np.repeat(g_off, k_g))
+    row_off = np.concatenate(([0], np.cumsum(row_len)))[:-1]
+    totp = int(row_len.sum())
+    counts = np.zeros(n_rows, dtype=np.int64)
+    for a in range(0, totp, _PAIR_CHUNK):
+        b = min(a + _PAIR_CHUNK, totp)
+        p = np.arange(a, b)
+        r = np.searchsorted(row_off, p, side="right") - 1
+        ii = r
+        jj = ii + (p - row_off[r]) + 1
+        dx = ux[ii] - ux[jj]
+        dy = uy[ii] - uy[jj]
+        dz = uz[ii] - uz[jj]
+        c2 = dx * dx + dy * dy + dz * dz
+        inn = c2 < c2_lo
+        ring = ~inn & (c2 <= c2_hi)
+        if ring.any():
+            q = np.nonzero(ring)[0]
+            dv = vincenty_np(lat[ii[q]], lng[ii[q]], lat[jj[q]], lng[jj[q]])
+            inn[q] = dv <= threshold_m
+        differs = (lat[ii] != lat[jj]) | (lng[ii] != lng[jj])
+        inn &= differs & nonsent[ii] & nonsent[jj]
+        counts += np.bincount(
+            np.concatenate((ii[inn], jj[inn])), minlength=n_rows
+        )
+    return counts
+
+
+def _unique_coords_ordered(lat, lng, gidx, n_g):
+    """Per-group unique coordinates in FIRST-OCCURRENCE order (the
+    reference's insertion order): returns (first, inv, order-of-first
+    ``of``, per-group unique segment bounds ``u_starts``/``u_ends``).
+    np.unique's stable sort (return_index) guarantees ``first`` is the
+    earliest row of each (group, coord) key."""
+    key = np.stack([gidx, lat.view(np.int64), lng.view(np.int64)], axis=1)
+    _u, first, inv = np.unique(
+        key, axis=0, return_index=True, return_inverse=True
+    )
+    inv = inv.ravel()  # numpy 2.x returns (n,1) for axis unique
+    order = np.argsort(first, kind="stable")
+    of = first[order]
+    og = gidx[of]
+    u_starts = np.searchsorted(og, np.arange(n_g), side="left")
+    u_ends = np.searchsorted(og, np.arange(n_g), side="right")
+    return first, inv, order, of, u_starts, u_ends
+
+
+def best_score_batch(
+    lat: np.ndarray,
+    lng: np.ndarray,
+    starts: np.ndarray,
+    ends: np.ndarray,
+    distance_threshold_m: float = SCORE_DISTANCE_THRESHOLD_M,
+):
+    """G2 over MANY groups in one call → (best_lat, best_lng, score)
+    arrays (groups are time-sorted row segments; caller guards n<3).
+
+    Result-identical to :func:`best_lat_lng_with_cluster_score`
+    per group, Vincenty reduced from O(n²) per group to O(uniq):
+
+    - neighbor counts: the shared chord-band pair stage
+      (:func:`_pair_neighbor_counts`) — exact integers, as in G3;
+    - scores: the reference's overwrite-by-last-differing-neighbor
+      discipline collapses algebraically — ``js`` depends only on the
+      ROW'S COORD (differs is coord-level), so js[-1] is the group's
+      last row L for rows off L's coord and the last row M with a
+      coord ≠ L's otherwise, and the surviving map value is written by
+      the LAST row of each unique coord. One exact Vincenty per
+      unique coord (the same elementwise vincenty_np the matrix path
+      used — identical doubles, sentinel included), zero for
+      single-coord groups (score stays 0.0, never written);
+    - selection: first max-score candidate in first-occurrence order,
+      upgraded to the first strictly-max-count candidate meeting the
+      n//2 (INT division) majority bar — the scalar loop verbatim,
+      segment-vectorized.
+    """
+    n_rows = len(lat)
+    n_g = len(starts)
+    k_g = ends - starts
+    gidx = np.repeat(np.arange(n_g), k_g)
+    pos = np.arange(n_rows)
+    counts = _pair_neighbor_counts(
+        lat, lng, starts, ends, distance_threshold_m
+    )
+    first, inv, order, of, u_starts, u_ends = _unique_coords_ordered(
+        lat, lng, gidx, n_g
+    )
+    n_u = len(first)
+    nu = u_ends - u_starts
+    coord_counts = np.bincount(
+        inv, weights=counts.astype(np.float64), minlength=n_u
+    ).astype(np.int64)
+    # --- per-unique score: last writer row × its last differing j ---
+    last_occ = np.full(n_u, -1, dtype=np.int64)
+    np.maximum.at(last_occ, inv, pos)
+    L = np.repeat(ends - 1, k_g)  # group's last row, per row
+    same_as_L = (lat == lat[L]) & (lng == lng[L])
+    M_g = np.maximum.reduceat(np.where(same_as_L, -1, pos), starts)
+    j_last = np.where(same_as_L, np.repeat(M_g, k_g), L)
+    # per-unique (in np.unique's own index space): does its GROUP have
+    # ≥2 distinct coords? single-coord groups never write a score.
+    multi = nu[gidx[first]] > 1
+    w = last_occ  # writer row per unique
+    jl = j_last[w]
+    scores = np.zeros(n_u, dtype=np.float64)
+    if multi.any():
+        q = np.nonzero(multi)[0]
+        dv = vincenty_np(lat[w[q]], lng[w[q]], lat[jl[q]], lng[jl[q]])
+        scores[q] = 1.0 / (1.0 + dv)
+    # --- selection over first-occurrence-ordered uniques ---
+    oscore = scores[order]
+    ocount = coord_counts[order]
+    upos = np.arange(n_u)
+    smax = np.maximum.reduceat(oscore, u_starts)
+    cand = oscore == np.repeat(smax, nu)
+    first_cand = np.minimum.reduceat(np.where(cand, upos, n_u), u_starts)
+    bar = k_g // 2  # Scala Int division (math.ceil(n/2) after int div)
+    qual = cand & (ocount >= np.repeat(bar, nu))
+    high = np.maximum.reduceat(qual.astype(np.int64), u_starts) > 0
+    qmax = np.maximum.reduceat(np.where(qual, ocount, -1), u_starts)
+    first_qmax = np.minimum.reduceat(
+        np.where(qual & (ocount == np.repeat(qmax, nu)), upos, n_u),
+        u_starts,
+    )
+    winner = np.where(high, first_qmax, first_cand)
+    best_row = of[winner]
+    # inline n<3 guard (BestLatLngCalculator.scala:76-78): callers
+    # normally pre-dispatch these JVM-side; keep the batch total
+    small = k_g < 3
+    best_row = np.where(small, ends - 1, best_row)
+    return (
+        lat[best_row],
+        lng[best_row],
+        np.where(high & ~small, 1.0, 0.0),
+    )
+
+
 def cluster_score_batch(
     lat: np.ndarray,
     lng: np.ndarray,

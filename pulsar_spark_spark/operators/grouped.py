@@ -55,12 +55,11 @@ from pulsar_spark_spark.operators.shipping import ensure_package_on_executors
 from pulsar_spark_spark.operators.geo_kernels import (
     LABEL_CENTROID,
     best_lat_lng_batch,
-    best_lat_lng_with_cluster_score,
+    best_score_batch,
     cluster_score_batch,
     refine_delivery,
     trimmed_centroid_batch,
 )
-from pulsar_spark_spark.functions.geo import vincenty_np
 
 _SORT = ["ts_ms", "event_id"]
 
@@ -173,12 +172,12 @@ def apply_cluster_score(points: DataFrame, pre_partitioned: bool = False) -> Dat
     )
 
     def body(pdf: pd.DataFrame) -> pd.DataFrame:
-        # ONE flat Vincenty per Arrow body (the refinement body's
-        # trick): each group's full pairwise matrix is a slice view,
-        # so the per-group kernel keeps its reference-quirk scoring
-        # loop but stops paying a numpy dispatch per group. Groups
-        # over 1500 rows fall back to the kernel's lazy matrix (G2
-        # has no upper guard) to bound the flat allocation.
+        # fully batched G2 (geo_kernels.best_score_batch): chord-band
+        # neighbor counts + ONE exact Vincenty per unique coordinate
+        # (the overwrite-by-last-differing-neighbor score collapses
+        # algebraically to that — see the kernel's docstring), instead
+        # of the O(n²) per-group matrix. Bit-identical, pinned by a
+        # randomized parity test.
         pdf = pdf.sort_values(["user_id", *_SORT], kind="mergesort")
         uid = pdf["user_id"].to_numpy()
         lat = pdf["lat"].to_numpy(dtype=np.float64)
@@ -186,40 +185,14 @@ def apply_cluster_score(points: DataFrame, pre_partitioned: bool = False) -> Dat
         change = np.nonzero(uid[1:] != uid[:-1])[0] + 1
         starts = np.concatenate(([0], change))
         ends = np.concatenate((change, [len(uid)]))
-        k_g = ends - starts
-        k2 = np.where(k_g > 1500, 0, k_g * k_g)
-        off2 = np.concatenate(([0], np.cumsum(k2)))[:-1]
-        tot = int(k2.sum())
-        if tot:
-            within = np.arange(tot) - np.repeat(off2, k2)
-            kk = np.repeat(k_g, k2)
-            base = np.repeat(starts, k2)
-            ii = base + within // kk
-            jj = base + within % kk
-            dflat = vincenty_np(lat[ii], lng[ii], lat[jj], lng[jj])
-        else:
-            dflat = None
-        out_lat, out_lng, out_sc = [], [], []
-        for g, (a, b) in enumerate(zip(starts, ends)):
-            kg = int(k_g[g])
-            pd_g = (
-                dflat[off2[g] : off2[g] + kg * kg].reshape(kg, kg)
-                if dflat is not None and k2[g]
-                else None
-            )
-            la, ln, sc = best_lat_lng_with_cluster_score(
-                lat[a:b], lng[a:b], d=pd_g
-            )
-            out_lat.append(la)
-            out_lng.append(ln)
-            out_sc.append(sc)
+        bl, bn, sc = best_score_batch(lat, lng, starts, ends)
         return pd.DataFrame(
             {
                 "user_id": uid[starts],
-                "lat": out_lat,
-                "lng": out_lng,
-                "cluster_score": out_sc,
-                "n_points": k_g.astype(np.int32),
+                "lat": bl,
+                "lng": bn,
+                "cluster_score": sc,
+                "n_points": (ends - starts).astype(np.int32),
             }
         )
 

@@ -142,6 +142,41 @@ class TestClusterScore:
             exp = cluster_best_lat_lng_with_score(lat[a:b], lng[a:b])
             assert (float(bl[g]), float(bn[g]), float(sc[g]), bool(hi[g])) == exp
 
+    def test_best_score_batch_bit_parity_per_group(self):
+        # best_score_batch (the G2 batch arm) must be BIT-identical on
+        # every group shape: single-coord groups (score never
+        # written), duplicates of the LAST row's coord (the M-vs-L
+        # last-differing-neighbor split), sentinels, sub-3 guards.
+        from pulsar_spark_spark.operators.geo_kernels import best_score_batch
+
+        rng = np.random.default_rng(33)
+        lats, lngs, starts, ends = [], [], [], []
+        pos = 0
+        for _ in range(300):
+            m = int(rng.integers(1, 45))
+            base = (rng.uniform(-60, 60), rng.uniform(-170, 170))
+            la = base[0] + rng.normal(0, 0.0015, m)
+            ln = base[1] + rng.normal(0, 0.0015, m)
+            la[rng.random(m) < 0.06] = 0.0
+            if m >= 6:
+                la[3], ln[3] = la[1], ln[1]
+                la[2], ln[2] = la[m - 1], ln[m - 1]
+            if rng.random() < 0.05 and m >= 2:
+                la[:], ln[:] = la[0], ln[0]
+            lats.append(la)
+            lngs.append(ln)
+            starts.append(pos)
+            ends.append(pos + m)
+            pos += m
+        lat = np.concatenate(lats)
+        lng = np.concatenate(lngs)
+        bl, bn, sc = best_score_batch(
+            lat, lng, np.asarray(starts), np.asarray(ends)
+        )
+        for g, (a, b) in enumerate(zip(starts, ends)):
+            exp = best_lat_lng_with_cluster_score(lat[a:b], lng[a:b])
+            assert (float(bl[g]), float(bn[g]), float(sc[g])) == exp
+
     def test_below_min_points_last_and_zero(self):
         pts = [_jitter(BLR, 0, 0), _jitter(BLR, 5, 0)]
         lat, lng, score = best_lat_lng_with_cluster_score(

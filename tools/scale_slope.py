@@ -117,6 +117,12 @@ SF100_SUBSET = {
     "user_sessions",
     "geotag_history_merge",
     "ann_topk_bruteforce",
+    # round 11 (cont.): the G2/G3 cluster-score queries, added to the
+    # heavy set once their kernels went batched (chord-band G3, flat
+    # per-body matrix G2) — the last grouped-kernel family without
+    # slope rows
+    "cluster_score_per_user",
+    "ping_cluster_score_per_user",
 }
 
 # The heaviest bench queries (r5 ordering) — every family with a
@@ -140,6 +146,9 @@ HEAVY = [
     # guards (exact collapse + multi-table banding + bucket cap) landed
     "embedding_near_dup_pairs",
     "embedding_dedup_clusters",
+    # round 11 (cont.): the batched G2/G3 cluster-score queries
+    "cluster_score_per_user",
+    "ping_cluster_score_per_user",
 ]
 
 # Round 7: the 100x column is measured for EVERY heavy query (the
