@@ -65,7 +65,27 @@ def main(sf_dir: str) -> None:
     keyed, rel, cand = near_dup_candidates(docs)
     step("keyed (materialize)", keyed)
     step("rel collapse (materialize)", rel)
+    # decomposition of the fused stage (adaptive tiers only): time the
+    # signature+banding Arrow pass ALONE, then the full candidate
+    # build — the delta is the band self-join + cap + distinct. The
+    # sig pass is re-run inside the full build (shared via rel's
+    # checkpoint), so the two prints are upper bounds that OVERLAP;
+    # counts are exact.
+    from pulsar_spark_spark.plans.text import (
+        _text_bands_arrow,
+        resolve_band_plan,
+    )
+
+    n_hashes, n_bands, rows_per_band = resolve_band_plan(docs, "auto")
+    if n_hashes > 16 and "ctext" in rel.columns:
+        sigb = _text_bands_arrow(rel, n_hashes, n_bands, rows_per_band)
+        step(f"sig+bands arrow ({n_hashes},{n_bands},{rows_per_band})", sigb)
+    t0 = time.time()
     cand = materialize(cand)
+    print(
+        f"{'cand materialize (sig+band+join)':<28} {time.time() - t0:>8.2f} s",
+        flush=True,
+    )
     step("cand band+cap+sizefilter", cand)
 
     # mirrors verified_rep_pairs: candidate-rep hv recompute + verify
