@@ -85,6 +85,22 @@ def get_session(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    # Streaming state-store provider. The default HDFS-backed store
+    # keeps every key's state on-heap and rewrites the full map per
+    # batch — measured fine through 100× state cardinality
+    # (stream_scale.json: throughput RISES to 150k keys), but at
+    # cluster scale with 10⁸+ keyed sessions the executor heap becomes
+    # the ceiling; SPARK_GRAFT_STATE_STORE=rocksdb flips every
+    # stateful stream (sessionizer, geofence machine, dedup-upsert) to
+    # Spark's built-in RocksDB provider (off-heap, incremental
+    # checkpointing) without touching any pipeline code. Pinned by
+    # tests/test_stateful_streaming.py::test_session_stream_rocksdb.
+    if os.environ.get("SPARK_GRAFT_STATE_STORE", "").lower() == "rocksdb":
+        builder = builder.config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

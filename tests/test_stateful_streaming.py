@@ -88,3 +88,69 @@ def test_stateful_geofence_matches_batch(spark, tmp_path):
     }
     for r in rows:
         assert 1 <= r["n_events_seen"] <= per_user_events[r["user_id"]]
+
+
+def test_session_stream_rocksdb(spark, tmp_path):
+    """The RocksDB state-store arm (SPARK_GRAFT_STATE_STORE=rocksdb in
+    session.py — here set at runtime, which Spark honors per query)
+    must produce bit-identical alerts to the default HDFS-backed
+    provider: the provider swaps the state BACKEND only. This is the
+    cluster-scale arm for 1e8+ keyed sessions where on-heap state
+    becomes the executor ceiling."""
+    import glob
+
+    ge = geo_events(spark, SF_DIR_SMALL).select(
+        "user_id", "event_id", F.unix_millis("ts").alias("ts_ms"), "lat", "lng"
+    )
+    input_dir = str(tmp_path / "incoming")
+    ge.coalesce(2).write.parquet(input_dir)
+    schema = spark.read.parquet(input_dir).schema
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    rocks = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    before = spark.conf.get(key, None)
+    spark.conf.set(key, rocks)
+    try:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(input_dir)
+        )
+        alerts = geofence_alert_stream(_located(spark, stream))
+        ckpt = str(tmp_path / "ckpt")
+        out_dir = str(tmp_path / "alerts")
+        q = (
+            alerts.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        assert not q.isActive
+        # the provider actually engaged: RocksDB checkpoints upload
+        # zip/changelog artifacts the HDFS-backed store never writes
+        rocks_files = glob.glob(f"{ckpt}/state/**/*.zip", recursive=True)
+        assert rocks_files, "no RocksDB snapshot artifacts under state/"
+    finally:
+        if before is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, before)
+    got = {
+        (r["user_id"], r["event_id"]): (
+            r["prev_gf"], r["cur_gf"], r["exit_alert"], r["entry_alert"]
+        )
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    want = {
+        (r["user_id"], r["event_id"]): (
+            r["prev_gf"], r["cur_gf"], r["exit_alert"], r["entry_alert"]
+        )
+        for r in QUERIES["trip_geofence_transitions"](spark, SF_DIR_SMALL).collect()
+    }
+    assert got == want
