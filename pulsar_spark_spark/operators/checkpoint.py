@@ -59,7 +59,7 @@ def reliable_enabled() -> bool:
     return _STATE["reliable"]
 
 
-def materialize(df: DataFrame, eager: bool = False) -> DataFrame:
+def materialize(df: DataFrame, eager: bool = False, spill: bool = False) -> DataFrame:
     """Checkpoint ``df`` so downstream consumers reuse its result
     instead of recomputing lineage.
 
@@ -68,9 +68,25 @@ def materialize(df: DataFrame, eager: bool = False) -> DataFrame:
     Reliable mode (:func:`configure_reliable_checkpoints`): a true
     ``checkpoint`` to the configured directory — survives executor
     loss; the extra filesystem write is the price of fault tolerance.
+
+    ``spill=True`` pins the local checkpoint's blocks to DISK_ONLY —
+    for scratch relations that are HUGE by construction relative to
+    their corpus (the smart-address gram explosion: ~200 gram rows
+    per doc). Default MEMORY_AND_DISK blocks of such a relation fill
+    the unified pool's protected storage region and starve downstream
+    aggregates into SparkOutOfMemoryError (measured at 1000×: the
+    pair aggregate died under a 17 GB gram checkpoint); disk blocks
+    cost one serialized write that lands in page cache at small scale
+    and sequential IO at large — strictly bounded, never starving.
+    Reliable mode already writes to the checkpoint dir, so ``spill``
+    is a no-op there.
     """
     if _STATE["reliable"]:
         return df.checkpoint(eager=eager)
+    if spill:
+        from pyspark.storagelevel import StorageLevel
+
+        return df.localCheckpoint(eager=eager, storageLevel=StorageLevel.DISK_ONLY)
     return df.localCheckpoint(eager=eager)
 
 

