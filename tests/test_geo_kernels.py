@@ -109,6 +109,73 @@ class TestBestLatLng:
 # G2
 # ---------------------------------------------------------------------
 class TestClusterScore:
+    def test_batch_kernels_adversarial_geometry(self):
+        # Chord-band soundness under the geometries the randomized
+        # tests never sample: polar clusters (wild longitudes,
+        # geodetic-vs-geocentric latitude distortion at its maximum),
+        # antimeridian-straddling clusters (lng ±179.999 — physically
+        # tight, coordinate-distant), grids engineered INSIDE the
+        # [250,350] m and [160,240] m prefilter rings (the exact-
+        # Vincenty arbitration path), and equator sentinel mixes.
+        # All three batch kernels must match their scalar twins
+        # bit-exactly.
+        from pulsar_spark_spark.operators.geo_kernels import (
+            best_lat_lng_batch,
+            best_score_batch,
+            cluster_score_batch,
+        )
+
+        rng = np.random.default_rng(99)
+        groups = []
+        for base_lat in [89.5, -89.5, 89.99, -89.99]:
+            m = 12
+            groups.append((
+                base_lat + rng.normal(0, 0.002, m),
+                rng.uniform(-180, 180, m),
+            ))
+        for _ in range(6):
+            m = 14
+            la = rng.uniform(-60, 60) + rng.normal(0, 0.001, m)
+            ln = np.where(
+                rng.random(m) < 0.5, 179.999, -179.999
+            ) + rng.normal(0, 0.0005, m)
+            groups.append((la, ln))
+        for lo, hi, n in ((240, 360, 13), (150, 250, 11)):
+            for d0 in np.linspace(lo, hi, n):
+                m = 10 if hi > 300 else 8
+                base = (rng.uniform(-70, 70), rng.uniform(-179, 179))
+                la = np.full(m, base[0])
+                ln = np.full(m, base[1])
+                for i in range(1, m):
+                    la[i] = base[0] + (d0 + rng.normal(0, 4)) / 110567.0 * (
+                        1 if i % 2 else -1
+                    )
+                groups.append((la, ln))
+        for _ in range(4):
+            m = 9
+            la = rng.normal(0, 0.003, m)
+            la[rng.random(m) < 0.3] = 0.0
+            groups.append((la, 77 + rng.normal(0, 0.003, m)))
+
+        lat = np.concatenate([g[0] for g in groups])
+        lng = np.concatenate([g[1] for g in groups])
+        sizes = [len(g[0]) for g in groups]
+        starts = np.cumsum([0] + sizes[:-1])
+        ends = np.cumsum(sizes)
+        idx = best_lat_lng_batch(lat, lng, starts, ends)
+        bl3, bn3, sc3, hi3 = cluster_score_batch(lat, lng, starts, ends)
+        bl2, bn2, sc2 = best_score_batch(lat, lng, starts, ends)
+        for g, (a, b) in enumerate(zip(starts, ends)):
+            assert (float(lat[idx[g]]), float(lng[idx[g]])) == best_lat_lng(
+                lat[a:b], lng[a:b]
+            )
+            assert (
+                float(bl3[g]), float(bn3[g]), float(sc3[g]), bool(hi3[g])
+            ) == cluster_best_lat_lng_with_score(lat[a:b], lng[a:b])
+            assert (
+                float(bl2[g]), float(bn2[g]), float(sc2[g])
+            ) == best_lat_lng_with_cluster_score(lat[a:b], lng[a:b])
+
     def test_cluster_score_batch_bit_parity_per_group(self):
         # cluster_score_batch (the G3 chord-band batch arm) must be
         # BIT-identical to the scalar kernel on every group shape:
