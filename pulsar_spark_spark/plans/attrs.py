@@ -103,8 +103,14 @@ def event_attrs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     the map_from_entries lambdas — same pathology as
     functions/text.py::shingle_hashes). One narrow two-column
     checkpoint write beats five re-derivations (measured 2.24 →
-    1.61 s at sf0.1; the same write-narrow-once trade as
-    plans/kernels.py::_scaled_geo_points at scale).
+    1.61 s at sf0.1). The blocks are pinned DISK_ONLY
+    (``spill=True``): two map-of-struct columns deserialize fat
+    (~300 B/row), and at 100×/1000× their on-heap blocks turn into
+    GC churn that measured 16.8 s (memory blocks) vs 9.7 s (disk
+    blocks) vs 8.2 s (no checkpoint at all) at 100× under the
+    cluster shuffle profile — and explains the row's earlier 10.7 →
+    68 s capture variance. Disk blocks land in page cache at
+    fixture scale, keeping the sf0.1 win.
     """
     ev = load_table(spark, "events", sf_dir)
     acc1 = _h("acc1:", col("event_id"), 250).cast("string")
@@ -125,7 +131,8 @@ def event_attrs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.select(
             kv_list_to_map_first_wins(kv).alias("first"),
             kv_list_to_map_last_wins(kv).alias("last"),
-        )
+        ),
+        spill=True,  # fat map blocks — see the docstring's numbers
     )
     reshaped = attrs_to_struct(col("last"), ("agent_id", "city"))
     rows = maps.select(
