@@ -235,8 +235,12 @@ def _stream_scale_lines() -> list:
         "fixed by the benches' file-split construction, so rows/s",
         "across scales isolates per-row state cost from trigger",
         "overhead)? Same pipelines the driver's bench.py times at",
-        "sf0.1. A falling line would be the first sign the RocksDB",
-        "state-store provider is needed before cluster scale.",
+        "sf0.1 — but COLD single-pass captures (fresh session per",
+        "cell), so the sf0.1 cells read below bench.py's warmed",
+        "minima; compare ACROSS the row, not against the bench.",
+        "A falling line would be the first sign the RocksDB",
+        "state-store provider is needed before cluster scale",
+        "(session.py's SPARK_GRAFT_STATE_STORE=rocksdb arm).",
         "1000× runs ingest only (the sessionizer/geofence 100M-row",
         "points would exceed the benches' 600 s stream budget by",
         "construction at their measured ~50-100k rows/s, not by",
