@@ -366,7 +366,15 @@ def _unique_coords_ordered(lat, lng, gidx, n_g):
     reference's insertion order): returns (first, inv, order-of-first
     ``of``, per-group unique segment bounds ``u_starts``/``u_ends``).
     np.unique's stable sort (return_index) guarantees ``first`` is the
-    earliest row of each (group, coord) key."""
+    earliest row of each (group, coord) key.
+
+    Signed zeros are canonicalized BEFORE the int64 bit view: the
+    scalar kernels key their dicts on float equality (-0.0 == 0.0) and
+    the batch arms' own ``differs`` masks compare floats, so folding
+    on raw bit patterns would split a coordinate the rest of the
+    kernel treats as one (round-11 advice)."""
+    lat = np.where(lat == 0.0, 0.0, lat)
+    lng = np.where(lng == 0.0, 0.0, lng)
     key = np.stack([gidx, lat.view(np.int64), lng.view(np.int64)], axis=1)
     _u, first, inv = np.unique(
         key, axis=0, return_index=True, return_inverse=True
@@ -484,10 +492,10 @@ def cluster_score_batch(
     ``starts[g]:ends[g]``, time-sorted).
 
     Result-identical to :func:`cluster_best_lat_lng_with_score` per
-    group: per-row neighbor counts use the same ``d <= 200 m &
-    differs`` predicate — decided by the chord² band trick
-    (:func:`best_lat_lng_batch`'s soundness argument, band
-    [160, 240] m here, exact Vincenty only inside the ring; the
+    group: per-row neighbor counts use the same ``d <= threshold &
+    differs`` predicate — decided by the shared chord² band stage
+    (:func:`_pair_neighbor_counts`, band [0.8, 1.2]×threshold derived
+    FROM the parameter, exact Vincenty only inside the ring; the
     lat==0 sentinel forces a pair out exactly like vincenty_np's
     1e7) — counts fold onto first-occurrence-ordered unique
     coordinates (np.unique's stable sort), the winner is the first
@@ -495,58 +503,22 @@ def cluster_score_batch(
     BestLatLngCalculator.scala:123-163), and the real-ceil majority
     bar is evaluated with the same float expression.
     """
-    n_rows = len(lat)
     n_g = len(starts)
     k_g = ends - starts
-    g_off = starts
     gidx = np.repeat(np.arange(n_g), k_g)
-    pos = np.arange(n_rows)
-    # ---- per-row neighbor counts over upper-triangle pairs ----
-    c2_lo = float((2.0 * np.sin(160.0 / (2.0 * _PRE_R_M))) ** 2)
-    c2_hi = float((2.0 * np.sin(240.0 / (2.0 * _PRE_R_M))) ** 2)
-    ux, uy, uz = _unit_xyz(lat, lng)
-    nonsent = lat != 0.0
-    row_len = np.repeat(k_g, k_g) - 1 - (pos - np.repeat(g_off, k_g))
-    row_off = np.concatenate(([0], np.cumsum(row_len)))[:-1]
-    totp = int(row_len.sum())
-    counts = np.zeros(n_rows, dtype=np.int64)
-    for a in range(0, totp, _PAIR_CHUNK):
-        b = min(a + _PAIR_CHUNK, totp)
-        p = np.arange(a, b)
-        r = np.searchsorted(row_off, p, side="right") - 1
-        ii = r
-        jj = ii + (p - row_off[r]) + 1
-        dx = ux[ii] - ux[jj]
-        dy = uy[ii] - uy[jj]
-        dz = uz[ii] - uz[jj]
-        c2 = dx * dx + dy * dy + dz * dz
-        inn = c2 < c2_lo
-        ring = ~inn & (c2 <= c2_hi)
-        if ring.any():
-            q = np.nonzero(ring)[0]
-            dv = vincenty_np(lat[ii[q]], lng[ii[q]], lat[jj[q]], lng[jj[q]])
-            inn[q] = dv <= distance_threshold_m
-        differs = (lat[ii] != lat[jj]) | (lng[ii] != lng[jj])
-        inn &= differs & nonsent[ii] & nonsent[jj]
-        counts += np.bincount(
-            np.concatenate((ii[inn], jj[inn])), minlength=n_rows
-        )
-    # ---- fold row counts onto unique (group, coord) keys ----
-    key = np.stack([gidx, lat.view(np.int64), lng.view(np.int64)], axis=1)
-    _u, first, inv = np.unique(
-        key, axis=0, return_index=True, return_inverse=True
+    counts = _pair_neighbor_counts(
+        lat, lng, starts, ends, distance_threshold_m
     )
-    inv = inv.ravel()  # numpy 2.x returns (n,1) for axis unique
-    coord_counts = np.bincount(inv, weights=counts.astype(np.float64))
-    coord_counts = coord_counts.astype(np.int64)
-    # uniq in FIRST-OCCURRENCE order per group (the reference's
-    # insertion order): order uniques by their first row position
-    order = np.argsort(first, kind="stable")
-    of = first[order]
+    # ---- fold row counts onto unique (group, coord) keys, in
+    # FIRST-OCCURRENCE order per group (the reference's insertion
+    # order) ----
+    first, inv, order, of, u_starts, u_ends = _unique_coords_ordered(
+        lat, lng, gidx, n_g
+    )
+    coord_counts = np.bincount(
+        inv, weights=counts.astype(np.float64)
+    ).astype(np.int64)
     oc = coord_counts[order]
-    og = gidx[of]
-    u_starts = np.searchsorted(og, np.arange(n_g), side="left")
-    u_ends = np.searchsorted(og, np.arange(n_g), side="right")
     nu = u_ends - u_starts
     gmax = np.maximum.reduceat(oc, u_starts)
     upos = np.arange(len(oc))

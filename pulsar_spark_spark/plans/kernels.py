@@ -1010,7 +1010,11 @@ def delivery_refinement(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sorted_out(res, "delivery_id", "method")
 
 
-def merge_refined_into_history(points: DataFrame, refined: DataFrame) -> DataFrame:
+def merge_refined_into_history(
+    points: DataFrame,
+    refined: DataFrame,
+    broadcast_survivor_dim: bool = True,
+) -> DataFrame:
     """G8 as declarative DataFrame ops: swap refined locations into the
     per-user point history (DeliveryLocationRefinementService.scala:
     257-284).
@@ -1038,19 +1042,28 @@ def merge_refined_into_history(points: DataFrame, refined: DataFrame) -> DataFra
     """
     n_ref = Window.partitionBy("user_id")
     ref = refined.withColumn("__n_ref", F.count(F.lit(1)).over(n_ref))
-    # BROADCAST the survivor dim: it holds ONE row per user with a
-    # refined delivery in this batch — bounded by the refinement
-    # batch (the reference refines one 120-min window per run,
-    # DeliveryLocationRefinementApp.scala:33), not by the corpus — so
-    # it broadcasts at any corpus size. The alternative SMJ re-sorts
-    # the ~full-corpus ``points`` side by user_id BEFORE the window
-    # sorts it again by (ts, event): measured 27.1 → 15.7 s at 100×
-    # (the broadcast join preserves the bucketed layout's user_id
-    # partitioning, leaving the window's local sort as the only
-    # big-side work).
-    dim = F.broadcast(
-        ref.select("user_id", "del_lat", "del_lng", "__n_ref").distinct()
-    )
+    # BROADCAST the survivor dim (default): it holds ONE row per user
+    # with a refined delivery in this batch — bounded by the
+    # refinement batch (the reference refines one 120-min window per
+    # run, DeliveryLocationRefinementApp.scala:33), not by the corpus
+    # — so it broadcasts at any corpus size. The alternative SMJ
+    # re-sorts the ~full-corpus ``points`` side by user_id BEFORE the
+    # window sorts it again by (ts, event): measured 27.1 → 15.7 s at
+    # 100× (the broadcast join preserves the bucketed layout's
+    # user_id partitioning, leaving the window's local sort as the
+    # only big-side work).
+    #
+    # INVARIANT the caller must hold for the default: ``refined`` is
+    # one refinement batch (≤ one window of deliveries), small enough
+    # for the driver to hold ~(user_id, 2 doubles, long) per user.
+    # The explicit hint bypasses autoBroadcastJoinThreshold, so an
+    # unbounded ``refined`` (e.g. a full-history backfill) would OOM
+    # the driver: pass ``broadcast_survivor_dim=False`` there and the
+    # plan degrades safely to the shuffle join, same results
+    # (tests/test_kernels.py pins both arms identical).
+    dim = ref.select("user_id", "del_lat", "del_lng", "__n_ref").distinct()
+    if broadcast_survivor_dim:
+        dim = F.broadcast(dim)
     w_cap = Window.partitionBy("user_id").orderBy(
         col("ts_ms").desc(), col("event_id").desc()
     )

@@ -244,6 +244,65 @@ class TestClusterScore:
             exp = best_lat_lng_with_cluster_score(lat[a:b], lng[a:b])
             assert (float(bl[g]), float(bn[g]), float(sc[g])) == exp
 
+    def test_cluster_score_batch_nondefault_threshold_parity(self):
+        # Round-11 advice: the batch arm hardcoded its chord band to
+        # the 200 m default, so thr=100/500 silently diverged from the
+        # scalar kernel. The band must derive from the parameter.
+        from pulsar_spark_spark.operators.geo_kernels import cluster_score_batch
+
+        rng = np.random.default_rng(77)
+        lats, lngs, starts, ends = [], [], [], []
+        pos = 0
+        for _ in range(120):
+            m = int(rng.integers(3, 30))
+            base = (rng.uniform(-60, 60), rng.uniform(-170, 170))
+            # spread chosen so 100/200/500 m thresholds all cut the
+            # pair population differently (~0-800 m pair distances)
+            la = base[0] + rng.normal(0, 0.002, m)
+            ln = base[1] + rng.normal(0, 0.002, m)
+            lats.append(la)
+            lngs.append(ln)
+            starts.append(pos)
+            ends.append(pos + m)
+            pos += m
+        lat = np.concatenate(lats)
+        lng = np.concatenate(lngs)
+        for thr in (100.0, 500.0):
+            bl, bn, sc, hi = cluster_score_batch(
+                lat,
+                lng,
+                np.asarray(starts),
+                np.asarray(ends),
+                distance_threshold_m=thr,
+            )
+            for g, (a, b) in enumerate(zip(starts, ends)):
+                exp = cluster_best_lat_lng_with_score(
+                    lat[a:b], lng[a:b], distance_threshold_m=thr
+                )
+                got = (float(bl[g]), float(bn[g]), float(sc[g]), bool(hi[g]))
+                assert got == exp, f"thr={thr} group={g}"
+
+    def test_batch_kernels_signed_zero_parity(self):
+        # Round-11 advice: -0.0 and 0.0 are the SAME coordinate to the
+        # scalar kernels (dict keys on float equality) and to the
+        # batch arms' differs masks; the unique-coord fold must not
+        # split them on raw bit patterns.
+        from pulsar_spark_spark.operators.geo_kernels import (
+            best_score_batch,
+            cluster_score_batch,
+        )
+
+        la = np.array([0.001, 0.001, 0.001, 0.0012, 0.0012, 0.0011])
+        ln = np.array([-0.0, 0.0, -0.0, 0.0005, 0.0005, 0.0002])
+        starts = np.array([0])
+        ends = np.array([6])
+        exp3 = cluster_best_lat_lng_with_score(la, ln)
+        bl, bn, sc, hi = cluster_score_batch(la, ln, starts, ends)
+        assert (float(bl[0]), float(bn[0]), float(sc[0]), bool(hi[0])) == exp3
+        exp2 = best_lat_lng_with_cluster_score(la, ln)
+        bl, bn, sc = best_score_batch(la, ln, starts, ends)
+        assert (float(bl[0]), float(bn[0]), float(sc[0])) == exp2
+
     def test_below_min_points_last_and_zero(self):
         pts = [_jitter(BLR, 0, 0), _jitter(BLR, 5, 0)]
         lat, lng, score = best_lat_lng_with_cluster_score(
@@ -764,6 +823,64 @@ def test_merge_refined_into_history_cap(spark):
     # and everything older than the cap window are out
     ids = {r["event_id"] for r in hist}
     assert ids == set(range(52, 150))
+
+
+def test_merge_refined_into_history_no_broadcast_parity(spark):
+    """The broadcast hint is a pure physical choice: with
+    broadcast_survivor_dim=False (the unbounded-batch safety arm) the
+    shuffle-join plan must produce the identical row set."""
+    from pulsar_spark_spark.plans.kernels import merge_refined_into_history
+
+    rng = np.random.default_rng(5)
+    n_u, n_pts = 8, 40
+    pts = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "user_id": np.repeat(np.arange(n_u), n_pts),
+                "event_id": np.arange(n_u * n_pts),
+                "ts_ms": np.tile(np.arange(n_pts) * 1000, n_u),
+                "lat": 10.0 + rng.normal(0, 0.01, n_u * n_pts),
+                "lng": 70.0 + rng.normal(0, 0.01, n_u * n_pts),
+                "accuracy": np.full(n_u * n_pts, 50.0),
+            }
+        )
+    )
+    refined = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "user_id": [0, 0, 3, 5],
+                "delivery_id": [900, 900, 901, 902],
+                "del_ts_ms": [200_000] * 4,
+                "del_lat": [10.0, 10.0, 10.2, 10.3],
+                "del_lng": [70.0, 70.0, 70.2, 70.3],
+                "method": [
+                    "CLUSTER_GEOCODE_SCORE_HIGH",
+                    "CLUSTER_CENTROID",
+                    "CLUSTER_CENTROID",
+                    "CLUSTER_CENTROID",
+                ],
+                "ref_lat": [11.5, 11.6, 11.7, 11.8],
+                "ref_lng": [71.5, 71.6, 71.7, 71.8],
+            }
+        )
+    )
+    key = lambda r: (r["user_id"], r["ts_ms"], r["event_id"], r["method"] or "")
+    a = sorted(
+        merge_refined_into_history(pts, refined).collect(), key=key
+    )
+    b = sorted(
+        merge_refined_into_history(
+            pts, refined, broadcast_survivor_dim=False
+        ).collect(),
+        key=key,
+    )
+    assert a == b and len(a) > 0
+    # the un-hinted arm must leave the join strategy to the planner's
+    # size estimate (no explicit ResolvedHint in the analyzed plan)
+    plan_b = merge_refined_into_history(
+        pts, refined, broadcast_survivor_dim=False
+    )._jdf.queryExecution().analyzed().toString()
+    assert "UnresolvedHint" not in plan_b and "broadcast" not in plan_b.lower()
 
 
 class TestClusterScoreDuplicates:
