@@ -462,6 +462,29 @@ def geotag_history_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     never by rounding a double (round() half-case behavior is not
     oracle-portable).
     """
+    import os
+
+    from pulsar_spark_spark.plans.kernels import _events_rows
+
+    arm = os.environ.get(_GEOTAG_ARM_ENV, "auto")
+    if arm not in ("auto", "plain", "bucketed"):
+        raise ValueError(
+            f"{_GEOTAG_ARM_ENV} {arm!r}: accepted values are "
+            "'auto', 'plain', 'bucketed'"
+        )
+    if arm == "plain" or (
+        arm == "auto" and _events_rows(sf_dir) <= _GEOTAG_LAYOUT_FLOOR_ROWS
+    ):
+        return _geotag_merge(_geotag_points(spark, sf_dir))
+    return _geotag_merge_from_layout(spark, sf_dir)
+
+
+def _geotag_state_batch(
+    spark: SparkSession, sf_dir: str
+) -> "tuple[DataFrame, DataFrame]":
+    """(stored state, arriving micro-batch) point relations for the
+    history merge — 'purchase' events play the batch, everything else
+    the persisted state (the reference's union inputs)."""
     ev = load_table(spark, "events", sf_dir)
     lat = (2.0 + _salted_mod("ulat:", col("user_id"), 3800) * 0.01) + (
         _salted_mod("hlat:", col("event_id"), 5) - 2
@@ -478,12 +501,20 @@ def geotag_history_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         lng.alias("lng"),
         (_salted_mod("eacc:", col("event_id"), 3) * 50).cast("double").alias("accuracy"),
     )
-    # U1/J4: the stored state and the new micro-batch are distinct
-    # relations unioned by name before the merge — 'purchase' events
-    # play the arriving batch, everything else the persisted state.
     state = all_pts.filter(col("event_type") != "purchase").drop("event_type")
     batch = all_pts.filter(col("event_type") == "purchase").drop("event_type")
-    pts = state.unionByName(batch)
+    return state, batch
+
+
+def _geotag_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The merge input: state ∪ batch (U1/J4 — the plain arm's union,
+    shared with tools/profile_merge.py's stage decomposition)."""
+    state, batch = _geotag_state_batch(spark, sf_dir)
+    return state.unionByName(batch)
+
+
+def _geotag_merge(pts: DataFrame) -> DataFrame:
+    """dedup-first-occurrence → cap-100-newest over the point union."""
     w_dup = Window.partitionBy("user_id", "lat", "lng", "accuracy").orderBy(
         "ts", "event_id"
     )
@@ -496,5 +527,173 @@ def geotag_history_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("cap_rn", F.row_number().over(w_cap))
         .filter(col("cap_rn") <= 100)
         .select("user_id", "event_id", "ts", "lat", "lng", "accuracy")
+        .orderBy("user_id", "ts", "event_id")
+    )
+
+
+# Arm routing for the recurring-merge serve shape (round 12): the
+# reference's flagship state pattern re-merges a small micro-batch
+# into a big accumulated state every cycle
+# (GeoTagOptimizedService.scala:165-169). The plain arm re-shuffles
+# the FULL corpus through two windows every run; the bucketed arm
+# stores the state DEDUPED (all unique (user,lat,lng,accuracy)
+# triples with their first occurrence — uncapped, so non-monotonic
+# batches still merge exactly) bucketed by user_id, and each merge
+# pays only (a) the small batch-side shuffle of the full-outer
+# first-occurrence join (the state side arrives bucket-partitioned:
+# ZERO Exchange, pinned in tests/test_bucketed.py) and (b) one
+# Exchange of the merged UNIQUES for the cap window — never the raw
+# corpus. Same floor discipline as kernels._refinement_input: below
+# ~1.5M events the layout build costs more than it saves.
+_GEOTAG_ARM_ENV = "SPARK_GRAFT_GEOTAG_ARM"
+_GEOTAG_LAYOUT_FLOOR_ROWS = 1_500_000
+_GEOTAG_KEY = ["user_id", "lat", "lng", "accuracy"]
+
+
+def _geotag_n_buckets(sf_dir: str) -> int:
+    """~25M state rows per bucket in units of 32 (one local[32] wave;
+    a cluster profile passes its own) — kernels.ensure_refinement_
+    layout's sizing rule, shared by the layout build and the merge's
+    batch-side repartition so the join is co-partitioned."""
+    import math
+
+    from pulsar_spark_spark.plans.kernels import _events_rows
+
+    return 32 * max(1, math.ceil(_events_rows(sf_dir) / 25_000_000))
+
+
+def ensure_geotag_state_layout(
+    spark: SparkSession,
+    sf_dir: str,
+    n_buckets: "int | None" = None,
+    index_root: "str | None" = None,
+) -> str:
+    """Build-once bucketed layout of the DEDUPED state triples for
+    ``sf_dir``; returns the registered catalog table name.
+
+    Same cache discipline as kernels.ensure_refinement_layout: data
+    rides the on-disk fingerprint cache (built in a staging dir,
+    swapped whole, invalidated when the source events parquet
+    changes); bucket metadata is re-registered per session as an
+    EXTERNAL table definition. The state is stored one row per unique
+    (user_id, lat, lng, accuracy) triple with the triple's
+    first-occurrence (ts, event_id) — the dedup shuffle is paid ONCE
+    at build, then every recurring merge joins against it in place.
+    """
+    import hashlib
+    import os
+    import uuid
+
+    from pulsar_spark_spark.plans.similarity import _ensure_index
+    from pulsar_spark_spark.sources.bucketed import (
+        register_external_bucketed,
+        save_bucketed,
+    )
+
+    if n_buckets is None:
+        n_buckets = _geotag_n_buckets(sf_dir)
+
+    def build(tmp: str) -> None:
+        state, _batch = _geotag_state_batch(spark, sf_dir)
+        dedup = (
+            state.groupBy(*_GEOTAG_KEY)
+            .agg(F.min(F.struct("ts", "event_id")).alias("__first"))
+            .select(
+                *_GEOTAG_KEY,
+                col("__first.ts").alias("ts"),
+                col("__first.event_id").alias("event_id"),
+            )
+        )
+        tmp_table = f"geotag_state_build_{uuid.uuid4().hex[:10]}"
+        try:
+            save_bucketed(
+                dedup,
+                tmp_table,
+                "user_id",
+                n_buckets,
+                sort_cols=tuple(_GEOTAG_KEY),
+                path=os.path.join(tmp, "data"),
+            )
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")
+
+    idx = _ensure_index(
+        "geotag_state",
+        sf_dir,
+        {"n_buckets": n_buckets, "v": 1},
+        build,
+        index_root=index_root,
+    )
+    table = "geotag_state_{}_{}".format(
+        hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10],
+        n_buckets,
+    )
+    register_external_bucketed(
+        spark,
+        table,
+        os.path.join(idx, "data"),
+        (
+            "user_id BIGINT, lat DOUBLE, lng DOUBLE, accuracy DOUBLE, "
+            "ts TIMESTAMP, event_id BIGINT"
+        ),
+        "user_id",
+        n_buckets,
+        sort_cols=tuple(_GEOTAG_KEY),
+    )
+    return table
+
+
+def _geotag_merge_from_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recurring-merge serve arm: full-outer first-occurrence join
+    of the micro-batch's aggregated triples against the bucketed
+    state, then the cap window — result-identical to
+    :func:`_geotag_merge` (min(struct(ts, event_id)) picks the same
+    first occurrence whichever side it came from, so non-monotonic
+    batches are exact too)."""
+    # subset-key co-partition: the state is bucketed on user_id, the
+    # join clusters on the full triple — HashPartitioning(user_id)
+    # satisfies that ClusteredDistribution, but Spark only USES it
+    # with the all-keys requirement relaxed (the batch side then
+    # shuffles to the state's user_id buckets instead of both sides
+    # re-shuffling on the 4-tuple)
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    table = ensure_geotag_state_layout(spark, sf_dir)
+    st = spark.table(table).select(
+        *_GEOTAG_KEY, F.struct("ts", "event_id").alias("__first")
+    ).alias("s")
+    _state, batch = _geotag_state_batch(spark, sf_dir)
+    # ONE batch-side Exchange total: repartition to the state's exact
+    # (key, count) spec up front, so the triple groupBy (clustered on
+    # a superset of user_id) and the join (co-partitioned with the
+    # bucketed scan) both reuse it
+    ba = (
+        batch.repartition(_geotag_n_buckets(sf_dir), "user_id")
+        .groupBy(*_GEOTAG_KEY)
+        .agg(F.min(F.struct("ts", "event_id")).alias("__first"))
+        .alias("b")
+    )
+    take_b = col("s.__first").isNull() | (
+        col("b.__first").isNotNull() & (col("b.__first") < col("s.__first"))
+    )
+    merged = st.join(ba, _GEOTAG_KEY, "full_outer").select(
+        *_GEOTAG_KEY,
+        F.when(take_b, col("b.__first"))
+        .otherwise(col("s.__first"))
+        .alias("__first"),
+    )
+    w_cap = Window.partitionBy("user_id").orderBy(
+        col("__first.ts").desc(), col("__first.event_id").desc()
+    )
+    return (
+        merged.withColumn("cap_rn", F.row_number().over(w_cap))
+        .filter(col("cap_rn") <= 100)
+        .select(
+            "user_id",
+            col("__first.event_id").alias("event_id"),
+            col("__first.ts").alias("ts"),
+            "lat",
+            "lng",
+            "accuracy",
+        )
         .orderBy("user_id", "ts", "event_id")
     )

