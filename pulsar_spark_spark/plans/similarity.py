@@ -336,6 +336,58 @@ def _multiprobe_radius(n_bits: int) -> int:
     return 2 if n_bits > _LSH_BITS else 1
 
 
+def srp_banding_recall(
+    cos_sim: float,
+    n_bits: int,
+    n_tables: int = 4,  # == _EMB_TABLES (defined below this point)
+    multiprobe: bool = False,
+) -> float:
+    """Closed-form SRP banding recall for a pair at ``cos_sim``:
+    per-bit agreement p = 1 − θ/π, per-table hit p^b (plus the
+    Hamming-1 term b·p^(b−1)(1−p) under multiprobe), OR-ed over
+    independent tables: 1 − (1 − hit)^L.
+
+    This is the formula the round-11 compaction experiment validated
+    to three decimals against measured planted-pair recall (0.775
+    predicted / 0.7772 measured exact-bucket; 0.991 / 0.9908
+    multiprobe, at 12 bits × 4 tables, cos 0.958 — SCALE.md). Exposed
+    so users can price a width/recall trade before ingesting, and so
+    the auto-multiprobe heuristic below is auditable."""
+    import math
+
+    p = 1.0 - math.acos(max(-1.0, min(1.0, cos_sim))) / math.pi
+    hit = p**n_bits
+    if multiprobe:
+        hit += n_bits * p ** (n_bits - 1) * (1.0 - p)
+    return 1.0 - (1.0 - hit) ** n_tables
+
+
+# Auto-multiprobe heuristic (round 12, VERDICT wrong #3): the
+# corpus-adaptive width exists to bound bucket occupancy, but every
+# bit it adds cuts banding recall at the 0.9-0.97 near-dup band —
+# measured 0.78 at the 12-bit width users get silently on 200k-unique
+# corpora. multiprobe=None (the new default) resolves to True exactly
+# when the closed-form recall at the regime's design point
+# (cos 0.95) drops below 0.85 — i.e. whenever the adaptive width has
+# drifted below what the fixed 8-bit default delivers (0.891). Gate
+# and bench corpora resolve to the 8-bit floor and therefore stay on
+# the exact-bucket arm the DuckDB oracles mirror; explicit True/False
+# always wins.
+_AUTO_MULTIPROBE_DESIGN_COS = 0.95
+_AUTO_MULTIPROBE_RECALL_FLOOR = 0.85
+
+
+def _resolve_multiprobe(
+    multiprobe: "bool | None", n_bits: int, n_tables: int
+) -> bool:
+    if multiprobe is not None:
+        return multiprobe
+    return (
+        srp_banding_recall(_AUTO_MULTIPROBE_DESIGN_COS, n_bits, n_tables)
+        < _AUTO_MULTIPROBE_RECALL_FLOOR
+    )
+
+
 def _probe_buckets(bucket: Column, n_bits: int) -> Column:
     """Array of multiprobe bucket keys: the bucket itself, all
     Hamming-1 flips, and — at adaptive widths (see
@@ -666,7 +718,7 @@ def emb_near_dup_candidates(
     n_tables: int = _EMB_TABLES,
     n_bits: "int | None" = None,
     bucket_cap: int = _EMB_BUCKET_CAP,
-    multiprobe: bool = False,
+    multiprobe: "bool | None" = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Candidate-generation stage of :func:`emb_near_dup_pairs`,
     exposed so the skew guards are testable in isolation.
@@ -683,19 +735,27 @@ def emb_near_dup_candidates(
     an AGGREGATE (min/min_by/count, all map-side combinable), not a
     window: a million-copy vector ships one partial row per map task.
 
-    ``multiprobe=True`` (round 11, OPT-IN — the registered queries and
-    their DuckDB oracles stay exact-bucket) additionally probes every
+    ``multiprobe=True`` (round 11) additionally probes every
     Hamming-1 neighbor bucket on one join side, the same trade as the
     ANN serving path's :func:`_probe_buckets`: per-table hit
     probability for a true pair rises from p^b to
     p^b + b·p^(b-1)(1-p), e.g. at the adaptive 12-bit width and
     cos 0.95 the 4-table banding recall goes 0.78 → ~0.99, for a
     (n_bits+1)× larger probe side of the candidate join (verification
-    stays exact, so precision is unchanged). Use it on corpora where
-    the 0.9-0.97 near-dup band is the payload rather than exact-copy
-    collapse."""
+    stays exact, so precision is unchanged).
+
+    ``multiprobe=None`` (round 12 default) resolves via
+    :func:`_resolve_multiprobe`: ON exactly when the corpus-adaptive
+    width pushes the closed-form banding recall at cos 0.95 below
+    0.85 — the silent-0.78-recall regime the round-11 verdict flagged
+    — and OFF at the fixed 8-bit floor every gate/bench corpus
+    resolves to (recall 0.891), which keeps the registered queries on
+    the exact-bucket plan their DuckDB oracles mirror. Pass an
+    explicit bool to pin either arm (latency-sensitive ingest should
+    pin False; see :func:`srp_banding_recall` to price the trade)."""
     spark = emb.sparkSession
     n_bits = resolve_emb_bits(emb, n_bits)
+    multiprobe = _resolve_multiprobe(multiprobe, n_bits, n_tables)
     vkey = _emb_vkey()
     # narrow (vec_id, vkey) relation for the final fan-out — consumed
     # by both fan-out sides, materialized so the vectors are not
@@ -774,7 +834,7 @@ def emb_verified_rep_pairs(
     n_tables: int = _EMB_TABLES,
     n_bits: "int | None" = None,
     bucket_cap: int = _EMB_BUCKET_CAP,
-    multiprobe: bool = False,
+    multiprobe: "bool | None" = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Candidate generation + exact-cosine verify at REPRESENTATIVE
     level: returns ``(keyed, reps, verified)`` where verified is (vkey_a,
@@ -814,7 +874,7 @@ def emb_near_dup_pairs(
     n_tables: int = _EMB_TABLES,
     n_bits: "int | None" = None,
     bucket_cap: int = _EMB_BUCKET_CAP,
-    multiprobe: bool = False,
+    multiprobe: "bool | None" = None,
 ) -> DataFrame:
     """Member-level near-dup pairs (vec_a, vec_b, cos_sim): the
     verified rep pairs fanned back out to group members. The verified
@@ -823,8 +883,10 @@ def emb_near_dup_pairs(
     row-count guard (:func:`broadcast_if_bounded`): on a
     near-dup-dense corpus the verified relation is data-dependent and
     unbounded, and past ~5M rows the shuffle join is the right plan.
-    ``multiprobe``: see :func:`emb_near_dup_candidates` (opt-in
-    Hamming-1 recall boost; the registered query keeps the default)."""
+    ``multiprobe``: see :func:`emb_near_dup_candidates` (None = auto:
+    exact-bucket at the 8-bit floor widths every gate/bench corpus
+    resolves to, Hamming-1 probing once the adaptive width drops the
+    closed-form near-dup recall below 0.85)."""
     keyed, _, verified = emb_verified_rep_pairs(
         emb, n_tables, n_bits, bucket_cap, multiprobe=multiprobe
     )
@@ -901,7 +963,7 @@ def emb_components(
     n_bits: "int | None" = None,
     bucket_cap: int = _EMB_BUCKET_CAP,
     cc: str = "auto",
-    multiprobe: bool = False,
+    multiprobe: "bool | None" = None,
 ) -> DataFrame:
     """(node=vec_id, component=min vec_id in its near-dup cluster) for
     every CLUSTERED vector — the rep-level decomposition underlying

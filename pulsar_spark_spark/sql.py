@@ -471,7 +471,19 @@ def register_queries(spark: SparkSession, sf_dir: str) -> list[str]:
     engine queries with ad-hoc SQL. Queries whose input tables are
     absent under ``sf_dir`` are skipped (partial fixture dirs are a
     supported input — :func:`register_tables` already guards them), so
-    one missing parquet doesn't abort the rest of the surface."""
+    one missing parquet doesn't abort the rest of the surface.
+
+    Recall note for the embedding dedup views
+    (``embedding_near_dup_pairs`` / ``embedding_dedup_clusters``):
+    SRP banding recall in the 0.9-0.97 near-dup band depends on the
+    corpus-adaptive bucket width — 0.89 at the 8-bit floor, but as
+    low as 0.78 at the 12-bit width a ~200k-unique corpus resolves to
+    (measured, SCALE.md). Since round 12 the views' plans AUTO-enable
+    Hamming-1 multiprobe (recall ≈0.99, candidate join (bits+1)×
+    larger) whenever the closed-form recall at cos 0.95 drops below
+    0.85 — price the trade for your corpus with
+    ``plans.similarity.srp_banding_recall`` and pin
+    ``multiprobe=True/False`` on the DataFrame surface to override."""
     from pulsar_spark_spark.plans import QUERIES
 
     names = []
