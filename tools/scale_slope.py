@@ -633,7 +633,32 @@ def _summarize_and_render(results: dict, scales) -> None:
         "best_latlng 298→81 s, delivery_refinement 148→63 s (63.3 s =",
         "5.4×/2.3× cumulative vs the round-11 open). refined_history",
         "150.9 s barely moved — its wall is now the G8 merge stage,",
-        "not the refinement kernel.",
+        "not the refinement kernel. Round 12 closed the two remaining",
+        "slope suspects with a stage decomposition",
+        "(tools/profile_merge.py, profile_merge.json).",
+        "geotag_history_merge: the dedup window IS the wall (48.2 of",
+        "49.8 s at 100M rows — the full-corpus 4-key shuffle+sort;",
+        "the round-11 sidecar's 65.1 s / ×11.6 row included one-sided",
+        "host noise, re-measured full query ×6.9). The fix is the",
+        "SERVE shape: the row above now measures the bucketed",
+        "recurring-merge arm (state stored DEDUPED — every unique",
+        "(user,lat,lng,accuracy) triple with its first-occurrence",
+        "(ts,event_id) — bucketed by user_id; merge = full-outer",
+        "min(struct) join + cap window; SPARK_GRAFT_GEOTAG_ARM,",
+        "layout built untimed): the state side carries ZERO Exchange",
+        "(pinned in tests/test_bucketed.py), the corpus never",
+        "re-shuffles, 1000× 65.1→19.6 s, last decade ×3.0.",
+        "user_sessions: the decomposition shows the query IS its one",
+        "native session_window shuffle (session_agg ≈ full in every",
+        "cell), and the per-stage REST capture at 1000× root-causes",
+        "the ×12 last decade as single-box memory pressure, not plan",
+        "shape: the reduce sort spills 7.9 GB memory / 0.78 GB disk",
+        "at 100M rows (zero at 10M), while the map side (scan +",
+        "2.0 GB shuffle write) is flat-linear. Sessions barely merge",
+        "on this corpus (95.5M sessions from 100M events), so",
+        "map-side session merging cannot shrink the shuffle; a",
+        "cluster's linearly-smaller per-task partitions remove the",
+        "spill term — no plan defect to fix.",
     ]
     lines.append("")
     tail = (
