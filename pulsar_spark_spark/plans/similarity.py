@@ -1717,6 +1717,7 @@ def update_emb_pair_graph(
     n_buckets: int = 16,
     auto_compact: bool = True,
     multiprobe: bool = False,
+    compact_debt_bits: int = 0,
 ) -> None:
     """Extend the persisted embedding near-dup graph with one shard of
     new vectors — serving parity for the dedup family (the ANN queries
@@ -1781,7 +1782,22 @@ def update_emb_pair_graph(
        from a maintenance window / operator runbook instead — the
        standing occupancy debt only degrades candidate-join cost,
        never correctness. ``auto_compact=False`` is exactly the
-       round-9 behavior (WARN and leave it to the runbook). Per-shard WRITE I/O is O(batch): the log arm appends
+       round-9 behavior (WARN and leave it to the runbook).
+
+       Between the two extremes sits ``compact_debt_bits`` (round 12):
+       the auto trigger fires only once the adaptive width exceeds
+       the pinned one by MORE than this many bits. Each deferred bit
+       lets bucket occupancy drift to 2^debt × the ~cap/2 target
+       (more candidates per shard — recall can only go UP, quiet-
+       shard cost grows with occupancy), in exchange for (debt+1)×
+       fewer re-band stalls over the store's lifetime: boundary
+       shards — the p99 outliers — become geometrically rarer while
+       amortized cost is unchanged. The worst-case SINGLE stall is
+       still O(n_unique at trigger time); debt defers it, it does not
+       shrink it. Measured ladder:
+       emb_recall.json["compaction_debt"] / SCALE.md.
+
+    Per-shard WRITE I/O is O(batch): the log arm appends
     one segment per table instead of rewriting the accumulated state
     (the COW/MOR trade — reads pay the latest-wins merge, bounded by
     the log's LSM auto-compaction). Candidate semantics equal the
@@ -2040,8 +2056,10 @@ def update_emb_pair_graph(
     )
     # auto re-band AFTER the shard's atomic commit (docstring: the
     # LSM-trigger discipline) — a crash inside compaction cannot lose
-    # or double-fold shard state, only defer the re-band
-    if auto_compact and auto_emb_bits(total_unique) > n_bits:
+    # or double-fold shard state, only defer the re-band.
+    # compact_debt_bits defers the trigger past the boundary by that
+    # many width-bits (docstring: the p99-vs-occupancy trade).
+    if auto_compact and auto_emb_bits(total_unique) > n_bits + compact_debt_bits:
         compact_emb_pair_graph(
             spark, store_dir, table_prefix, n_buckets=n_buckets
         )

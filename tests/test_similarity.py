@@ -1047,3 +1047,84 @@ def test_registered_emb_queries_stay_exact_bucket_at_gate_width(spark):
         .collect()
     }
     assert auto == exact and len(auto) > 0
+
+
+def test_emb_pair_graph_compact_debt_defers_reband(spark, tmp_path):
+    """Round 12 (VERDICT wrong #4): compact_debt_bits defers the
+    auto re-band past the width boundary — the first boundary shard
+    ingests WITHOUT the O(n_unique) stall (generation unchanged),
+    occupancy drifts (recall can only rise: the stored width is
+    narrower than adaptive), and once the debt is exceeded ONE
+    compaction jumps straight to the adaptive width. Serving stays
+    correct throughout: a planted near-dup joins its cluster both
+    while the debt is standing and after the deferred re-band."""
+    import numpy as np
+    import pandas as pd
+
+    import pulsar_spark_spark.plans.similarity as S
+
+    rng = np.random.default_rng(1212)
+    dim = 64
+
+    def make_df(ids, rows):
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {"vec_id": ids, "embedding": [list(map(float, v)) for v in rows]}
+            ),
+            "vec_id long, embedding array<float>",
+        )
+
+    store = str(tmp_path / "graph12")
+    prefix = "t_emb_debt"
+    vecs = rng.standard_normal((9000, dim)).astype("float32")
+    base = rng.standard_normal(dim).astype("float32") * 10
+    vecs[7] = base
+
+    try:
+        S.update_emb_pair_graph(
+            make_df(list(range(9000)), vecs), store, version=0,
+            table_prefix=prefix, auto_compact=False,
+        )
+        assert S._read_graph_meta(store)["banded_gen"] == 0
+
+        # boundary shard (9005 uniques -> adaptive 9 bits > pinned 8):
+        # with debt=1 the stall is DEFERRED — no re-band
+        extra = rng.standard_normal((5, dim)).astype("float32")
+        S.update_emb_pair_graph(
+            make_df(list(range(9000, 9005)), extra), store, version=1,
+            table_prefix=prefix, compact_debt_bits=1,
+        )
+        meta = S._read_graph_meta(store)
+        assert (meta["n_bits"], meta["banded_gen"]) == (8, 0), meta
+        # debt standing: serving still correct (occupancy drift only)
+        joiner = base + 0.03 * np.eye(dim, dtype="float32")[0]
+        S.update_emb_pair_graph(
+            make_df([9100], joiner[None, :]), store, version=2,
+            table_prefix=prefix, compact_debt_bits=1,
+        )
+        comp = {
+            r["node"]: r["component"]
+            for r in S.read_emb_components(spark, store, prefix).collect()
+        }
+        assert comp[9100] == comp[7]
+
+        # push past the debt (adaptive 10 bits > 8 + 1): ONE deferred
+        # compaction jumps straight to the adaptive width
+        many = rng.standard_normal((8000, dim)).astype("float32")
+        S.update_emb_pair_graph(
+            make_df(list(range(10000, 18000)), many), store, version=3,
+            table_prefix=prefix, compact_debt_bits=1,
+        )
+        meta = S._read_graph_meta(store)
+        assert meta["banded_gen"] == 1, meta
+        assert meta["n_bits"] == S.auto_emb_bits(meta["n_unique"]), meta
+        # post-reband serving: the planted pair survives the jump
+        comp = {
+            r["node"]: r["component"]
+            for r in S.read_emb_components(spark, store, prefix).collect()
+        }
+        assert comp[9100] == comp[7]
+    finally:
+        for t in [r["tableName"] for r in spark.sql("SHOW TABLES").collect()]:
+            if t.startswith(prefix):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
