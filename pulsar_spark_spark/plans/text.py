@@ -890,13 +890,21 @@ def near_dup_candidates(
             F.count(F.lit(1)).alias("grp_n"),
             F.min_by("ctext", "doc_id").alias("ctext"),
         )
-        .repartition(n_spread, col("doc_id"))
     )
     if n_hashes > _N_HASHES:
-        # ---- adaptive tiers: narrow checkpoint + fused Arrow stage
-        rel = reps.select(
-            "ckey", col("doc_id").alias("rep"), "grp_n", "ctext"
-        ).transform(materialize)
+        # ---- adaptive tiers: narrow checkpoint + fused Arrow stage.
+        # The respread sizes the ARROW stage (session.arrow_stage_width
+        # — cores/2 concurrent tasks on local so the Python workers
+        # get cores, full spread on clusters); the checkpoint pins
+        # that width for the banding pass, and the verify's JVM hv
+        # recompute explicitly respreads back to full width below.
+        from pulsar_spark_spark.session import arrow_stage_width
+
+        rel = (
+            reps.repartition(arrow_stage_width(spark), col("doc_id"))
+            .select("ckey", col("doc_id").alias("rep"), "grp_n", "ctext")
+            .transform(materialize)
+        )
         sigb = _text_bands_arrow(rel, n_hashes, n_bands, rows_per_band)
         banded = sigb.select("rep", "n", F.explode("bands").alias("band_key"))
         capped = cap_hot_buckets(banded, ["band_key"], band_cap)
@@ -945,7 +953,8 @@ def near_dup_candidates(
     # recomputable on executor loss — acceptable for a single-query
     # scratch relation.
     sh = (
-        reps.select(
+        reps.repartition(n_spread, col("doc_id"))
+        .select(
             "ckey",
             col("doc_id").alias("rep"),
             "grp_n",
@@ -1044,8 +1053,16 @@ def verified_rep_pairs(
             .unionByName(cand.select(col("rep_b").alias("rep")))
             .distinct()
         )
+        # the checkpointed rel carries the ARROW stage's capped width
+        # (session.arrow_stage_width); this recompute is the pipeline's
+        # heaviest pure-JVM stage, so respread the candidate-filtered
+        # narrow text (candidate-sized — cheap) back to full width
+        # BEFORE the shingle projection: both stages run at their
+        # solo-best widths in one session (round 12, SCALE.md)
+        full_w = rel.sparkSession.sparkContext.defaultParallelism * 2
         hv_rel = (
             rel.join(cand_reps, "rep")
+            .repartition(full_w, col("rep"))
             .select(
                 "rep",
                 "ckey",
@@ -1442,10 +1459,18 @@ def pruned_grams(
         engine = (
             "expr" if n is None or n <= _GRAM_ENGINE_FLOOR_DOCS else "arrow"
         )
+    # the gram stage owns its input spread (round 12 — callers used to
+    # pre-repartition): the expr engine wants full 2×-parallelism
+    # width for its HOF projections; the Arrow engine caps at
+    # session.arrow_stage_width so local Python workers get cores
+    # while the session's JVM stages keep full width
+    from pulsar_spark_spark.session import arrow_stage_width
+
+    spark = docs.sparkSession
     if engine == "arrow":
-        rel = docs.select(
-            col("doc_id"), clean_text(col("text")).alias("ctext")
-        )
+        rel = docs.repartition(
+            arrow_stage_width(spark), col("doc_id")
+        ).select(col("doc_id"), clean_text(col("text")).alias("ctext"))
         exploded = _winnowed_grams_arrow(rel, w).transform(materialize)
     else:
         a1, a2, a3 = _GRAM_MIX
@@ -1462,7 +1487,10 @@ def pruned_grams(
             F.expr("CAST(array() AS ARRAY<BIGINT>)")
         )
         exploded = (
-            docs.select(col("doc_id"), th.alias("th"))
+            docs.repartition(
+                spark.sparkContext.defaultParallelism * 2, col("doc_id")
+            )
+            .select(col("doc_id"), th.alias("th"))
             # each transform lambda must read a BOUND attribute —
             # project token hashes, then the positional gram array
             # (the per-element re-evaluation trap in
@@ -1760,8 +1788,9 @@ def doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     is ×2.8 with it; winnow's was ×21 without it).
     """
     docs = load_table(spark, "documents", sf_dir)
-    n_spread = spark.sparkContext.defaultParallelism * 2
-    return winnow_pairs(docs.repartition(n_spread, col("doc_id")))
+    # the gram stage owns its spread since round 12 (engine-dependent
+    # width — see pruned_grams)
+    return winnow_pairs(docs)
 
 
 # ---------------------------------------------------------------------
@@ -1829,11 +1858,9 @@ def doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`doc_near_dup_pairs`.
     """
     docs = load_table(spark, "documents", sf_dir)
-    n_spread = spark.sparkContext.defaultParallelism * 2
-    pruned = (
-        pruned_grams(docs.repartition(n_spread, col("doc_id")))
-        .transform(materialize)
-    )
+    # the gram stage owns its spread since round 12 (engine-dependent
+    # width — see pruned_grams)
+    pruned = pruned_grams(docs).transform(materialize)
     sizes = pruned.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = pruned.alias("a")
     b = pruned.alias("b")

@@ -55,6 +55,41 @@ def _local_cores() -> int:
     return cpus
 
 
+def arrow_stage_width(spark: "SparkSession") -> int:
+    """Partition count for a mapInArrow/mapInPandas STAGE INPUT on
+    local masters.
+
+    A local[N] JVM runs N task threads AND — during Arrow stages — N
+    Python workers on the same N cores, a structural 2×
+    oversubscription measured as ~25% wall tax (SCALE.md round 10:
+    the 1000× signature stage ran 84 s on local[32] vs 63 s on
+    local[16]). The session-wide ``SPARK_GRAFT_ARROW_PROFILE`` knob
+    halves the SLOTS, which fixes Arrow stages but doubles every
+    pure-JVM stage wall in the same session (COVERAGE.md: the hv
+    recompute ran 66 s at 16 slots vs ~15 s at 32 — mixed pipelines
+    could not get both stages' best). This helper is the per-stage
+    form: cap only the ARROW STAGE'S width at half the slots
+    (floor 8) by repartitioning its input, so at most cores/2 Arrow
+    tasks run concurrently — each (JVM thread, Python worker) pair
+    gets a core — while every JVM stage in the session keeps full
+    width. Round 12 measured the mixed near-dup pipeline at 1000×:
+    both the Arrow banding stage and the JVM hv-recompute stage at
+    their solo-best walls in ONE full-width session (SCALE.md).
+
+    Under the legacy session-wide knob (slots already halved) and on
+    non-local masters (a cluster solves oversubscription by executor
+    sizing, and its task slots are not the driver's cores) this
+    returns the standard 2×-parallelism spread instead.
+    """
+    sc = spark.sparkContext
+    par = sc.defaultParallelism
+    if sc.master.startswith("local") and os.environ.get(
+        "SPARK_GRAFT_ARROW_PROFILE", ""
+    ) in ("", "0"):
+        return max(8, par // 2)
+    return par * 2
+
+
 def get_session(
     app_name: str = "pulsar_spark_spark",
     master: str | None = None,
