@@ -256,12 +256,16 @@ def _stream_scale_lines() -> list:
         "cell), so the sf0.1 cells read below bench.py's warmed",
         "minima; compare ACROSS the row, not against the bench.",
         "A falling line would be the first sign the RocksDB",
-        "state-store provider is needed before cluster scale",
-        "(session.py's SPARK_GRAFT_STATE_STORE=rocksdb arm).",
-        "1000× runs ingest only (the sessionizer/geofence 100M-row",
-        "points would exceed the benches' 600 s stream budget by",
-        "construction at their measured ~50-100k rows/s, not by",
-        "state cost).",
+        "state-store provider is needed before cluster scale —",
+        "the sf10+rocksdb column (round 12, --rocksdb) measures that",
+        "arm directly at the 100× state point. 1000× runs ingest at",
+        "full volume; the sessionizer/geofence 100M-row points would",
+        "exceed the benches' 600 s stream budget by construction",
+        "(~50-100k rows/s), so their fourth-decade cells",
+        "(sf100@10Mrows, round 12, --budgeted) hold the FULL ~1.5M-",
+        "user state cardinality over a fixed 10M-row uniform sample —",
+        "the state-cost axis closed without pretending the volume",
+        "axis fits in the budget.",
         "",
         "| stream | " + " | ".join(f"{lbl} rows/s" for _f, lbl in labels) + " |",
         "|---|" + "---|" * len(labels),
@@ -305,32 +309,21 @@ def main(filters) -> None:
     # The doc corpus family's big-scale points run mapInArrow tiers —
     # on local[N] that is N JVM threads + N Python workers on N cores,
     # a ~25% oversubscription tax on the Arrow-dominated stages
-    # (SCALE.md round 10). Their per-query sessions run under the
-    # documented measurement profile (session.py::_local_cores halves
-    # the task slots). The sf0.1 bases stay in the shared full-width
-    # session: below the 20k-doc engine floor the plans are pure JVM,
-    # so the profile has nothing to fix there.
-    ARROW_TIER = {
-        "doc_winnow_fingerprints",
-        "doc_ngram_jaccard",
-        "doc_near_dup_pairs",
-        "doc_dedup_clusters",
-    }
+    # (SCALE.md round 10). Rounds 10-11 measured them under the
+    # session-wide SPARK_GRAFT_ARROW_PROFILE knob (halved task slots),
+    # which also DOUBLED their pure-JVM stage walls; since round 12
+    # the tier plans cap their own Arrow-stage width per stage
+    # (session.arrow_stage_width), so every query runs in the standard
+    # full-width session and mixed pipelines get both stage shapes'
+    # best.
 
     def cluster_session(name: "str | None" = None):
-        if name in ARROW_TIER:
-            os.environ["SPARK_GRAFT_ARROW_PROFILE"] = "1"
-        else:
-            os.environ.pop("SPARK_GRAFT_ARROW_PROFILE", None)
-        try:
-            return get_session(
-                extra_conf={
-                    "spark.sql.adaptive.coalescePartitions."
-                    "initialPartitionNum": "256"
-                }
-            )
-        finally:
-            os.environ.pop("SPARK_GRAFT_ARROW_PROFILE", None)
+        return get_session(
+            extra_conf={
+                "spark.sql.adaptive.coalescePartitions."
+                "initialPartitionNum": "256"
+            }
+        )
 
     from bench import _warm_python_workers
 
