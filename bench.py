@@ -679,6 +679,47 @@ def _bucketed_kernel_bench(spark) -> tuple[float, dict]:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def _bucketed_geotag_bench(spark) -> tuple[float, dict]:
+    """Serve-path timing for the history merge's bucketed arm
+    (round 12): the recurring-merge shape the reference re-runs per
+    micro-batch (GeoTagOptimizedService.scala:165-169). Layout build
+    (the one-time dedup shuffle) is offline, fingerprint-cached; the
+    timed part is the full registered query on the bucketed arm —
+    zero-Exchange state scan, batch-only shuffle, cap on the merged
+    uniques."""
+    from pulsar_spark_spark.plans.geo import ensure_geotag_state_layout
+
+    t0 = time.perf_counter()
+    ensure_geotag_state_layout(spark, SF_DIR)
+    layout_sec = round(time.perf_counter() - t0, 3)
+    prev = os.environ.get("SPARK_GRAFT_GEOTAG_ARM")
+    os.environ["SPARK_GRAFT_GEOTAG_ARM"] = "bucketed"
+    try:
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            QUERIES["geotag_history_merge"](spark, SF_DIR).count()
+            sec = round(time.perf_counter() - t0, 3)
+            best = sec if best is None or sec < best else best
+            spark.catalog.clearCache()
+    finally:
+        if prev is None:
+            os.environ.pop("SPARK_GRAFT_GEOTAG_ARM", None)
+        else:
+            os.environ["SPARK_GRAFT_GEOTAG_ARM"] = prev
+    return best, {
+        "merge_sec": best,
+        "layout_build_sec": layout_sec,
+        "note": (
+            "full geotag_history_merge on the bucketed serve arm; "
+            "layout build untimed in the headline (offline, amortized "
+            "over every recurring merge). At sf0.1 the plain arm is "
+            "already cheap — the arm's 1000x evidence is the "
+            "scale_slope row (65.1 -> 19.6 s)."
+        ),
+    }
+
+
 def _bucketed_refinement_bench(spark) -> tuple[float, dict]:
     """Serve-path timing for the refinement pipeline's bucketed arm
     (round 11): G5-G7 over the user_id-bucketed scaled-points layout —
@@ -888,6 +929,16 @@ def main() -> None:
         "delivery_refinement is the per-run shuffle + md5-projection "
         "cost the layout amortizes away."
     )
+    geotag_bucketed_sec, geotag_bucketed_detail = _bucketed_geotag_bench(
+        spark
+    )
+    timings["geotag_merge_bucketed"] = geotag_bucketed_sec
+    knob_notes["geotag_merge_bucketed"] = (
+        "history merge served from the user_id-bucketed DEDUPED state "
+        "layout (zero state-side Exchange; layout build untimed like "
+        "any index build). The delta vs geotag_history_merge is the "
+        "full-corpus dedup shuffle the layout amortizes away."
+    )
     emb_graph = _emb_graph_bench(spark)
     ingest = _stream_ingest_bench(spark)
     session = _session_stream_bench(spark)
@@ -950,6 +1001,7 @@ def main() -> None:
                     "lsh_probe_detail": lsh_detail,
                     "bucketed_kernel_detail": bucketed_detail,
                     "bucketed_refinement_detail": refine_bucketed_detail,
+                    "bucketed_geotag_detail": geotag_bucketed_detail,
                     "scale_slope": scale_slope,
                 }
             }
