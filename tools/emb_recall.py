@@ -230,7 +230,11 @@ def _truth_pair_set(sf_dir: str, thresh: float):
     return vid, pairs
 
 
-def compaction_recall(shard_size: int = 30_000, multiprobe: bool = False) -> dict:
+def compaction_recall(
+    shard_size: int = 30_000,
+    multiprobe: bool = False,
+    compact_debt_bits: int = 0,
+) -> dict:
     """Round 11 (VERDICT missing #2 / wrong #3): ingest the 100x
     corpus (200k vectors) through the pair-graph store in vec_id-order
     shards with ``auto_compact=True``, then a FINAL shard of PLANTED
@@ -348,7 +352,11 @@ def compaction_recall(shard_size: int = 30_000, multiprobe: bool = False) -> dic
             last_compact["sec"] = None
             t0 = time.time()
             S.update_emb_pair_graph(
-                batch, store, version=k, multiprobe=multiprobe
+                batch,
+                store,
+                version=k,
+                multiprobe=multiprobe,
+                compact_debt_bits=compact_debt_bits,
             )
             ingest_sec = round(time.time() - t0, 1)
             meta = S._read_graph_meta(store)
@@ -396,6 +404,7 @@ def compaction_recall(shard_size: int = 30_000, multiprobe: bool = False) -> dic
     return {
         "corpus": "sf10 (100x, 200k vectors) + 10k planted near-dups",
         "multiprobe": multiprobe,
+        "compact_debt_bits": compact_debt_bits,
         "shard_size": shard_size,
         "shards": rows,
         "worst_compact_stall_sec": max(stalls, default=None),
@@ -421,13 +430,19 @@ def main(filters) -> None:
 
     if "--compaction" in filters:
         mp = "--multiprobe" in filters
-        comp = compaction_recall(multiprobe=mp)
+        debt = 1 if "--debt" in filters else 0
+        comp = compaction_recall(multiprobe=mp, compact_debt_bits=debt)
         out = os.path.join(ROOT, "emb_recall.json")
         merged = {}
         if os.path.exists(out):
             with open(out) as f:
                 merged = json.load(f)
-        merged["compaction_multiprobe" if mp else "compaction"] = comp
+        key = (
+            "compaction_debt"
+            if debt
+            else ("compaction_multiprobe" if mp else "compaction")
+        )
+        merged[key] = comp
         with open(out, "w") as f:
             json.dump(merged, f, indent=1)
         _rewrite_scale_md(merged)

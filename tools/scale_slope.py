@@ -258,7 +258,15 @@ def _stream_scale_lines() -> list:
         "A falling line would be the first sign the RocksDB",
         "state-store provider is needed before cluster scale —",
         "the sf10+rocksdb column (round 12, --rocksdb) measures that",
-        "arm directly at the 100× state point. 1000× runs ingest at",
+        "arm directly at the 100× state point: session ×0.48 /",
+        "geofence ×0.86 of the HDFS-store rows/s. The crossover is",
+        "NOT at ≤150k keys — on-heap wins while the state fits the",
+        "heap (RocksDB pays JNI + serialization per access); the arm",
+        "earns its keep where the on-heap store structurally cannot",
+        "go (1e8+ keys per executor, incremental checkpoints instead",
+        "of full-map rewrites), which local[32] cannot reach inside",
+        "the stream budget — a capacity statement, measured up to its",
+        "edge, not past it. 1000× runs ingest at",
         "full volume; the sessionizer/geofence 100M-row points would",
         "exceed the benches' 600 s stream budget by construction",
         "(~50-100k rows/s), so their fourth-decade cells",
