@@ -132,11 +132,15 @@ def _numpy_truth_band_counts(
     files = [p] if os.path.isfile(p) else sorted(
         glob.glob(p + "/**/*.parquet", recursive=True)
     )
-    mats, ids = [], []
+    mats = []
     for f in files:
-        t = pq.read_table(f, columns=["vec_id", "embedding"])
-        ids.append(t["vec_id"].to_numpy())
-        mats.append(np.array(t["embedding"].to_pylist(), dtype="float32"))
+        t = pq.read_table(f, columns=["embedding"])
+        for chunk in t["embedding"].chunks:
+            flat = chunk.flatten().to_numpy(zero_copy_only=False)
+            dim = len(chunk[0])
+            mats.append(
+                flat.reshape(len(chunk), dim).astype("float32")
+            )  # arrow-native: to_pylist on 2M rows costs minutes
     m = np.vstack(mats)
     norms = np.linalg.norm(m.astype("float64"), axis=1)
     ok = norms > 0
@@ -149,12 +153,27 @@ def _numpy_truth_band_counts(
     n_tiles = (n + tile - 1) // tile
     done = 0
     t_start = time.time()
+    total_tiles = n_tiles * (n_tiles + 1) // 2
+    # preallocated GEMM/mask buffers: a fresh 1 GB sims temp + 268 MB
+    # bool temp per tile costs more in alloc/first-touch than the scan
+    # itself (measured: nonzero-with-temps 2.25 s vs 0.54 s GEMM)
+    simbuf = np.empty((tile, tile), dtype="float32")
+    maskbuf = np.empty((tile, tile), dtype=bool)
     for i0 in range(0, n, tile):
         a = mn[i0 : i0 + tile]
         for j0 in range(i0, n, tile):
             b = mn[j0 : j0 + tile]
-            sims = a @ b.T
-            ii, jj = np.nonzero(sims >= lo)
+            sims = np.matmul(a, b.T, out=simbuf[: len(a), : len(b)])
+            done += 1
+            mask = np.greater_equal(
+                sims, lo, out=maskbuf[: len(a), : len(b)]
+            )
+            # ≥0.9 pairs are RARE among random unit vectors: most
+            # tiles are all-below-threshold — skip the
+            # (single-threaded) index materialization + confirm
+            if not mask.any():
+                continue
+            ii, jj = np.nonzero(mask)
             gi, gj = ii + i0, jj + j0
             keep = gi < gj
             gi, gj = gi[keep], gj[keep]
@@ -166,9 +185,7 @@ def _numpy_truth_band_counts(
                 )
                 for t in strata:
                     totals[t] += int(np.count_nonzero(cs >= t))
-            done += 1
         el = time.time() - t_start
-        total_tiles = n_tiles * (n_tiles + 1) // 2
         print(
             f"  truth-band sweep: {done}/{total_tiles} tiles, "
             f"{el:.0f}s elapsed, totals={totals}",

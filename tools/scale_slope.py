@@ -255,25 +255,26 @@ def _stream_scale_lines() -> list:
         "sf0.1 — but COLD single-pass captures (fresh session per",
         "cell), so the sf0.1 cells read below bench.py's warmed",
         "minima; compare ACROSS the row, not against the bench.",
-        "A falling line would be the first sign the RocksDB",
-        "state-store provider is needed before cluster scale —",
-        "the sf10+rocksdb column (round 12, --rocksdb) measures that",
-        "arm directly at the 100× state point: session ×0.48 /",
-        "geofence ×0.86 of the HDFS-store rows/s. The crossover is",
-        "NOT at ≤150k keys — on-heap wins while the state fits the",
-        "heap (RocksDB pays JNI + serialization per access); the arm",
-        "earns its keep where the on-heap store structurally cannot",
-        "go (1e8+ keys per executor, incremental checkpoints instead",
-        "of full-map rewrites), which local[32] cannot reach inside",
-        "the stream budget — a capacity statement, measured up to its",
-        "edge, not past it. 1000× runs ingest at",
-        "full volume; the sessionizer/geofence 100M-row points would",
-        "exceed the benches' 600 s stream budget by construction",
-        "(~50-100k rows/s), so their fourth-decade cells",
-        "(sf100@10Mrows, round 12, --budgeted) hold the FULL ~1.5M-",
-        "user state cardinality over a fixed 10M-row uniform sample —",
-        "the state-cost axis closed without pretending the volume",
-        "axis fits in the budget.",
+        "A falling line is the sign the on-heap store is running out",
+        "of road, and round 12 measured BOTH sides of it. At the 100×",
+        "state point (sf10+rocksdb, --rocksdb) on-heap still wins:",
+        "RocksDB runs session ×0.48 / geofence ×0.86 of the HDFS rows/s",
+        "(JNI + serialization per access). The fourth-decade cells",
+        "(sf100@budget, --budgeted: full ~1.5M-user state cardinality",
+        "over a fixed uniform row budget — 10M geofence / 5M session —",
+        "so the state-cost axis closes without pretending the volume",
+        "axis fits the 600 s budget) then find the crossover: the",
+        "geofence machine falls 45.7k → 18.7k rows/s on-heap at 1.5M",
+        "keys while RocksDB HOLDS 39.1k → 19.6k and pulls AHEAD —",
+        "the full-map-per-batch rewrite loses to the incremental store",
+        "somewhere between 150k and 1.5M keys. The sessionizer's",
+        "fourth decade is a different wall entirely: it times out",
+        "under BOTH providers (<8.3k rows/s at ~3 events/user), i.e.",
+        "~1.2M tiny groups per micro-batch paying per-GROUP",
+        "applyInPandasWithState overhead — store-independent, divides",
+        "evenly across executors at cluster scale, and invisible at",
+        "realistic events-per-user ratios (the 150k-key row upstream",
+        "holds 100k rows/s at ~67 events/user).",
         "",
         "| stream | " + " | ".join(f"{lbl} rows/s" for _f, lbl in labels) + " |",
         "|---|" + "---|" * len(labels),

@@ -65,6 +65,11 @@ SCALE_STREAMS = {"sf100": {"ingest"}}
 # The cell answers the state-cost question (does per-row cost hold at
 # 10× more keys?); total-volume throughput is the ingest row's job.
 SF100_ROW_BUDGET = 10_000_000
+# the HDFS-store sessionizer fell below the 600 s budget's implied
+# floor (~16.7k rows/s) at 1.5M keys — a smaller budget gets the cell
+# an actual number instead of a timeout (state cardinality unchanged:
+# 5M uniform rows still touch ~all 1.5M users)
+SESSION_ROW_BUDGET = 5_000_000
 
 
 def _budgeted_events_dir(spark, sf_dir: str, budget: int) -> str:
@@ -90,6 +95,14 @@ def _budgeted_events_dir(spark, sf_dir: str, budget: int) -> str:
             .write.mode("overwrite")
             .parquet(os.path.join(tmp, "events.parquet"))
         )
+        # the geofence bench also derives its fences from the dim
+        # tables — symlink everything that is not events so the budget
+        # dir is a complete SF_DIR
+        for entry in os.listdir(sf_dir):
+            if entry.endswith(".parquet") and not entry.startswith("events"):
+                os.symlink(
+                    os.path.join(sf_dir, entry), os.path.join(tmp, entry)
+                )
 
     return _ensure_index(
         "stream_budget_events", sf_dir, {"ppm": frac_ppm, "v": 1}, build
@@ -130,6 +143,9 @@ def main(filters) -> None:
         r["factor"] = factor
         r.update(extra or {})
         rows.setdefault(name, {})[label] = r
+        with open(out_path, "w") as f:  # persist per capture — a
+            # later stream's crash must not lose this row
+            json.dump({"cpus": CPUS, "rows": rows}, f, indent=1, sort_keys=True)
         print(
             f"{name:<10} {label:<14} rows={r.get('rows', 0):>12,} "
             f"rows/s={r.get('rows_per_sec', 0):>8,} "
@@ -137,7 +153,7 @@ def main(filters) -> None:
             flush=True,
         )
 
-    if rocksdb:
+    if rocksdb and not budgeted:
         # VERDICT round-11 missing #3: the RocksDB arm side by side
         # with the HDFS-store row at the 100× state point — one env
         # flip, same pipelines (session.py routes the provider class)
@@ -158,30 +174,45 @@ def main(filters) -> None:
     elif budgeted:
         # VERDICT round-11 missing #2: fourth-decade session/geofence
         # cells at the FULL 1000× state cardinality over a bounded
-        # row budget (methodology note in the module docstring)
+        # row budget (methodology note in the module docstring).
+        # Combine with --rocksdb to capture the same cells under the
+        # RocksDB provider — the crossover evidence: the on-heap
+        # store wins at ≤150k keys and hits its wall at 1.5M.
         sf100 = os.path.join(ROOT, ".scale", "sf100")
-        spark = get_session(app_name="stream_budget_sample")
+        budgets = {"session": SESSION_ROW_BUDGET, "geofence": SF100_ROW_BUDGET}
+        suffix = "+rocksdb" if rocksdb else ""
+        if rocksdb:
+            os.environ["SPARK_GRAFT_STATE_STORE"] = "rocksdb"
         try:
-            bdir = _budgeted_events_dir(spark, sf100, SF100_ROW_BUDGET)
+            dirs = {}
+            spark = get_session(app_name="stream_budget_sample")
+            try:
+                for b in sorted(set(budgets.values())):
+                    dirs[b] = _budgeted_events_dir(spark, sf100, b)
+            finally:
+                spark.stop()
+            for name in which:
+                if name == "ingest":
+                    continue
+                b = budgets[name]
+                capture(
+                    name,
+                    f"sf100@budget{suffix}",
+                    dirs[b],
+                    1000,
+                    {
+                        "row_budget": b,
+                        "state_store": "rocksdb" if rocksdb else "hdfs",
+                        "methodology": (
+                            "uniform event_id-hash sample of the 1000x "
+                            "events table: full ~1.5M-user state "
+                            "cardinality, bounded row count"
+                        ),
+                    },
+                )
         finally:
-            spark.stop()
-        for name in which:
-            if name == "ingest":
-                continue
-            capture(
-                name,
-                "sf100@10Mrows",
-                bdir,
-                1000,
-                {
-                    "row_budget": SF100_ROW_BUDGET,
-                    "methodology": (
-                        "uniform event_id-hash sample of the 1000x "
-                        "events table: full ~1.5M-user state "
-                        "cardinality, bounded row count"
-                    ),
-                },
-            )
+            if rocksdb:
+                os.environ.pop("SPARK_GRAFT_STATE_STORE", None)
     else:
         for label, sf_dir, factor in SCALES:
             if not os.path.isdir(sf_dir):
