@@ -31,7 +31,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-os.environ.setdefault("SPARK_DRIVER_MEM", "24g")
+os.environ.setdefault("SPARK_DRIVER_MEM", "40g")
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SCALES = [
@@ -488,6 +488,28 @@ def main(filters) -> None:
         # OOMs a 24g local heap — the exact-bucket pair keeps this
         # column comparable across rows); the auto/production arm is
         # measured separately below, capped.
+        # the REGISTERED arm (multiprobe=None -> auto): differs from
+        # exact-bucket only at adaptive widths. Counted FIRST and
+        # dropped before the overlap join — each arm's plan pins its
+        # upstream localCheckpoint blocks (keyed/reps/verified), and
+        # three 2M-corpus arms alive at once starve execution memory
+        # (the fat-checkpoint pathology, reproduced as a heap OOM at
+        # sf100)
+        mp_auto = S._resolve_multiprobe(None, bits, S._EMB_TABLES)
+        mp_strata = None
+        mp_sec = n_mp_all = None
+        if mp_auto:
+            import gc
+
+            t0 = time.time()
+            mp = materialize(S.emb_near_dup_pairs(emb))
+            n_mp_all = mp.count()
+            mp_sec = round(time.time() - t0, 1)
+            mp_strata = {
+                t: mp.filter(col("cos_sim") >= t).count() for t in STRATA
+            }
+            del mp
+            gc.collect()  # release the arm's checkpoint blocks
         t0 = time.time()
         prod = materialize(S.emb_near_dup_pairs(emb, multiprobe=False))
         n_prod_all = prod.count()
@@ -498,16 +520,6 @@ def main(filters) -> None:
         )
         n_unc_all = uncapped.count()
         uncapped_sec = round(time.time() - t0, 1)
-        # the REGISTERED arm (multiprobe=None -> auto): differs from
-        # exact-bucket only at adaptive widths
-        mp_auto = S._resolve_multiprobe(None, bits, S._EMB_TABLES)
-        mp = None
-        mp_sec = n_mp_all = None
-        if mp_auto:
-            t0 = time.time()
-            mp = materialize(S.emb_near_dup_pairs(emb))
-            n_mp_all = mp.count()
-            mp_sec = round(time.time() - t0, 1)
         n_overlap = prod.join(uncapped, ["vec_a", "vec_b"]).count()
         prod_strata = {
             t: prod.filter(col("cos_sim") >= t).count() for t in STRATA
@@ -515,11 +527,6 @@ def main(filters) -> None:
         unc_strata = {
             t: uncapped.filter(col("cos_sim") >= t).count() for t in STRATA
         }
-        mp_strata = (
-            {t: mp.filter(col("cos_sim") >= t).count() for t in STRATA}
-            if mp is not None
-            else None
-        )
 
         reps = (
             emb.select("vec_id", "embedding", S._emb_vkey().alias("vkey"))
@@ -695,6 +702,36 @@ def _rewrite_scale_md(results: dict) -> None:
         )
         if comp.get("analysis"):
             lines.append("\n" + comp["analysis"])
+    comp_debt = results.get("compaction_debt")
+    if comp_debt:
+        shards = comp_debt["shards"]
+        boundaries = [r for r in shards if r["rebanded_this_shard"]]
+        base_boundaries = (
+            sum(1 for r in comp["shards"] if r["rebanded_this_shard"])
+            if comp
+            else None
+        )
+        last = shards[-1]
+        lines += [
+            "",
+            "### Same experiment, deferred arm "
+            "(`compact_debt_bits=1`, round 12)",
+            "",
+            f"{len(boundaries)} re-band stall(s) over the same shard "
+            f"ladder vs {base_boundaries} under debt=0 — boundary "
+            "shards (the p99 outliers) become geometrically rarer; "
+            "while the debt stands the store serves at the narrower "
+            "width (occupancy drifts up, so candidate volume and "
+            "recall can only rise), and the deferred compaction jumps "
+            f"straight to the adaptive width (final bits "
+            f"{last['n_bits']}, gen {last['banded_gen']}). Final "
+            f"≥0.9-band recall {last['recall_ge_0.9']}, planted "
+            f"recall {last['planted_recall']}; worst stall "
+            f"{comp_debt['worst_compact_stall_sec']} s, worst quiet "
+            f"ingest {comp_debt['worst_quiet_ingest_sec']} s.",
+        ]
+        if comp_debt.get("analysis"):
+            lines.append("\n" + comp_debt["analysis"])
     comp_mp = results.get("compaction_multiprobe")
     if comp_mp:
         last = comp_mp["shards"][-1]
