@@ -587,10 +587,20 @@ def _summarize_and_render(results: dict, scales) -> None:
         "adaptive tiers' mapInArrow stages, 32 JVM task threads PLUS",
         "32 Python workers share 32 logical cores — measured round",
         "10: the 1000× signature/banding stage runs 84 s on local[32]",
-        "but 63 s on local[16] (16+16 matches capacity). A real",
-        "cluster sizes executor cores with Python workers in mind, so",
-        "~25% of the measured tier wall here is oversubscription tax,",
-        "not work. Kernel-bound queries (delivery_*,",
+        "but 63 s on local[16] (16+16 matches capacity). Rounds 10-11",
+        "paid for that with a session-wide slot-halving knob that also",
+        "DOUBLED the same pipelines' pure-JVM stage walls; round 12",
+        "replaced it with per-stage widths (session.arrow_stage_width:",
+        "only the mapInArrow stage inputs repartition to slots/2, the",
+        "JVM hv recompute respreads to full width) and re-measured the",
+        "family in ONE standard full-width session — the doc rows",
+        "above, 1000×: near_dup 186.0→113.6 s, dedup_clusters",
+        "219.0→138.3 s, winnow 71.0→40.7 s, ngram 78.9→58.3 s",
+        "(×0.57-0.74, far outside the ±15-20% capture noise), with the",
+        "dominant Arrow stage pinned at 16 concurrent tasks and the",
+        "JVM stages at 27-64 in the same run (profile_arrow.json). A",
+        "real cluster sizes executor cores with Python workers in",
+        "mind; the per-stage width is the local-mode equivalent. Kernel-bound queries (delivery_*,",
         "best_latlng): their 10×/100× ratios track core headroom, and",
         "the fourth-decade points settle the previously extrapolated",
         "story — once 100× more users saturate all 32 cores, the NEXT",
