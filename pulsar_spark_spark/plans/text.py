@@ -1454,8 +1454,8 @@ def pruned_grams(
         raise ValueError(
             f"engine {engine!r}: accepted values are 'auto', 'expr', 'arrow'"
         )
+    n = _docs_rows(docs)
     if engine == "auto":
-        n = _docs_rows(docs)
         engine = (
             "expr" if n is None or n <= _GRAM_ENGINE_FLOOR_DOCS else "arrow"
         )
@@ -1463,13 +1463,20 @@ def pruned_grams(
     # pre-repartition): the expr engine wants full 2×-parallelism
     # width for its HOF projections; the Arrow engine caps at
     # session.arrow_stage_width so local Python workers get cores
-    # while the session's JVM stages keep full width
+    # while the session's JVM stages keep full width. Below the engine
+    # floor the spread is skipped entirely — it exists to fix big-scan
+    # core starvation (a single parquet file scans in ~size/128MB
+    # tasks; profiled 50 s on 14 of 32 threads at 100×), and at gate
+    # scale it is one pure-cost Exchange (+0.46 s on doc_curation).
     from pulsar_spark_spark.session import arrow_stage_width
 
     spark = docs.sparkSession
+    spread = n is None or n > _GRAM_ENGINE_FLOOR_DOCS
     if engine == "arrow":
-        rel = docs.repartition(
-            arrow_stage_width(spark), col("doc_id")
+        rel = (
+            docs.repartition(arrow_stage_width(spark), col("doc_id"))
+            if spread
+            else docs
         ).select(col("doc_id"), clean_text(col("text")).alias("ctext"))
         exploded = _winnowed_grams_arrow(rel, w).transform(materialize)
     else:
@@ -1487,8 +1494,13 @@ def pruned_grams(
             F.expr("CAST(array() AS ARRAY<BIGINT>)")
         )
         exploded = (
-            docs.repartition(
-                spark.sparkContext.defaultParallelism * 2, col("doc_id")
+            (
+                docs.repartition(
+                    spark.sparkContext.defaultParallelism * 2,
+                    col("doc_id"),
+                )
+                if spread
+                else docs
             )
             .select(col("doc_id"), th.alias("th"))
             # each transform lambda must read a BOUND attribute —
