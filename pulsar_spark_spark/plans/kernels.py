@@ -833,6 +833,10 @@ def ensure_refinement_layout(
         {"n_buckets": n_buckets, "clock_div": _PING_CLOCK_DIV, "v": 1},
         build,
         index_root=index_root,
+        # the layout is built FROM events — fingerprint those files,
+        # not the default embeddings source (round-13 ADVICE high: a
+        # regenerated events.parquet must invalidate this cache)
+        source_table="events",
     )
     table = "refine_pts_{}_{}".format(
         hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10],

@@ -339,7 +339,7 @@ def _multiprobe_radius(n_bits: int) -> int:
 def srp_banding_recall(
     cos_sim: float,
     n_bits: int,
-    n_tables: int = 4,  # == _EMB_TABLES (defined below this point)
+    n_tables: "int | None" = None,  # None → _EMB_TABLES (the plan's L)
     multiprobe: bool = False,
 ) -> float:
     """Closed-form SRP banding recall for a pair at ``cos_sim``:
@@ -352,9 +352,16 @@ def srp_banding_recall(
     predicted / 0.7772 measured exact-bucket; 0.991 / 0.9908
     multiprobe, at 12 bits × 4 tables, cos 0.958 — SCALE.md). Exposed
     so users can price a width/recall trade before ingesting, and so
-    the auto-multiprobe heuristic below is auditable."""
+    the auto-multiprobe heuristic below is auditable.
+
+    ``n_tables=None`` resolves to the engine's actual table count
+    (``_EMB_TABLES``) at call time, so the published recall pricing
+    can never silently desync from the plan if the constant changes
+    (round-13 ADVICE low)."""
     import math
 
+    if n_tables is None:
+        n_tables = _EMB_TABLES
     p = 1.0 - math.acos(max(-1.0, min(1.0, cos_sim))) / math.pi
     hit = p**n_bits
     if multiprobe:
@@ -1072,10 +1079,17 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_probe_index(spark, idx, queries)
 
 
-def _source_fingerprint(sf_dir: str) -> dict:
-    """(size, mtime_ns) of every file under the embeddings source —
-    the staleness key for the cached index."""
-    src = os.path.join(sf_dir, "embeddings.parquet")
+def _source_fingerprint(sf_dir: str, table: str = "embeddings") -> dict:
+    """(size, mtime_ns) of every file under the ``table`` source —
+    the staleness key for the cached index. An index is only as fresh
+    as the files it was BUILT from, so callers must name their actual
+    input table: round 12's geotag/refinement layouts are built from
+    events.parquet, and fingerprinting the default embeddings source
+    there meant a regenerated events fixture (or a partial fixture dir
+    with no embeddings at all — an empty, never-changing fingerprint)
+    silently served the merge from stale state (round-13 ADVICE
+    high)."""
+    src = os.path.join(sf_dir, f"{table}.parquet")
     out = {}
     if os.path.isfile(src):
         st = os.stat(src)
@@ -1130,8 +1144,14 @@ def _ensure_index(
     params: dict,
     build,
     index_root: str | None = None,
+    source_table: str = "embeddings",
 ) -> str:
     """Build-once fingerprint cache shared by every on-disk index.
+
+    ``source_table`` names the parquet table the build READS — it is
+    the staleness key (per-file size + mtime), so an index built from
+    events must pass ``source_table="events"`` or a regenerated
+    events fixture keeps serving the old index.
 
     The index lives under ``$SPARK_GRAFT_INDEX_ROOT`` (default
     ``<repo>/.index_cache``), keyed by corpus path + ``name`` +
@@ -1162,7 +1182,11 @@ def _ensure_index(
     key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
     index_dir = os.path.join(root, f"{name}_{key}")
     meta_path = os.path.join(index_dir, "_SOURCE.json")
-    want = {"files": _source_fingerprint(sf_dir), **params}
+    want = {
+        "files": _source_fingerprint(sf_dir, source_table),
+        "source_table": source_table,
+        **params,
+    }
     if os.path.exists(meta_path):
         try:
             with open(meta_path) as fh:

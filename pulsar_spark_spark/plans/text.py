@@ -247,11 +247,16 @@ def auto_band_plan(
 _DOCS_ROWS_MEMO: dict = {}
 
 
-def _docs_rows(docs: DataFrame) -> "int | None":
+def _docs_rows(docs: DataFrame, count_fallback: bool = True) -> "int | None":
     """Corpus row count from the parquet FOOTERS of the input fileset
     (zero Spark jobs), memoized per (path, size, mtime) fingerprint.
     ``None`` for in-memory relations (no input files). Falls back to
-    one counted scan for non-local/non-parquet sources."""
+    one counted scan for non-local/non-parquet sources —
+    ``count_fallback=False`` returns ``None`` instead (unmemoized, so
+    a later counting caller still resolves): callers who only need
+    the count to pick a knob they could default safely (e.g.
+    ``pruned_grams``'s spread when the engine is already pinned)
+    must not pay a full scan for it (round-13 ADVICE low)."""
     from pulsar_spark_spark.plans.similarity import _files_stat_key
 
     files = docs.inputFiles()
@@ -271,6 +276,8 @@ def _docs_rows(docs: DataFrame) -> "int | None":
             # non-local / non-parquet source (pq raises ArrowInvalid —
             # a ValueError — on e.g. a CSV/JSON input file): fall back
             # to one counted scan rather than guessing
+            if not count_fallback:
+                return None
             n = docs.count()
             break
     _DOCS_ROWS_MEMO[key] = n
@@ -1454,7 +1461,10 @@ def pruned_grams(
         raise ValueError(
             f"engine {engine!r}: accepted values are 'auto', 'expr', 'arrow'"
         )
-    n = _docs_rows(docs)
+    # a pinned engine needs the row count only to decide the spread,
+    # which defaults safe (spread=True) on unknown size — never pay
+    # _docs_rows' counted-scan fallback just for that (ADVICE low)
+    n = _docs_rows(docs, count_fallback=(engine == "auto"))
     if engine == "auto":
         engine = (
             "expr" if n is None or n <= _GRAM_ENGINE_FLOOR_DOCS else "arrow"

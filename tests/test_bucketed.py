@@ -702,3 +702,77 @@ def test_geotag_arm_routing(spark, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_GEOTAG_ARM", "nope")
     with pytest.raises(ValueError, match="SPARK_GRAFT_GEOTAG_ARM"):
         QUERIES["geotag_history_merge"](spark, sf)
+
+
+def test_ensure_index_fingerprints_named_source(tmp_path):
+    """Round 13 ADVICE high: an index built from events must be keyed
+    by the EVENTS files' (size, mtime) — regenerating events.parquet
+    in place rebuilds it, and a partial fixture dir with no
+    embeddings.parquet must not yield an empty never-changing
+    fingerprint."""
+    import os
+
+    from pulsar_spark_spark.plans.similarity import (
+        _ensure_index,
+        _source_fingerprint,
+    )
+
+    fix = tmp_path / "fixture"
+    fix.mkdir()
+    ev = fix / "events.parquet"
+    ev.write_bytes(b"not-really-parquet")
+    # the r12 trap: the default (embeddings) fingerprint of this dir
+    # is empty and never changes; the events fingerprint is real
+    assert _source_fingerprint(str(fix)) == {}
+    assert _source_fingerprint(str(fix), "events")
+
+    calls = []
+
+    def build(tmp):
+        calls.append(tmp)
+        os.makedirs(tmp, exist_ok=True)
+
+    root = str(tmp_path / "idx")
+    args = ("evt_idx", str(fix), {"v": 1}, build)
+    _ensure_index(*args, index_root=root, source_table="events")
+    assert len(calls) == 1
+    _ensure_index(*args, index_root=root, source_table="events")
+    assert len(calls) == 1  # unchanged source → cached
+    os.utime(ev, ns=(12345, 12345))
+    _ensure_index(*args, index_root=root, source_table="events")
+    assert len(calls) == 2  # regenerated events → rebuilt
+
+
+def test_event_layouts_fingerprint_events_files(spark, tmp_path, monkeypatch):
+    """The two events-sourced layout caches (geotag state, refinement
+    points) write a _SOURCE.json naming the events table and at least
+    one events file — the staleness key actually covers their input
+    (round 13 ADVICE high)."""
+    import json
+    import os
+
+    from pulsar_spark_spark.plans.geo import ensure_geotag_state_layout
+    from pulsar_spark_spark.plans.kernels import ensure_refinement_layout
+
+    sf = "/root/testdata/sf0.001"
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_ROOT", str(tmp_path))
+    for ensure, prefix in (
+        (ensure_geotag_state_layout, "geotag_state"),
+        (ensure_refinement_layout, "refine_pts"),
+    ):
+        table = ensure(spark, sf)
+        try:
+            dirs = [
+                d
+                for d in os.listdir(tmp_path)
+                if d.startswith(prefix) and ".tmp." not in d
+            ]
+            assert len(dirs) == 1, dirs
+            with open(tmp_path / dirs[0] / "_SOURCE.json") as fh:
+                meta = json.load(fh)
+            assert meta["source_table"] == "events"
+            assert meta["files"], meta  # non-empty fingerprint
+            assert all("events" in k or k.endswith(".parquet")
+                       for k in meta["files"]), meta["files"]
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {table}")

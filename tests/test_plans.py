@@ -202,3 +202,24 @@ def test_ngram_jaccard_joins_candidates_not_all_pairs(spark):
     plan = plan_of(QUERIES["doc_ngram_jaccard"](spark, SF_DIR))
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_no_plan_module_mutates_session_conf():
+    """Round 13 (r12 VERDICT wrong #3): global planner knobs belong in
+    session.get_session as documented defaults, not in plan bodies —
+    a registered plan that flips session conf as a side effect
+    silently changes every later query's planning in the same
+    session. Grep-style pin over the whole plans package."""
+    import pathlib
+    import re
+
+    import pulsar_spark_spark.plans as plans_pkg
+
+    root = pathlib.Path(plans_pkg.__file__).parent
+    offenders = [
+        f"{p.name}:{i + 1}: {ln.strip()}"
+        for p in sorted(root.glob("*.py"))
+        for i, ln in enumerate(p.read_text().splitlines())
+        if re.search(r"\.conf\.set\(", ln)
+    ]
+    assert not offenders, offenders

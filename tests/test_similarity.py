@@ -1008,6 +1008,14 @@ def test_srp_banding_recall_ladder_and_auto_multiprobe():
         srp_banding_recall,
     )
 
+    from pulsar_spark_spark.plans.similarity import _EMB_TABLES
+
+    # the public default table count is resolved from the engine's
+    # actual constant at call time, never a duplicated literal
+    # (round 13 ADVICE low)
+    assert srp_banding_recall(0.95, 12) == srp_banding_recall(
+        0.95, 12, _EMB_TABLES
+    )
     # closed form vs measured (three-decimal agreement was the
     # round-11 validation)
     assert abs(srp_banding_recall(0.958, 12, 4) - 0.7772) < 0.005

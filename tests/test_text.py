@@ -714,3 +714,30 @@ def test_knob_branches_match_defaults(spark):
         for r in doc_components(docs, cc="star").collect()
     }
     assert star_comp == want_comp
+
+
+def test_docs_rows_count_fallback_opt_out(spark, tmp_path):
+    """Round 13 ADVICE low: for a non-footer-countable source (CSV),
+    _docs_rows(count_fallback=False) returns None WITHOUT running a
+    counted scan and without poisoning the memo — a later counting
+    caller still resolves the true count; pruned_grams with a pinned
+    engine takes the safe spread default instead of paying the scan."""
+    from pyspark.sql.functions import col
+
+    from pulsar_spark_spark.plans.text import _docs_rows, pruned_grams
+
+    path = tmp_path / "docs.csv"
+    path.write_text(
+        "doc_id,text\n1,alpha beta gamma delta\n2,beta gamma delta eps\n"
+    )
+    df = (
+        spark.read.option("header", True)
+        .csv(str(path))
+        .select(col("doc_id").cast("long"), col("text"))
+    )
+    assert _docs_rows(df, count_fallback=False) is None
+    # pinned engine on the uncountable source: builds without a scan
+    # (spread defaults True) and still computes fingerprints
+    assert pruned_grams(df, engine="expr").count() > 0
+    # the None was not memoized: the counting path still resolves
+    assert _docs_rows(df) == 2
