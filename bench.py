@@ -210,8 +210,23 @@ def _session_stream_bench(spark) -> dict:
     import pyspark.sql.functions as F
 
     from pulsar_spark_spark.sources.tables import load_table
-    from pulsar_spark_spark.streaming.stateful import session_stream
+    from pulsar_spark_spark.streaming.stateful import (
+        session_stream,
+        session_stream_native,
+    )
 
+    # round 13: SPARK_GRAFT_SESSIONIZER=native routes the same bench
+    # through the JVM-native streaming session_window arm (the Python
+    # arm's per-group dispatch is the measured fourth-decade wall —
+    # see session_stream_native's docstring); parity pinned in
+    # tests/test_session_stream.py
+    arm = os.environ.get("SPARK_GRAFT_SESSIONIZER", "python")
+    if arm not in ("python", "native"):
+        raise ValueError(
+            f"SPARK_GRAFT_SESSIONIZER {arm!r}: accepted values are "
+            "'python', 'native'"
+        )
+    sessionizer = session_stream_native if arm == "native" else session_stream
     work = tempfile.mkdtemp(prefix="bench_sess_")
     try:
         ev = load_table(spark, "events", SF_DIR).select(
@@ -247,7 +262,7 @@ def _session_stream_bench(spark) -> dict:
             .withWatermark("ts", "10 minutes")
         )
         q = (
-            session_stream(stream)
+            sessionizer(stream)
             .writeStream.format("parquet")
             .option("path", out_dir)
             .outputMode("append")
@@ -267,9 +282,16 @@ def _session_stream_bench(spark) -> dict:
             "rows_per_sec": int(n_rows / wall),
             "n_sessions_emitted": n_sessions,
             "n_batches": len(q.recentProgress),
-            "pipeline": "file micro-batches -> applyInPandasWithState "
-                        "sessionizer, watermark-sealed emission "
-                        "(T5/A10/T7) -> parquet sink",
+            "sessionizer": arm,
+            "pipeline": (
+                "file micro-batches -> "
+                + (
+                    "native session_window aggregation"
+                    if arm == "native"
+                    else "applyInPandasWithState sessionizer"
+                )
+                + ", watermark-sealed emission (T5/A10/T7) -> parquet sink"
+            ),
         }
     finally:
         shutil.rmtree(work, ignore_errors=True)

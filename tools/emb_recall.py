@@ -495,7 +495,11 @@ def main(filters) -> None:
         # three 2M-corpus arms alive at once starve execution memory
         # (the fat-checkpoint pathology, reproduced as a heap OOM at
         # sf100)
-        mp_auto = S._resolve_multiprobe(None, bits, S._EMB_TABLES)
+        # mirror the registered arm's full auto resolution (round 13:
+        # recall floor AND collapse-rate skip — replica-dominated
+        # corpora stay exact-bucket)
+        collapse = S.emb_collapse_rate(emb)
+        mp_auto = S._resolve_multiprobe(None, bits, S._EMB_TABLES, collapse)
         mp_strata = None
         mp_sec = n_mp_all = None
         if mp_auto:
@@ -555,6 +559,8 @@ def main(filters) -> None:
         row = {
             "multiplier": mult,
             "n_vectors": n_vecs,
+            "collapse_rate": round(collapse, 4),
+            "multiprobe_auto": mp_auto,
             "n_bits": bits,
             "bucket_cap": S._EMB_BUCKET_CAP,
             "hot_buckets_over_cap": len(hot_rows),
@@ -568,7 +574,6 @@ def main(filters) -> None:
             "uncapped_sec": uncapped_sec,
         }
         if mp_strata is not None:
-            row["multiprobe_auto"] = True
             row["pairs_multiprobe"] = n_mp_all
             row["multiprobe_sec"] = mp_sec
 
