@@ -481,8 +481,14 @@ def register_queries(spark: SparkSession, sf_dir: str) -> list[str]:
     (measured, SCALE.md). Since round 12 the views' plans AUTO-enable
     Hamming-1 multiprobe (recall ≈0.99, candidate join (bits+1)×
     larger) whenever the closed-form recall at cos 0.95 drops below
-    0.85 — price the trade for your corpus with
-    ``plans.similarity.srp_banding_recall`` and pin
+    0.85 — EXCEPT (round 13) on replica-dominated corpora: when the
+    exact-collapse rate (1 − n_unique/n_rows) is ≥ 0.5, the high-sim
+    mass is exact replicas the banding-independent vkey collapse
+    already catches, and the plan stays exact-bucket (probing was
+    measured at 6.3× candidate volume for zero recall gain there —
+    emb_recall.json). Price the trade for your corpus with
+    ``plans.similarity.srp_banding_recall`` /
+    ``plans.similarity.emb_collapse_rate`` and pin
     ``multiprobe=True/False`` on the DataFrame surface to override."""
     from pulsar_spark_spark.plans import QUERIES
 

@@ -251,6 +251,7 @@ def compaction_recall(
     shard_size: int = 30_000,
     multiprobe: bool = False,
     compact_debt_bits: int = 0,
+    async_reband: bool = False,
 ) -> dict:
     """Round 11 (VERDICT missing #2 / wrong #3): ingest the 100x
     corpus (200k vectors) through the pair-graph store in vec_id-order
@@ -338,7 +339,11 @@ def compaction_recall(
     # update_emb_pair_graph resolves compact_emb_pair_graph through
     # the module namespace, so a module-level wrap sees the auto call
     orig_compact = S.compact_emb_pair_graph
+    orig_stage = S.stage_emb_pair_graph_reband
+    orig_finalize = S.finalize_emb_pair_graph_reband
     last_compact = {"sec": None}
+    last_stage = {"sec": None}      # background-thread wall (not a stall)
+    last_finalize = {"sec": None}   # the only stall the async arm absorbs
 
     def timed_compact(*a, **k):
         t0 = time.time()
@@ -346,7 +351,22 @@ def compaction_recall(
         last_compact["sec"] = round(time.time() - t0, 1)
         return out
 
+    def timed_stage(*a, **k):
+        t0 = time.time()
+        out = orig_stage(*a, **k)
+        last_stage["sec"] = round(time.time() - t0, 1)
+        return out
+
+    def timed_finalize(*a, **k):
+        t0 = time.time()
+        out = orig_finalize(*a, **k)
+        if out is not None:
+            last_finalize["sec"] = round(time.time() - t0, 1)
+        return out
+
     S.compact_emb_pair_graph = timed_compact
+    S.stage_emb_pair_graph_reband = timed_stage
+    S.finalize_emb_pair_graph_reband = timed_finalize
     try:
         shards = [
             ("organic", lo, min(lo + shard_size, n_total))
@@ -367,6 +387,8 @@ def compaction_recall(
                     "vec_id long, embedding array<double>",
                 )
             last_compact["sec"] = None
+            last_stage["sec"] = None
+            last_finalize["sec"] = None
             t0 = time.time()
             S.update_emb_pair_graph(
                 batch,
@@ -374,6 +396,7 @@ def compaction_recall(
                 version=k,
                 multiprobe=multiprobe,
                 compact_debt_bits=compact_debt_bits,
+                async_reband=async_reband,
             )
             ingest_sec = round(time.time() - t0, 1)
             meta = S._read_graph_meta(store)
@@ -397,6 +420,8 @@ def compaction_recall(
                     "rebanded_this_shard": meta["banded_gen"] != prev_gen,
                     "ingest_sec": ingest_sec,
                     "compact_sec": last_compact["sec"],
+                    "stage_sec_bg": last_stage["sec"],
+                    "finalize_sec": last_finalize["sec"],
                     "truth_ge_0.9": len(t_pref),
                     "stored_ge_0.9": len(stored),
                     "recall_ge_0.9": (
@@ -412,16 +437,28 @@ def compaction_recall(
             )
             prev_gen = meta["banded_gen"]
             print(json.dumps(rows[-1]), flush=True)
+        if async_reband:
+            # drain a trailing background staging, then a bare
+            # finalize so the artifact's final meta is the swapped one
+            th = S._REBAND_THREADS.get(os.path.abspath(store))
+            if th is not None:
+                th.join(600)
+            S.finalize_emb_pair_graph_reband(spark, store)
     finally:
         S.compact_emb_pair_graph = orig_compact
+        S.stage_emb_pair_graph_reband = orig_stage
+        S.finalize_emb_pair_graph_reband = orig_finalize
         spark.stop()
         shutil.rmtree(work, ignore_errors=True)
-    stalls = [r["compact_sec"] for r in rows if r["compact_sec"]]
+    stalls = [r["compact_sec"] for r in rows if r["compact_sec"]] + [
+        r["finalize_sec"] for r in rows if r.get("finalize_sec")
+    ]
     quiet = [r["ingest_sec"] for r in rows if not r["rebanded_this_shard"]]
     return {
         "corpus": "sf10 (100x, 200k vectors) + 10k planted near-dups",
         "multiprobe": multiprobe,
         "compact_debt_bits": compact_debt_bits,
+        "async_reband": async_reband,
         "shard_size": shard_size,
         "shards": rows,
         "worst_compact_stall_sec": max(stalls, default=None),
@@ -448,16 +485,23 @@ def main(filters) -> None:
     if "--compaction" in filters:
         mp = "--multiprobe" in filters
         debt = 1 if "--debt" in filters else 0
-        comp = compaction_recall(multiprobe=mp, compact_debt_bits=debt)
+        use_async = "--async" in filters
+        comp = compaction_recall(
+            multiprobe=mp, compact_debt_bits=debt, async_reband=use_async
+        )
         out = os.path.join(ROOT, "emb_recall.json")
         merged = {}
         if os.path.exists(out):
             with open(out) as f:
                 merged = json.load(f)
         key = (
-            "compaction_debt"
-            if debt
-            else ("compaction_multiprobe" if mp else "compaction")
+            "compaction_async"
+            if use_async
+            else (
+                "compaction_debt"
+                if debt
+                else ("compaction_multiprobe" if mp else "compaction")
+            )
         )
         merged[key] = comp
         with open(out, "w") as f:
