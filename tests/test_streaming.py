@@ -326,3 +326,36 @@ def test_max_offsets_for_trigger_totals_the_partition_plan():
     assert max_offsets_for_trigger(10, _BACKLOGS, 5000, _CFG) == 5 + 0 + 46
     assert max_offsets_for_trigger(40, _BACKLOGS, 5000, _CFG) == 19 + 0 + 100
     assert max_offsets_for_trigger(None, _BACKLOGS, 5000, _CFG) == 100 + 0 + 100
+
+
+def test_budgeted_events_dir_user_mod(spark, tmp_path, monkeypatch):
+    """Round 13: the stream-scale midpoint sampler keeps ~1/user_mod
+    of the users (state-cardinality knob) and row-budgets the
+    survivors, producing a complete SF_DIR (dims symlinked)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "stream_scale_mod",
+        os.path.join(os.path.dirname(__file__), "..", "tools", "stream_scale.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_ROOT", str(tmp_path))
+    sf = "/root/testdata/sf0.001"
+    full_users = (
+        spark.read.parquet(os.path.join(sf, "events.parquet"))
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    out = mod._budgeted_events_dir(spark, sf, budget=10**9, user_mod=3)
+    ev = spark.read.parquet(os.path.join(out, "events.parquet"))
+    kept_users = ev.select("user_id").distinct().count()
+    # hash-uniform: a third of the users within generous noise bounds
+    assert 0.15 * full_users < kept_users < 0.55 * full_users
+    # dims symlinked so the dir serves as a bench SF_DIR
+    assert os.path.exists(os.path.join(out, "region.parquet"))
+    # row budget: with a huge budget nothing beyond the user cut drops
+    assert ev.count() > 0

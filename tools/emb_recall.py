@@ -113,6 +113,16 @@ def _numpy_truth_pairs(sf_dir: str, thresh: float) -> "dict | None":
 
 
 
+def _truth_band_cache_key(sf_dir: str) -> dict:
+    """(size, mtime_ns) fingerprint of the embeddings fileset — truth
+    counts are a pure function of the corpus, so an unchanged fixture
+    must never pay the multi-TFLOP GEMM twice (round 13: the sf100
+    sweep alone is ~40 min of BLAS)."""
+    from pulsar_spark_spark.plans.similarity import _source_fingerprint
+
+    return _source_fingerprint(sf_dir, "embeddings")
+
+
 def _numpy_truth_band_counts(
     sf_dir: str, strata=BAND_STRATA, tile: int = 16384
 ) -> dict:
@@ -122,11 +132,27 @@ def _numpy_truth_band_counts(
     pairs are rare up here, so the index materialization is cheap),
     then float64 round-6 confirmation of every masked pair — the same
     confirm rule as the engine's verify fold. The float32 cosine error
-    at dim 64 is ~1e-6; the 1e-3 guard band is 1000× that."""
+    at dim 64 is ~1e-6; the 1e-3 guard band is 1000× that.
+
+    Results are cached per corpus fingerprint
+    (``<sf_dir>/.truth_bands.json``): an unchanged fixture reads the
+    committed counts back instead of re-running the GEMM."""
     import glob
 
     import numpy as np
     import pyarrow.parquet as pq
+
+    cache_path = os.path.join(sf_dir, ".truth_bands.json")
+    want_key = _truth_band_cache_key(sf_dir)
+    try:
+        with open(cache_path) as fh:
+            cached = json.load(fh)
+        if cached.get("fingerprint") == want_key and all(
+            str(t) in cached.get("counts", {}) for t in strata
+        ):
+            return {t: cached["counts"][str(t)] for t in strata}
+    except (OSError, ValueError):
+        pass
 
     p = os.path.join(sf_dir, "embeddings.parquet")
     files = [p] if os.path.isfile(p) else sorted(
@@ -191,6 +217,17 @@ def _numpy_truth_band_counts(
             f"{el:.0f}s elapsed, totals={totals}",
             flush=True,
         )
+    try:
+        with open(cache_path, "w") as fh:
+            json.dump(
+                {
+                    "fingerprint": want_key,
+                    "counts": {str(t): v for t, v in totals.items()},
+                },
+                fh,
+            )
+    except OSError:
+        pass  # read-only fixture dir: recompute next time
     return totals
 
 
@@ -710,6 +747,25 @@ def _rewrite_scale_md(results: dict) -> None:
             )
             + "."
         )
+    for tag, r in results.items():
+        if tag.startswith("compaction"):
+            continue
+        if (
+            r.get("multiprobe_auto") is False
+            and r.get("collapse_rate", 0) >= 0.5
+        ):
+            lines.append(
+                f"\nAt {tag} the corpus-aware skip (round 13) keeps the "
+                "registered arm EXACT-BUCKET despite the adaptive width "
+                f"({r['n_bits']} bits): exact-collapse rate "
+                f"{r['collapse_rate']} ≥ 0.5, i.e. the high-similarity "
+                "mass is replicas the banding-independent vkey collapse "
+                "already catches (recall@≥0.9 "
+                f"{fmt(r, 'recall_prod_ge_0.9')}, ≥0.99 "
+                f"{fmt(r, 'recall_prod_ge_0.99')} without probing; the "
+                "round-12 multiprobe arm measured 6.3× candidate volume "
+                "for identical recall on this corpus)."
+            )
     comp = results.get("compaction")
     if comp:
         lines += [
@@ -781,6 +837,31 @@ def _rewrite_scale_md(results: dict) -> None:
         ]
         if comp_debt.get("analysis"):
             lines.append("\n" + comp_debt["analysis"])
+    comp_async = results.get("compaction_async")
+    if comp_async:
+        shards = comp_async["shards"]
+        last = shards[-1]
+        fins = [r["finalize_sec"] for r in shards if r.get("finalize_sec")]
+        stages = [r["stage_sec_bg"] for r in shards if r.get("stage_sec_bg")]
+        lines += [
+            "",
+            "### Same experiment, async arm "
+            "(`async_reband=True`, round 13)",
+            "",
+            "The boundary shard launches the O(n_unique) re-band into "
+            "a STAGING generation on a background thread (wall "
+            f"{stages} s, absorbed by no ingest call) and a later "
+            "trigger absorbs only the O(delta) catch-up + atomic meta "
+            f"swap: finalize stall(s) {fins} s vs the sync arm's "
+            f"{comp['worst_compact_stall_sec'] if comp else '—'} s "
+            "worst inline stall. Final bits "
+            f"{last['n_bits']}, gen {last['banded_gen']}; ≥0.9-band "
+            f"recall {last['recall_ge_0.9']}, planted recall "
+            f"{last['planted_recall']}; worst quiet ingest "
+            f"{comp_async['worst_quiet_ingest_sec']} s.",
+        ]
+        if comp_async.get("analysis"):
+            lines.append("\n" + comp_async["analysis"])
     comp_mp = results.get("compaction_multiprobe")
     if comp_mp:
         last = comp_mp["shards"][-1]
