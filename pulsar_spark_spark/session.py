@@ -140,6 +140,13 @@ def get_session(
     # Spark's built-in RocksDB provider (off-heap, incremental
     # checkpointing) without touching any pipeline code. Pinned by
     # tests/test_stateful_streaming.py::test_session_stream_rocksdb.
+    # Switch rule (geofence machine, stream_scale.json, round 13): the
+    # crossover is LOCATED at ~0.5M keys per box — on-heap wins at
+    # 150k (45.6k vs 39.1k rows/s), dead heat at ~500k (29.0k vs
+    # 30.0k), RocksDB ahead at 1.5M (19.6k vs 18.7k) — so flip to
+    # RocksDB once per-executor state cardinality approaches ~0.5M
+    # keys (or earlier when state SIZE, not throughput, is the
+    # binding constraint: incremental checkpointing caps heap).
     if os.environ.get("SPARK_GRAFT_STATE_STORE", "").lower() == "rocksdb":
         builder = builder.config(
             "spark.sql.streaming.stateStore.providerClass",

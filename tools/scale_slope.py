@@ -261,20 +261,29 @@ def _stream_scale_lines() -> list:
         "RocksDB runs session ×0.48 / geofence ×0.86 of the HDFS rows/s",
         "(JNI + serialization per access). The fourth-decade cells",
         "(sf100@budget, --budgeted: full ~1.5M-user state cardinality",
-        "over a fixed uniform row budget — 10M geofence / 5M session —",
-        "so the state-cost axis closes without pretending the volume",
-        "axis fits the 600 s budget) then find the crossover: the",
-        "geofence machine falls 45.7k → 18.7k rows/s on-heap at 1.5M",
-        "keys while RocksDB HOLDS 39.1k → 19.6k and pulls AHEAD —",
-        "the full-map-per-batch rewrite loses to the incremental store",
-        "somewhere between 150k and 1.5M keys. The sessionizer's",
-        "fourth decade is a different wall entirely: it times out",
-        "under BOTH providers (<8.3k rows/s at ~3 events/user), i.e.",
-        "~1.2M tiny groups per micro-batch paying per-GROUP",
-        "applyInPandasWithState overhead — store-independent, divides",
-        "evenly across executors at cluster scale, and invisible at",
-        "realistic events-per-user ratios (the 150k-key row upstream",
-        "holds 100k rows/s at ~67 events/user).",
+        "over a fixed uniform row budget, so the state-cost axis",
+        "closes without pretending the volume axis fits the 600 s",
+        "budget) then find the crossover: the geofence machine falls",
+        "45.7k → 18.7k rows/s on-heap at 1.5M keys while RocksDB HOLDS",
+        "39.1k → 19.6k and pulls AHEAD. Round 13 LOCATES it",
+        "(sf100@midpoint, --midpoint: a ~500k-user hash-subset of the",
+        "1000× corpus at the same 10M-row budget): 29.0k on-heap vs",
+        "30.0k RocksDB — a dead heat — so the operational rule is",
+        "flip to RocksDB once per-executor state cardinality",
+        "approaches ~0.5M keys (session.py's provider comment carries",
+        "the same rule). The sessionizer's fourth decade was a",
+        "different wall entirely: ~1.2M tiny groups per micro-batch",
+        "paying per-GROUP applyInPandasWithState overhead —",
+        "store-independent (timeout under BOTH providers, <8.3k",
+        "rows/s at ~3 events/user), and invisible at realistic",
+        "events-per-user ratios (the 150k-key row upstream holds 100k",
+        "rows/s at ~67 events/user). Round 13 REMOVES that wall with",
+        "the JVM-native session_window arm (sf100@budget+native,",
+        "--native; watermark-finality parity with the Python arm",
+        "pinned in pytest): 374.2k rows/s over the same 10M-row /",
+        "1.5M-key cell that timed out in Python — the Python arm",
+        "remains the custom-stateful-operator demonstrator, the",
+        "native arm is the gap-sessionization serve shape.",
         "",
         "| stream | " + " | ".join(f"{lbl} rows/s" for _f, lbl in labels) + " |",
         "|---|" + "---|" * len(labels),

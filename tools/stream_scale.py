@@ -121,8 +121,14 @@ def _budgeted_events_dir(
                     os.path.join(sf_dir, entry), os.path.join(tmp, entry)
                 )
 
+    # the budget and user_mod are part of the index NAME, not just the
+    # fingerprint params: two budgets built in one run used to collide
+    # on one directory (the second build replaced the first, so the
+    # 5M-budget session cells actually consumed the 10M sample — the
+    # recorded rows/s were honest, the row_budget label was not)
     return _ensure_index(
-        "stream_budget_events",
+        f"stream_budget_events_b{budget}"
+        + (f"_u{user_mod}" if user_mod > 1 else ""),
         sf_dir,
         {"ppm": frac_ppm, "user_mod": user_mod, "v": 1},
         build,
