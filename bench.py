@@ -964,6 +964,14 @@ def main() -> None:
     emb_graph = _emb_graph_bench(spark)
     ingest = _stream_ingest_bench(spark)
     session = _session_stream_bench(spark)
+    # round 13: the JVM-native session_window arm next to the Python
+    # stateful one (same fixture, same finality semantics — parity
+    # pinned in pytest), so the per-round capture carries both arms
+    os.environ["SPARK_GRAFT_SESSIONIZER"] = "native"
+    try:
+        session_native = _session_stream_bench(spark)
+    finally:
+        os.environ.pop("SPARK_GRAFT_SESSIONIZER", None)
     rescore = _geotag_rescore_bench(spark)
     geofence = _geofence_stream_bench(spark)
 
@@ -1016,6 +1024,7 @@ def main() -> None:
                     "calibration_sec": calibration_sec,
                     "streaming_ingest_detail": ingest,
                     "streaming_session_detail": session,
+                    "streaming_session_native_detail": session_native,
                     "streaming_rescore_detail": rescore,
                     "streaming_geofence_detail": geofence,
                     "ivf_probe_detail": ivf_detail,
@@ -1041,6 +1050,9 @@ def main() -> None:
         "streaming": {
             "ingest_rows_per_sec": ingest.get("rows_per_sec"),
             "session_rows_per_sec": session.get("rows_per_sec"),
+            "session_native_rows_per_sec": session_native.get(
+                "rows_per_sec"
+            ),
             "rescore_rows_per_sec": rescore.get("rows_per_sec"),
             # the (now default) bucketed-state variant, promoted into
             # the headline line in round 8 so the driver's 2000-char
