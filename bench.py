@@ -963,15 +963,24 @@ def main() -> None:
     )
     emb_graph = _emb_graph_bench(spark)
     ingest = _stream_ingest_bench(spark)
-    session = _session_stream_bench(spark)
     # round 13: the JVM-native session_window arm next to the Python
     # stateful one (same fixture, same finality semantics — parity
-    # pinned in pytest), so the per-round capture carries both arms
-    os.environ["SPARK_GRAFT_SESSIONIZER"] = "native"
+    # pinned in pytest), so the per-round capture carries both arms.
+    # Both arms are pinned EXPLICITLY and any user-provided value is
+    # restored afterwards (r13 ADVICE: a pre-set `native` must not
+    # silently record native numbers under the python-arm key, and
+    # the capture must not destroy the caller's env).
+    _prior_arm = os.environ.get("SPARK_GRAFT_SESSIONIZER")
     try:
+        os.environ["SPARK_GRAFT_SESSIONIZER"] = "python"
+        session = _session_stream_bench(spark)
+        os.environ["SPARK_GRAFT_SESSIONIZER"] = "native"
         session_native = _session_stream_bench(spark)
     finally:
-        os.environ.pop("SPARK_GRAFT_SESSIONIZER", None)
+        if _prior_arm is None:
+            os.environ.pop("SPARK_GRAFT_SESSIONIZER", None)
+        else:
+            os.environ["SPARK_GRAFT_SESSIONIZER"] = _prior_arm
     rescore = _geotag_rescore_bench(spark)
     geofence = _geofence_stream_bench(spark)
 

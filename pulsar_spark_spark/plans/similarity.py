@@ -399,6 +399,12 @@ def srp_banding_recall(
 _AUTO_MULTIPROBE_DESIGN_COS = 0.95
 _AUTO_MULTIPROBE_RECALL_FLOOR = 0.85
 _AUTO_MULTIPROBE_COLLAPSE_SKIP = 0.5
+# approx_count_distinct's default relative standard deviation — used
+# to size the escalate-to-exact band around the collapse threshold
+# (r13 ADVICE: an HLL estimate NEAR the hard 0.5 compare could land a
+# boundary corpus on either side across restarts / re-estimates;
+# inside the 3-sigma band we pay one exact distinct count instead)
+_EMB_HLL_RSD = 0.05
 
 
 def _resolve_multiprobe(
@@ -638,14 +644,47 @@ def emb_collapse_rate(emb: DataFrame) -> float:
     before any bucketing, so on replica-dominated corpora the
     high-similarity band is mostly collapse-arm signal and widening
     the probe envelope buys little (see :func:`_resolve_multiprobe`).
+
+    Boundary determinism (r13 ADVICE): the rate feeds a HARD compare
+    against ``_AUTO_MULTIPROBE_COLLAPSE_SKIP``, and HLL's ~±5% rsd
+    could flip a corpus sitting near the threshold between otherwise
+    identical runs (the memo is process-local, so a restart
+    re-estimates). When the approximate rate lands within the
+    3-sigma HLL error band of the threshold, escalate ONCE to an
+    exact ``distinct().count()`` over the embedding column (memoized
+    under the same fileset fingerprint) — far from the boundary the
+    cheap estimate still decides, at it the decision is exact and
+    therefore stable for a given corpus.
     """
     n_rows, n_unique = _emb_corpus_stats(emb)
     if n_rows <= 0:
         return 0.0
-    return max(0.0, 1.0 - n_unique / n_rows)
+    rate = max(0.0, 1.0 - n_unique / n_rows)
+    band = 3.0 * _EMB_HLL_RSD * (n_unique / n_rows)
+    if abs(rate - _AUTO_MULTIPROBE_COLLAPSE_SKIP) <= band:
+        n_unique = _emb_exact_unique(emb)
+        rate = max(0.0, 1.0 - n_unique / n_rows)
+    return rate
 
 
 _EMB_STATS_MEMO: dict = {}
+_EMB_EXACT_UNIQUE_MEMO: dict = {}
+
+
+def _emb_exact_unique(emb: DataFrame) -> int:
+    """Exact unique-vector count — the boundary-escalation arm of
+    :func:`emb_collapse_rate`. ``distinct().count()`` over the raw
+    embedding column is a partial-aggregated single scan (map-side
+    combine on the array key); memoized under the same fileset
+    fingerprint as the approximate stats so repeated serving calls
+    never pay it twice."""
+    key = _files_stat_key(emb.inputFiles())
+    if key and key in _EMB_EXACT_UNIQUE_MEMO:
+        return _EMB_EXACT_UNIQUE_MEMO[key]
+    n = emb.select("embedding").distinct().count()
+    if key:
+        _EMB_EXACT_UNIQUE_MEMO[key] = n
+    return n
 
 
 def _files_stat_key(paths) -> tuple:
@@ -2225,6 +2264,15 @@ def compact_emb_pair_graph(
 
     t = lambda name: f"{table_prefix}_{name}"
     p = lambda name: os.path.join(store_dir, name)
+    # r13 ADVICE (medium): an async staging thread launched by a prior
+    # `async_reband=True` trigger writes the SAME gen+1 directory this
+    # sync pass may clear/commit. Join it first — a half-built staging
+    # is indistinguishable from a crashed-compaction orphan by path
+    # alone, and clearing it under a live appender can lose or
+    # duplicate segments in a committed generation. After the join the
+    # thread has either committed its marker (superseded below) or
+    # died (its orphan is cleared like any other).
+    _join_reband_thread(store_dir)
     meta = _read_graph_meta(store_dir) or {
         "n_tables": _EMB_TABLES,
         "n_bits": _EMB_BITS,
@@ -2247,10 +2295,21 @@ def compact_emb_pair_graph(
         )
         new_meta = {**meta, "n_unique": n_unique}
         _write_graph_meta(store_dir, new_meta)
+        # a completed-but-unfinalized staging is superseded by this
+        # pass's decision that the current width IS the target: clear
+        # its marker and directory so finalize never swaps in a
+        # generation compact adjudicated unnecessary
+        _clear_graph_staging(spark, store_dir, table_prefix, gen + 1)
         return new_meta
 
     new_gen = gen + 1
     new_table, new_path = _banded_loc(store_dir, table_prefix, new_gen)
+    # the marker points at the directory about to be cleared — remove
+    # it FIRST so no reader ever sees a marker for a half-rebuilt gen
+    try:
+        os.remove(os.path.join(store_dir, _GRAPH_STAGING))
+    except OSError:
+        pass
     if os.path.exists(new_path):
         # orphan of a crashed compaction (uncommitted by definition —
         # the meta still points at `gen`): clear it before rebuilding,
@@ -2323,6 +2382,42 @@ def _write_graph_staging(store_dir: str, staged: dict) -> None:
     os.replace(tmp, os.path.join(store_dir, _GRAPH_STAGING))
 
 
+def _join_reband_thread(store_dir: str) -> None:
+    """Wait out any in-flight async staging thread for this store
+    before a sync maintenance pass touches the gen+1 directory (r13
+    ADVICE medium — two writers on the same staging path). No-op when
+    called FROM the staging thread itself (joining self deadlocks)
+    or when no thread is registered/alive. A failure inside the
+    joined thread is left in ``_REBAND_ERRORS`` for the next
+    trigger's warning path — the caller only needs quiescence."""
+    import threading
+
+    key = os.path.abspath(store_dir)
+    th = _REBAND_THREADS.get(key)
+    if th is not None and th is not threading.current_thread() and th.is_alive():
+        th.join()
+
+
+def _clear_graph_staging(
+    spark: SparkSession, store_dir: str, table_prefix: str, staged_gen: int
+) -> None:
+    """Drop a superseded staging: its marker, registered segment
+    tables, and directory. Safe when nothing is staged."""
+    import shutil
+
+    from pulsar_spark_spark.sources.bucketed import _read_manifest
+
+    try:
+        os.remove(os.path.join(store_dir, _GRAPH_STAGING))
+    except OSError:
+        pass
+    staged_table, staged_path = _banded_loc(store_dir, table_prefix, staged_gen)
+    if os.path.exists(staged_path):
+        for seg in _read_manifest(staged_path):
+            spark.sql(f"DROP TABLE IF EXISTS {staged_table}_{seg}")
+        shutil.rmtree(staged_path, ignore_errors=True)
+
+
 def stage_emb_pair_graph_reband(
     spark: SparkSession,
     store_dir: str,
@@ -2334,7 +2429,13 @@ def stage_emb_pair_graph_reband(
     #4): build the next banded generation at the corpus-adaptive
     width WITHOUT touching the serving meta — the store keeps serving
     (and ingesting) from the old generation for the whole O(n_unique)
-    build, so no ingest call ever absorbs it.
+    build, so no ingest call ever absorbs it as a stall. The build
+    still shares the machine with foreground work (r13 measured an
+    unisolated overlapped shard's ingest at ~1.9× its quiet wall);
+    when launched via the async trigger its jobs run in the capped
+    ``reband`` FAIR pool (session.py: weight 1 vs the default pool's
+    8), bounding the foreground penalty to ~1/9 of the task slots
+    under contention while keeping full width on an idle machine.
 
     Snapshot semantics: bands every rep visible in the log NOW and
     records the snapshot's high-water ``staged_max_version`` in a
@@ -2367,6 +2468,10 @@ def stage_emb_pair_graph_reband(
         meta["n_bits"],
         meta["banded_gen"],
     )
+    # a direct (sync) stage call must not race a thread a prior
+    # async trigger left in flight on the same gen+1 path (no-op when
+    # called FROM that thread — the async arm's own worker runs here)
+    _join_reband_thread(store_dir)
     reps = read_log_bucketed(spark, t("reps"), p("reps"), "vkey", "version")
     row = reps.agg(
         F.count(F.lit(1)).alias("n"), F.max("version").alias("v")
@@ -2377,6 +2482,19 @@ def stage_emb_pair_graph_reband(
         return None
     new_gen = gen + 1
     new_table, new_path = _banded_loc(store_dir, table_prefix, new_gen)
+    # r13 ADVICE: a COMPLETED, unfinalized staging at the same target
+    # (marker committed, swap pending) is the O(n_unique) artifact
+    # this call would otherwise rebuild — a retry / direct re-stage
+    # returns it for finalize instead of discarding it. Any OTHER
+    # marker (different gen or width) is stale and cleared below.
+    prior = _read_graph_staging(store_dir)
+    if (
+        prior is not None
+        and prior.get("staged_gen") == new_gen
+        and prior.get("target_bits") == target
+        and os.path.exists(new_path)
+    ):
+        return prior
     # clear any stale marker BEFORE clearing its directory: a reader
     # must never see a marker pointing at a half-rebuilt generation
     try:
@@ -2561,6 +2679,19 @@ def _advance_async_reband(
 
     def run() -> None:
         try:
+            # Run the staging jobs in the capped `reband` FAIR pool
+            # (session.py declares it at weight 1 vs default 8): under
+            # pinned-thread mode the local property is scoped to THIS
+            # thread's jobs, so foreground ingest keeps ~8/9 of the
+            # task slots while staging overlaps (r13 measured the
+            # unisolated overlap at ~1.9× ingest slowdown) and an
+            # idle machine still gives staging full width. On a
+            # FIFO-scheduled session the property is ignored — the
+            # thread still only WRITES gen+1, so correctness never
+            # depends on the pool.
+            spark.sparkContext.setLocalProperty(
+                "spark.scheduler.pool", "reband"
+            )
             stage_emb_pair_graph_reband(
                 spark, store_dir, table_prefix, n_buckets=n_buckets
             )

@@ -1330,3 +1330,157 @@ def test_emb_pair_graph_async_reband_crash_safety(spark, tmp_path):
         for t in [r["tableName"] for r in spark.sql("SHOW TABLES").collect()]:
             if t.startswith(prefix):
                 spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def _mk_emb_df(spark, n, dim, seed):
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(seed)
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": list(range(n)),
+                "embedding": [
+                    list(map(float, v))
+                    for v in rng.standard_normal((n, dim)).astype("float32")
+                ],
+            }
+        ),
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_stage_reuses_completed_unfinalized_staging(spark, tmp_path):
+    """Round 14 (r13 ADVICE): a direct re-stage (or the retry path)
+    that finds a COMPLETED, unfinalized staging at the same target
+    returns it for finalize instead of discarding the whole
+    O(n_unique) build and rebuilding from scratch."""
+    import pulsar_spark_spark.plans.similarity as S
+    from pulsar_spark_spark.sources.bucketed import _read_manifest
+
+    store, prefix = str(tmp_path / "gr"), "t_emb_reuse"
+    df = _mk_emb_df(spark, 120, 8, 1515)
+    try:
+        S.update_emb_pair_graph(
+            df, store, version=0, table_prefix=prefix,
+            n_bits=2, auto_compact=False,
+        )
+        staged = S.stage_emb_pair_graph_reband(spark, store, prefix)
+        assert staged is not None
+        _, staged_path = S._banded_loc(store, prefix, staged["staged_gen"])
+        segs_before = _read_manifest(staged_path)
+        assert segs_before
+        restaged = S.stage_emb_pair_graph_reband(spark, store, prefix)
+        # same marker handed back, staged segments untouched (no rebuild)
+        assert restaged == staged
+        assert _read_manifest(staged_path) == segs_before
+        meta = S.finalize_emb_pair_graph_reband(spark, store, prefix)
+        assert meta is not None and meta["n_bits"] == staged["target_bits"]
+    finally:
+        for t in [r["tableName"] for r in spark.sql("SHOW TABLES").collect()]:
+            if t.startswith(prefix):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_compact_joins_inflight_async_staging(spark, tmp_path):
+    """Round 14 (r13 ADVICE medium): a sync compact called while an
+    async staging thread is in flight on the same store must WAIT for
+    it (two writers on the gen+1 path can lose or duplicate committed
+    segments), then supersede its marker."""
+    import os
+    import threading
+    import time
+
+    import pulsar_spark_spark.plans.similarity as S
+
+    store, prefix = str(tmp_path / "gj"), "t_emb_join"
+    df = _mk_emb_df(spark, 120, 8, 1616)
+    try:
+        S.update_emb_pair_graph(
+            df, store, version=0, table_prefix=prefix,
+            n_bits=2, auto_compact=False,
+        )
+        # a stand-in staging thread that holds the store until released
+        gate = threading.Event()
+        fake = threading.Thread(target=gate.wait, daemon=True)
+        fake.start()
+        S._REBAND_THREADS[os.path.abspath(store)] = fake
+
+        done = threading.Event()
+        result = {}
+
+        def run_compact():
+            result["meta"] = S.compact_emb_pair_graph(spark, store, prefix)
+            done.set()
+
+        worker = threading.Thread(target=run_compact, daemon=True)
+        worker.start()
+        # compact must be blocked on the join, not clearing gen+1
+        assert not done.wait(1.0)
+        gate.set()
+        assert done.wait(120), "compact never completed after join"
+        assert result["meta"]["n_bits"] == S.auto_emb_bits(120)
+        # any staging marker is superseded by the sync pass
+        assert S._read_graph_staging(store) is None
+    finally:
+        S._REBAND_THREADS.pop(os.path.abspath(store), None)
+        for t in [r["tableName"] for r in spark.sql("SHOW TABLES").collect()]:
+            if t.startswith(prefix):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_compact_supersedes_completed_staging(spark, tmp_path):
+    """A completed-but-unfinalized staging is superseded by a sync
+    compact: the compact commits the re-band itself and clears the
+    marker, and a later finalize is a clean no-op (never swaps in a
+    generation the compactor moved past)."""
+    import pulsar_spark_spark.plans.similarity as S
+
+    store, prefix = str(tmp_path / "gsup"), "t_emb_sup"
+    df = _mk_emb_df(spark, 120, 8, 1717)
+    try:
+        S.update_emb_pair_graph(
+            df, store, version=0, table_prefix=prefix,
+            n_bits=2, auto_compact=False,
+        )
+        assert S.stage_emb_pair_graph_reband(spark, store, prefix) is not None
+        meta = S.compact_emb_pair_graph(spark, store, prefix)
+        assert meta["n_bits"] == S.auto_emb_bits(120)
+        assert S._read_graph_staging(store) is None
+        assert S.finalize_emb_pair_graph_reband(spark, store, prefix) is None
+        assert S.read_emb_components(spark, store, prefix).count() >= 0
+    finally:
+        for t in [r["tableName"] for r in spark.sql("SHOW TABLES").collect()]:
+            if t.startswith(prefix):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_collapse_rate_boundary_escalates_to_exact(spark, monkeypatch):
+    """Round 14 (r13 ADVICE): near the hard 0.5 multiprobe-skip
+    threshold the collapse rate escalates to an exact distinct count
+    (deterministic arm choice); far from it the cheap HLL estimate
+    decides alone."""
+    import pyspark.sql.functions as F
+
+    import pulsar_spark_spark.plans.similarity as S
+
+    # exactly at the threshold: 200 rows, 100 uniques -> rate 0.5
+    half = spark.range(200).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.col("id") % 100).cast("float") + i for i in range(4)])
+        .alias("embedding"),
+    )
+    assert S.emb_collapse_rate(half) == 0.5
+    # far from the threshold: the exact arm must NOT run
+    def boom(_):
+        raise AssertionError("exact countDistinct ran off the boundary")
+
+    monkeypatch.setattr(S, "_emb_exact_unique", boom)
+    S._EMB_STATS_MEMO.clear()
+    distinct = spark.range(200).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.col("id").cast("float") * 7 + i for i in range(4)])
+        .alias("embedding"),
+    )
+    assert S.emb_collapse_rate(distinct) < 0.2
