@@ -614,8 +614,15 @@ def _geofence_stream_bench(spark) -> dict:
         located = stream.select(
             "user_id", "event_id", "ts_ms", locate_expr(fences).alias("cur_gf")
         )
+        # round 14: SPARK_GRAFT_GEOFENCE_BUCKETS=<B> routes the same
+        # bench through the bucketed-state arm (state keyed by
+        # hash(user_id) % B, per-bucket vectorized walk) — the
+        # dispatch-count fix for the high-cardinality wall; full-row
+        # parity pinned in tests/test_stateful_streaming.py
+        buckets_env = os.environ.get("SPARK_GRAFT_GEOFENCE_BUCKETS", "")
+        state_buckets = int(buckets_env) if buckets_env else None
         q = (
-            geofence_alert_stream(located)
+            geofence_alert_stream(located, state_buckets=state_buckets)
             .writeStream.format("parquet")
             .option("path", os.path.join(work, "alerts"))
             .option("checkpointLocation", os.path.join(work, "ckpt"))
@@ -636,8 +643,16 @@ def _geofence_stream_bench(spark) -> dict:
             "n_alerts": n_alerts,
             "n_batches": len(q.recentProgress),
             "pipeline": "file micro-batches -> JVM containment locate -> "
-                        "applyInPandasWithState transition walk (G9/A10) "
-                        "-> parquet alert sink",
+                        "applyInPandasWithState transition walk (G9/A10"
+                        + (
+                            f", bucketed state B={state_buckets}"
+                            if state_buckets
+                            else ""
+                        )
+                        + ") -> parquet alert sink",
+            **(
+                {"state_buckets": state_buckets} if state_buckets else {}
+            ),
         }
     finally:
         shutil.rmtree(work, ignore_errors=True)

@@ -109,6 +109,7 @@ def geofence_alert_stream(
     located: DataFrame,
     src_gf: str = "G0",
     dest_gf: str = "G24",
+    state_buckets: "int | None" = None,
 ) -> DataFrame:
     """Stateful geofence transitions over a stream of located events.
 
@@ -116,7 +117,39 @@ def geofence_alert_stream(
     cur_gf from the broadcast containment join. Emits one row per
     transition with the persistent per-user state (last geofence,
     running event count) carried across micro-batches and restarts.
+
+    ``state_buckets`` (round 14, r13 VERDICT missing #1): the
+    measured wall of this operator at high key cardinality is the
+    NUMBER of per-group Python dispatches, not the group payloads —
+    the 1000×-cardinality cell runs ~1.2M users per micro-batch at
+    ~2 events each, so ~1.2M tiny Arrow round-trips per batch
+    (stream_scale.json: 18.7-19.6k rows/s under both state stores).
+    A batch-local run-collapse BEFORE the stateful op cannot fix
+    that cell: it shrinks payloads, never the group count, and
+    streaming disallows the lag/row_number window functions the
+    JVM-side collapse would need (a partition-local Python collapse
+    also cannot reconstruct the exact A10 running count once a
+    user's rows split across source partitions). Passing
+    ``state_buckets=B`` instead coarsens the STATE KEY to
+    ``hash(user_id) % B``: one state-store entry and ONE Python
+    dispatch per bucket per batch, with the per-user transition walk
+    — including the run-collapse — vectorized in numpy across every
+    user in the bucket (the same change-point scan as the per-user
+    kernel, seeded per user from the bucket's state map). Output
+    rows, restart semantics and the A10 running count are identical
+    to the per-user arm (parity + restart pinned in
+    tests/test_stateful_streaming.py); the trade is bucket-sized
+    state values (~(users-in-bucket) JSON entries rewritten per
+    touched bucket) against a ~(users/B)× cut in dispatch count —
+    size B so a bucket's users stay ~100-1000 (e.g. 4096 buckets at
+    1.5M keys). ``None`` (default) keeps the per-user machine — the
+    right arm at low cardinality, where per-key state I/O and
+    per-key timeouts matter more than dispatch count.
     """
+    if state_buckets is not None:
+        return _geofence_alert_stream_bucketed(
+            located, src_gf, dest_gf, state_buckets
+        )
     ensure_package_on_executors(located.sparkSession)
 
     def walk(
@@ -190,6 +223,118 @@ def geofence_alert_stream(
         walk,
         outputStructType=_OUTPUT_SCHEMA,
         stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# Bucketed-state arm: one JSON map {user_id: [last_gf, n_seen]} per
+# hash bucket — the state-key coarsening that amortizes per-group
+# Python dispatch over every user in the bucket.
+_BUCKET_STATE_SCHEMA = StructType(
+    [StructField("users_json", StringType())]
+)
+
+
+def _geofence_alert_stream_bucketed(
+    located: DataFrame,
+    src_gf: str,
+    dest_gf: str,
+    n_buckets: int,
+) -> DataFrame:
+    """Dispatch-amortized arm of :func:`geofence_alert_stream` (see
+    its docstring for the adjudication): state keyed by
+    ``hash(user_id) % n_buckets``, per-bucket kernel vectorized over
+    all of the bucket's users at once."""
+    import json as _json
+
+    import pyspark.sql.functions as F
+    from pyspark.sql.functions import col
+
+    ensure_package_on_executors(located.sparkSession)
+
+    def walk_bucket(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        users = _json.loads(state.get[0]) if state.exists else {}
+        chunks = list(pdfs)
+        batch = (
+            chunks[0]
+            if len(chunks) == 1
+            else pd.concat(chunks, ignore_index=True)
+        )
+        uid_raw = batch["user_id"].to_numpy()
+        order = np.lexsort(
+            (batch["event_id"].to_numpy(), batch["ts_ms"].to_numpy(), uid_raw)
+        )
+        uid = uid_raw[order]
+        cur = batch["cur_gf"].to_numpy(dtype=object)[order]
+        eid = batch["event_id"].to_numpy()[order]
+        n = len(uid)
+        if n:
+            # per-user segment boundaries in the (user, ts, event_id)
+            # sort — the same change-point scan as the per-user
+            # kernel, run once across ALL of the bucket's users
+            user_change = np.empty(n, dtype=bool)
+            user_change[0] = True
+            user_change[1:] = uid[1:] != uid[:-1]
+            starts = np.flatnonzero(user_change)
+            seg_len = np.diff(np.append(starts, n))
+            start_users = uid[starts]
+            seeds = [users.get(str(u), (OUTER, 0)) for u in start_users]
+            prev = np.empty(n, dtype=object)
+            prev[1:] = cur[:-1]
+            prev[starts] = np.array([s[0] for s in seeds], dtype=object)
+            base = np.repeat(
+                np.array([s[1] for s in seeds], dtype="int64"), seg_len
+            )
+            # position of each row within its user's batch slice
+            rn = np.arange(n, dtype="int64") - np.repeat(starts, seg_len) + 1
+            idx = np.flatnonzero(cur != prev)
+            if len(idx):
+                prev_t = prev[idx]
+                cur_t = cur[idx]
+                alerts = [
+                    _alerts(p, c, src_gf, dest_gf)
+                    for p, c in zip(prev_t, cur_t)
+                ]
+                yield pd.DataFrame(
+                    {
+                        "user_id": uid[idx].astype("int64"),
+                        "event_id": eid[idx],
+                        "prev_gf": prev_t,
+                        "cur_gf": cur_t,
+                        "exit_alert": np.array(
+                            [a[0] for a in alerts], dtype=object
+                        ),
+                        "entry_alert": np.array(
+                            [a[1] for a in alerts], dtype=object
+                        ),
+                        "n_events_seen": base[idx] + rn[idx],
+                    },
+                    columns=[f.name for f in _OUTPUT_SCHEMA.fields],
+                )
+            ends = np.append(starts[1:], n) - 1
+            last_gfs = cur[ends]
+            new_seen = np.array(
+                [s[1] for s in seeds], dtype="int64"
+            ) + seg_len
+            for u, lg, ns in zip(start_users, last_gfs, new_seen):
+                users[str(u)] = [lg, int(ns)]
+        state.update((_json.dumps(users),))
+
+    keyed = located.withColumn(
+        "_gf_bucket",
+        F.pmod(F.xxhash64(col("user_id")), F.lit(n_buckets)).cast("long"),
+    )
+    return keyed.groupBy("_gf_bucket").applyInPandasWithState(
+        walk_bucket,
+        outputStructType=_OUTPUT_SCHEMA,
+        stateStructType=_BUCKET_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

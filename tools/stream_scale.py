@@ -31,6 +31,12 @@ Usage:  python tools/stream_scale.py [ingest|session|geofence ...]
            RocksDB ahead at 1.5M — across a full decade; this cell
            keeps a ~500k-user hash-subset of the 1000× corpus at the
            same 10M-row budget to locate it)
+        python tools/stream_scale.py --bucketed [--budgeted] geofence
+          (round 14, r13 VERDICT missing #1: the bucketed-state
+           geofence arm — state keyed by hash(user_id) % B, default
+           B=4096 via SPARK_GRAFT_GEOFENCE_BUCKETS — amortizing the
+           ~1.2M-per-batch per-group Python dispatches that bind the
+           fourth-decade cells)
 """
 
 from __future__ import annotations
@@ -152,6 +158,14 @@ def main(filters) -> None:
     native = "--native" in filters
     if native:
         os.environ["SPARK_GRAFT_SESSIONIZER"] = "native"
+    # round 14 (r13 VERDICT missing #1): --bucketed routes the
+    # geofence bench through the bucketed-state arm (bench reads
+    # SPARK_GRAFT_GEOFENCE_BUCKETS) — the fourth-decade geofence
+    # cells are bound by ~1.2M per-group Python dispatches per batch,
+    # which keying the state by hash(user_id) % B amortizes to B
+    bucketed_arm = "--bucketed" in filters
+    if bucketed_arm:
+        os.environ.setdefault("SPARK_GRAFT_GEOFENCE_BUCKETS", "4096")
     filters = [f for f in filters if not f.startswith("--")]
     which = [s for s in STREAMS if not filters or any(f in s for f in filters)]
     fns = {
@@ -260,8 +274,10 @@ def main(filters) -> None:
         # store wins at ≤150k keys and hits its wall at 1.5M.
         sf100 = os.path.join(ROOT, ".scale", "sf100")
         budgets = {"session": SESSION_ROW_BUDGET, "geofence": SF100_ROW_BUDGET}
-        suffix = ("+rocksdb" if rocksdb else "") + (
-            "+native" if native else ""
+        suffix = (
+            ("+rocksdb" if rocksdb else "")
+            + ("+native" if native else "")
+            + ("+bucketed" if bucketed_arm else "")
         )
         if rocksdb:
             os.environ["SPARK_GRAFT_STATE_STORE"] = "rocksdb"
@@ -307,7 +323,12 @@ def main(filters) -> None:
             for name in which:
                 if label in SCALE_STREAMS and name not in SCALE_STREAMS[label]:
                     continue
-                capture(name, label, sf_dir, factor)
+                cell = label + (
+                    "+bucketed"
+                    if bucketed_arm and name == "geofence"
+                    else ""
+                )
+                capture(name, cell, sf_dir, factor)
     with open(out_path, "w") as f:
         json.dump({"cpus": CPUS, "rows": rows}, f, indent=1, sort_keys=True)
     print(f"-> {out_path}")
