@@ -2331,6 +2331,10 @@ def compact_emb_pair_graph(
     )
     from pulsar_spark_spark.sources.bucketed import append_log_bucketed
 
+    # catalog=True: the fresh generation is read as a SINGLE segment
+    # by every subsequent shard's candidate join until new appends
+    # land — the one log state where the bucketed-table no-Exchange
+    # window merge actually engages (see append_log_bucketed)
     append_log_bucketed(
         rebanded,
         new_table,
@@ -2339,6 +2343,7 @@ def compact_emb_pair_graph(
         "version",
         n_buckets,
         auto_compact_segments=None,
+        catalog=True,
     )
     new_meta = {
         "n_tables": n_tables,
@@ -2521,6 +2526,9 @@ def stage_emb_pair_graph_reband(
             F.lit(0).alias("version"),
         )
     )
+    # catalog=True: post-swap this IS the generation's dominant (often
+    # only) segment, read by every subsequent candidate join — and the
+    # DDL cost sits on the BACKGROUND staging path, not an ingest stall
     append_log_bucketed(
         rebanded,
         new_table,
@@ -2529,6 +2537,7 @@ def stage_emb_pair_graph_reband(
         "version",
         n_buckets,
         auto_compact_segments=None,
+        catalog=True,
     )
     staged = {
         "target_bits": target,
@@ -2596,26 +2605,42 @@ def finalize_emb_pair_graph_reband(
         store_dir, table_prefix, meta["banded_gen"]
     )
     reps = read_log_bucketed(spark, t("reps"), p("reps"), "vkey", "version")
-    delta = reps
-    if staged["staged_max_version"] is not None:
-        delta = reps.filter(col("version") > staged["staged_max_version"])
-    n_spread = spark.sparkContext.defaultParallelism * 2
-    catch_up = (
-        delta.select("vkey", "embedding", "version")
-        .repartition(n_spread, col("vkey"))
-        .select(
-            "vkey",
-            F.explode(_emb_tables_expr(n_tables, target)).alias("tb"),
-            "version",
+    max_v = staged["staged_max_version"]
+    # ONE job answers both "how many reps total" (the meta's exact
+    # n_unique) and "did anything land after the snapshot" (whether a
+    # catch-up band is needed) — the split limit(1).count + count pair
+    # was ~1.2 s of the measured finalize stall at fixture scale
+    stats = reps.agg(
+        F.count(F.lit(1)).alias("n_unique"),
+        (
+            F.count_if(col("version") > max_v)
+            if max_v is not None
+            else F.count(F.lit(1))
+        ).alias("n_delta"),
+    ).first()
+    if stats["n_delta"]:
+        delta = reps
+        if max_v is not None:
+            delta = reps.filter(col("version") > max_v)
+        n_spread = spark.sparkContext.defaultParallelism * 2
+        catch_up = (
+            delta.select("vkey", "embedding", "version")
+            .repartition(n_spread, col("vkey"))
+            .select(
+                "vkey",
+                F.explode(_emb_tables_expr(n_tables, target)).alias("tb"),
+                "version",
+            )
+            .select(
+                "vkey",
+                col("tb.tbl").alias("tbl"),
+                col("tb.bucket").alias("bucket"),
+                "version",
+            )
         )
-        .select(
-            "vkey",
-            col("tb.tbl").alias("tbl"),
-            col("tb.bucket").alias("bucket"),
-            "version",
-        )
-    )
-    if catch_up.limit(1).count():
+        # default catalog=False: the catch-up is a transient L0
+        # segment next to the staged generation — per-segment DDL
+        # here was the dominant term of the absorbed stall
         append_log_bucketed(
             catch_up,
             new_table,
@@ -2629,7 +2654,7 @@ def finalize_emb_pair_graph_reband(
         "n_tables": n_tables,
         "n_bits": target,
         "banded_gen": new_gen,
-        "n_unique": reps.count(),
+        "n_unique": int(stats["n_unique"]),
     }
     _write_graph_meta(store_dir, new_meta)  # the commit point
     try:
