@@ -856,20 +856,40 @@ def main() -> None:
     # queries apart, the second pass re-pays JIT/allocator state the
     # back-to-back second pass does not. Same metric (min of 2
     # isolated executions, cache cleared between), tighter estimator.
-    for name in HEADLINE:
-        if name not in QUERIES:
-            continue
-        for _ in range(runs):
-            t0 = time.perf_counter()
-            df = QUERIES[name](spark, SF_DIR)
-            df.collect()
-            elapsed = round(time.perf_counter() - t0, 3)
-            if name not in timings or elapsed < timings[name]:
-                timings[name] = elapsed
-            # Isolation between queries: drop any cache a query pinned
-            # so later timings are not contaminated by earlier
-            # queries' storage memory.
-            spark.catalog.clearCache()
+    #
+    # Merge-min folds (round 14, r13 VERDICT wrong #1): the
+    # longitudinal bench read was hostage to one-sided host drift —
+    # identical code measured ×1.10 one round and ×0.95 the next as
+    # the host's fixed-overhead calibration swung ±17-34%. The scale
+    # tables already answer this with same-code multi-pass merge-min
+    # (single-pass doc-family cells swung ×15.68 → ×13.45 between
+    # identical-code passes); the headline capture now applies the
+    # same discipline: SPARK_GRAFT_BENCH_FOLDS (default 2) full
+    # headline sweeps, temporally separated by the stream/index
+    # benches that run between them (~minutes apart, so a transient
+    # contention burst cannot tax both folds), folded per query by
+    # min. The committed JSON carries the fold count and every
+    # fold's calibration row so a cross-round reader can normalize.
+    folds = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_FOLDS", "2")))
+    calibrations = [calibration_sec]
+
+    def _headline_fold() -> None:
+        for name in HEADLINE:
+            if name not in QUERIES:
+                continue
+            for _ in range(runs):
+                t0 = time.perf_counter()
+                df = QUERIES[name](spark, SF_DIR)
+                df.collect()
+                elapsed = round(time.perf_counter() - t0, 3)
+                if name not in timings or elapsed < timings[name]:
+                    timings[name] = elapsed
+                # Isolation between queries: drop any cache a query
+                # pinned so later timings are not contaminated by
+                # earlier queries' storage memory.
+                spark.catalog.clearCache()
+
+    _headline_fold()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     knob_notes = {
@@ -928,15 +948,6 @@ def main() -> None:
             "driver's 50-row gate); both stages' plans unchanged."
         ),
     }
-    if {"delivery_refinement", "delivery_refined_history"} <= timings.keys():
-        marginal = timings["delivery_refined_history"] - timings["delivery_refinement"]
-        knob_notes["delivery_refined_history"] = (
-            "runs the same G5-G7 kernel pipeline as "
-            "delivery_refinement (each headline query is timed cold, "
-            "no cross-query sharing), so its G8 merge marginal cost "
-            f"this run ~= {marginal:.2f}s on top of the "
-            f"{timings['delivery_refinement']:.2f}s kernel."
-        )
     ivf_probe_sec, ivf_detail = _ivf_probe_bench(spark)
     timings["ivf_probe_index"] = ivf_probe_sec
     knob_notes["ivf_probe_index"] = "single timed probe over the on-disk index"
@@ -998,6 +1009,28 @@ def main() -> None:
             os.environ["SPARK_GRAFT_SESSIONIZER"] = _prior_arm
     rescore = _geotag_rescore_bench(spark)
     geofence = _geofence_stream_bench(spark)
+
+    # Remaining merge-min folds — temporally separated from fold 1 by
+    # the index/stream benches above (see the capture-discipline note
+    # at the first fold). Each fold re-measures the calibration row
+    # first, so the committed artifact records the host's fixed
+    # overhead AT EACH fold, not just at warmup.
+    for _ in range(folds - 1):
+        calibrations.append(_calibration(spark))
+        _headline_fold()
+    calibration_sec = min(calibrations)
+    if {"delivery_refinement", "delivery_refined_history"} <= timings.keys():
+        marginal = (
+            timings["delivery_refined_history"]
+            - timings["delivery_refinement"]
+        )
+        knob_notes["delivery_refined_history"] = (
+            "runs the same G5-G7 kernel pipeline as "
+            "delivery_refinement (each headline query is timed cold, "
+            "no cross-query sharing), so its G8 merge marginal cost "
+            f"this run ~= {marginal:.2f}s on top of the "
+            f"{timings['delivery_refinement']:.2f}s kernel."
+        )
 
     # Measured sf0.1 -> sf1 slope (committed sidecar from
     # tools/scale_slope.py over a 10x dataset) — converts the
@@ -1088,6 +1121,12 @@ def main() -> None:
         },
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "runs_per_query": runs,
+        # merge-min capture discipline (round 14): per-query min over
+        # `headline_folds` temporally-separated full sweeps of
+        # `runs_per_query` back-to-back passes each; one calibration
+        # row per fold for cross-round normalization
+        "headline_folds": folds,
+        "calibration_folds": calibrations,
     }
     if scale_slope:
         headline["scale_10x"] = [

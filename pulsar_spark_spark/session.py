@@ -131,6 +131,67 @@ def _fair_pools_file() -> str:
     return path
 
 
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+_STATE_STORE_KEY = "spark.sql.streaming.stateStore.providerClass"
+# The located state-store crossover (round 13, stream_scale.json):
+# the on-heap HDFS-backed store wins at 150k keys/box (45.6k vs
+# 39.1k rows/s on the geofence machine), dead heat at ~500k (29.0k
+# vs 30.0k), RocksDB ahead at 1.5M (19.6k vs 18.7k). 500k keys per
+# box is therefore the operational switch point — and state SIZE
+# flips earlier when incremental checkpointing, not throughput, is
+# the binding constraint.
+STATE_STORE_CROSSOVER_KEYS = 500_000
+
+
+def select_state_store(
+    spark: "SparkSession",
+    estimated_keys: int,
+    executors: int | None = None,
+) -> str:
+    """Pick the streaming state-store provider from estimated state
+    cardinality (round 14, r13 VERDICT missing #4) — the auto-arm
+    rule that operationalizes the measured crossover the way the
+    geotag merge auto-selects its bucketed arm.
+
+    ``estimated_keys`` is the stream's keyed-state cardinality (e.g.
+    an approx distinct count over the key column of a sample, or the
+    known user population); it is divided by the executor count to
+    get the per-box figure the crossover was measured at. On local
+    masters the whole state lives in one JVM, so executors=1. Spark
+    honors the provider conf per started query, so call this before
+    ``writeStream.start()``; an explicit ``SPARK_GRAFT_STATE_STORE``
+    env pin always wins (the operator knows best). Returns the arm
+    chosen: ``"rocksdb"`` or ``"hdfs"``.
+    """
+    env = os.environ.get("SPARK_GRAFT_STATE_STORE", "").lower()
+    if env in ("rocksdb", "hdfs"):
+        arm = env
+    else:
+        sc = spark.sparkContext
+        if executors is None:
+            if sc.master.startswith("local"):
+                executors = 1
+            else:
+                executors = int(
+                    sc.getConf().get("spark.executor.instances", "1") or 1
+                )
+        per_box = estimated_keys / max(1, executors)
+        arm = (
+            "rocksdb" if per_box >= STATE_STORE_CROSSOVER_KEYS else "hdfs"
+        )
+    if arm == "rocksdb":
+        spark.conf.set(_STATE_STORE_KEY, _ROCKSDB_PROVIDER)
+    else:
+        try:
+            spark.conf.unset(_STATE_STORE_KEY)
+        except Exception:  # already at the default provider
+            pass
+    return arm
+
+
 def get_session(
     app_name: str = "pulsar_spark_spark",
     master: str | None = None,
@@ -194,9 +255,7 @@ def get_session(
     # binding constraint: incremental checkpointing caps heap).
     if os.environ.get("SPARK_GRAFT_STATE_STORE", "").lower() == "rocksdb":
         builder = builder.config(
-            "spark.sql.streaming.stateStore.providerClass",
-            "org.apache.spark.sql.execution.streaming.state."
-            "RocksDBStateStoreProvider",
+            "spark.sql.streaming.stateStore.providerClass", _ROCKSDB_PROVIDER
         )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

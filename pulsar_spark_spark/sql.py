@@ -486,7 +486,11 @@ def register_queries(spark: SparkSession, sf_dir: str) -> list[str]:
     mass is exact replicas the banding-independent vkey collapse
     already catches, and the plan stays exact-bucket (probing was
     measured at 6.3× candidate volume for zero recall gain there —
-    emb_recall.json). Price the trade for your corpus with
+    emb_recall.json). The rate itself is deterministic at the
+    decision boundary (round 14): within the HLL error band of the
+    0.5 threshold it escalates to an exact distinct count, so the
+    arm a given corpus gets cannot flip across engine restarts.
+    Price the trade for your corpus with
     ``plans.similarity.srp_banding_recall`` /
     ``plans.similarity.emb_collapse_rate`` and pin
     ``multiprobe=True/False`` on the DataFrame surface to override."""

@@ -322,11 +322,21 @@ def main(filters) -> None:
                 continue
             for name in which:
                 if label in SCALE_STREAMS and name not in SCALE_STREAMS[label]:
-                    continue
+                    # round 14 (r13 VERDICT stretch): the UNBUDGETED
+                    # 100M-row fourth-decade sessionizer cell is only
+                    # reachable under the native arm (374k rows/s on
+                    # the 10M budget sample ⇒ ~4.5 min for the full
+                    # corpus; the Python arm times out by construction)
+                    if not (native and name == "session" and label == "sf100"):
+                        continue
                 cell = label + (
-                    "+bucketed"
-                    if bucketed_arm and name == "geofence"
-                    else ""
+                    "+native"
+                    if native and name == "session"
+                    else (
+                        "+bucketed"
+                        if bucketed_arm and name == "geofence"
+                        else ""
+                    )
                 )
                 capture(name, cell, sf_dir, factor)
     with open(out_path, "w") as f:
