@@ -680,6 +680,21 @@ def _summarize_and_render(results: dict, scales) -> None:
         "map-side session merging cannot shrink the shuffle; a",
         "cluster's linearly-smaller per-task partitions remove the",
         "spill term — no plan defect to fix.",
+        "Round 14 decomposed the last un-attributed slope,",
+        "smart_address_candidates' ×86 at 1000×",
+        "(tools/profile_address.py, profile_address.json): at the",
+        "last decade (×10 data) every stage is at-or-under linear —",
+        "scan+gate ~flat (2.9→2.5 s), gram explode ×7.1 (10.9→77.5 s",
+        "for 31M→312M gram rows), its DISK_ONLY checkpoint ×8.0,",
+        "posting-frequency agg ×9.3 (13.5→125.7 s), probe⋈postings",
+        "pair aggregate ×11.1 (11.1→123.4 s), full ×13.3 — so the ×86",
+        "cumulative number is the transition OUT of fixed overhead",
+        "(×3.4 at 10×) times a large per-doc density constant (~620",
+        "hashed 2-/3-gram rows per doc), not a super-linear term: the",
+        "only above-×10 stage, the pair aggregate, is the df-capped",
+        "candidate shard filling toward its 64-per-gram bound.",
+        "Linear-with-constant, no plan defect — the cluster path",
+        "shards the same gram-keyed shuffles by the gram hash.",
     ]
     lines.append("")
     tail = (
