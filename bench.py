@@ -234,7 +234,13 @@ def _session_stream_bench(spark) -> dict:
         )
         n_rows = ev.count()
         ev = ev.withColumn("__ms", F.unix_millis("ts"))
-        q1, q2 = ev.approxQuantile("__ms", [0.33, 0.66], 0.0)
+        # tertile split points for the three arrival files. NOT exact
+        # (relativeError=0.0 keeps every value in the per-partition
+        # summaries — O(rows) heap, measured as an executor OOM at
+        # the unbudgeted 100M-row fourth-decade cell); 1e-4 bounds
+        # the summaries at ~10k entries and is deterministic for a
+        # fixed fileset, which is all the file split needs.
+        q1, q2 = ev.approxQuantile("__ms", [0.33, 0.66], 0.0001)
         input_dir = os.path.join(work, "in")
         os.makedirs(input_dir)
         for i, (lo, hi) in enumerate([(None, q1), (q1, q2), (q2, None)]):
@@ -620,7 +626,8 @@ def _geofence_stream_bench(spark) -> dict:
         # dispatch-count fix for the high-cardinality wall; full-row
         # parity pinned in tests/test_stateful_streaming.py
         buckets_env = os.environ.get("SPARK_GRAFT_GEOFENCE_BUCKETS", "")
-        state_buckets = int(buckets_env) if buckets_env else None
+        # "0" pins the per-user arm (the select_geofence_arm contract)
+        state_buckets = (int(buckets_env) or None) if buckets_env else None
         q = (
             geofence_alert_stream(located, state_buckets=state_buckets)
             .writeStream.format("parquet")

@@ -2713,13 +2713,29 @@ def _advance_async_reband(
             # idle machine still gives staging full width. On a
             # FIFO-scheduled session the property is ignored — the
             # thread still only WRITES gen+1, so correctness never
-            # depends on the pool.
-            spark.sparkContext.setLocalProperty(
-                "spark.scheduler.pool", "reband"
-            )
-            stage_emb_pair_graph_reband(
-                spark, store_dir, table_prefix, n_buckets=n_buckets
-            )
+            # depends on the pool. Guarded on pinned-thread mode
+            # (Spark's default since 3.2): with PYSPARK_PIN_THREAD
+            # =false local properties are process-shared, so setting
+            # the pool here would DEMOTE foreground ingest into the
+            # weight-1 FIFO pool behind the staging jobs — the exact
+            # inversion the pool exists to prevent. Unpinned sessions
+            # just run unisolated, the pre-r14 behavior.
+            pinned = os.environ.get(
+                "PYSPARK_PIN_THREAD", "true"
+            ).lower() not in ("false", "0")
+            if pinned:
+                spark.sparkContext.setLocalProperty(
+                    "spark.scheduler.pool", "reband"
+                )
+            try:
+                stage_emb_pair_graph_reband(
+                    spark, store_dir, table_prefix, n_buckets=n_buckets
+                )
+            finally:
+                if pinned:
+                    spark.sparkContext.setLocalProperty(
+                        "spark.scheduler.pool", None
+                    )
         except BaseException as e:  # noqa: BLE001 — surfaced next trigger
             _REBAND_ERRORS[key] = e
 

@@ -120,10 +120,16 @@ _POOLS_XML = """<?xml version="1.0"?>
 
 def _fair_pools_file() -> str:
     """Materialize the pool declarations where the scheduler can read
-    them (atomic rename — concurrent sessions may race the write)."""
+    them (atomic rename — concurrent sessions may race the write).
+    The filename carries the uid: /tmp's sticky bit forbids
+    rename-over of another user's file, so a world-shared name would
+    make get_session crash for the second user on a shared host."""
     import tempfile
 
-    path = os.path.join(tempfile.gettempdir(), "pulsar_spark_spark_pools.xml")
+    uid = getattr(os, "getuid", lambda: "u")()
+    path = os.path.join(
+        tempfile.gettempdir(), f"pulsar_spark_spark_pools_{uid}.xml"
+    )
     tmp = f"{path}.{os.getpid()}.tmp"
     with open(tmp, "w") as fh:
         fh.write(_POOLS_XML)
@@ -144,6 +150,17 @@ _STATE_STORE_KEY = "spark.sql.streaming.stateStore.providerClass"
 # flips earlier when incremental checkpointing, not throughput, is
 # the binding constraint.
 STATE_STORE_CROSSOVER_KEYS = 500_000
+
+
+def executor_count(spark: "SparkSession") -> int:
+    """Executor count for per-box state attribution — the shared
+    scaffold of every measured-crossover arm rule (state-store
+    provider here, geofence bucketing in streaming.stateful). On a
+    local master the whole state lives in one JVM."""
+    sc = spark.sparkContext
+    if sc.master.startswith("local"):
+        return 1
+    return int(sc.getConf().get("spark.executor.instances", "1") or 1)
 
 
 def select_state_store(
@@ -170,14 +187,8 @@ def select_state_store(
     if env in ("rocksdb", "hdfs"):
         arm = env
     else:
-        sc = spark.sparkContext
         if executors is None:
-            if sc.master.startswith("local"):
-                executors = 1
-            else:
-                executors = int(
-                    sc.getConf().get("spark.executor.instances", "1") or 1
-                )
+            executors = executor_count(spark)
         per_box = estimated_keys / max(1, executors)
         arm = (
             "rocksdb" if per_box >= STATE_STORE_CROSSOVER_KEYS else "hdfs"

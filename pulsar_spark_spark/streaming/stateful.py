@@ -105,6 +105,66 @@ def _alerts(prev_gf: str, cur_gf: str, src_gf: str, dest_gf: str):
     return exit_alert, entry_alert
 
 
+# Measured geofence-arm crossover (stream_scale.json, round 14):
+# per-user 8.3k vs bucketed 2.5k rows/s at ~1.5k keys, 36.9k vs 26.0k
+# at ~15k, DEAD HEAT 45.7k vs 46.3k at ~150k, bucketed 52.0k vs 18.7k
+# at ~1.5M — the per-box crossover sits at the measured 150k-key
+# dead-heat cell (the same decade ladder that located the state-store
+# crossover at ~500k; this one flips earlier because the bucketed arm
+# removes Python dispatches, not just state I/O).
+GEOFENCE_BUCKET_CROSSOVER_KEYS = 150_000
+# The measured bucketed operating point: 4096 buckets at 1.5M keys,
+# i.e. ~366 users/bucket — inside the docstring's ~100-1000 band.
+_USERS_PER_BUCKET = 366
+
+
+def select_geofence_arm(
+    estimated_keys: int,
+    executors: "int | None" = None,
+    spark=None,
+) -> "int | None":
+    """Pick the :func:`geofence_alert_stream` arm from estimated key
+    cardinality — the auto rule that operationalizes the measured
+    crossover the way ``session.select_state_store`` does for the
+    state-store provider.
+
+    Returns the ``state_buckets`` argument to pass: ``None`` below
+    ~150k keys/box (the per-user machine — per-key state I/O and
+    timeouts beat dispatch amortization there), else a power-of-two
+    bucket count sized so each bucket holds ~366 users (the measured
+    4096-buckets-at-1.5M operating point), clamped to [256, 65536].
+    ``estimated_keys`` is the stream's distinct-user cardinality (an
+    approx distinct count over a sample, or the known population),
+    divided by ``executors`` for the per-box figure the crossover was
+    measured at — pass ``spark`` to derive it the same way
+    ``session.select_state_store`` does (local masters: 1, the
+    default when neither is given). The existing
+    ``SPARK_GRAFT_GEOFENCE_BUCKETS`` env pin (the same one bench.py
+    and tools/stream_scale.py route through) wins when set: ``0``
+    forces the per-user arm, a positive integer forces that bucket
+    count.
+    """
+    import math
+    import os
+
+    env = os.environ.get("SPARK_GRAFT_GEOFENCE_BUCKETS", "")
+    if env:
+        b = int(env)
+        return b if b > 0 else None
+    if executors is None:
+        if spark is not None:
+            from pulsar_spark_spark.session import executor_count
+
+            executors = executor_count(spark)
+        else:
+            executors = 1
+    per_box = estimated_keys / max(1, executors)
+    if per_box < GEOFENCE_BUCKET_CROSSOVER_KEYS:
+        return None
+    raw = max(1.0, per_box / _USERS_PER_BUCKET)
+    return min(65536, max(256, 2 ** round(math.log2(raw))))
+
+
 def geofence_alert_stream(
     located: DataFrame,
     src_gf: str = "G0",
@@ -145,8 +205,20 @@ def geofence_alert_stream(
     1.5M keys). ``None`` (default) keeps the per-user machine — the
     right arm at low cardinality, where per-key state I/O and
     per-key timeouts matter more than dispatch count.
+    :func:`select_geofence_arm` turns an estimated key cardinality
+    into this argument automatically (measured crossover ~150k
+    keys/box; the ``SPARK_GRAFT_GEOFENCE_BUCKETS`` env pin wins).
     """
     if state_buckets is not None:
+        if state_buckets <= 0:
+            # pmod(x, 0) is NULL — every user would collapse into ONE
+            # state group. The 0-means-per-user convention lives in
+            # select_geofence_arm / the env pin; by the time a bucket
+            # count reaches this argument it must be positive.
+            raise ValueError(
+                f"state_buckets must be positive, got {state_buckets} "
+                "(pass None for the per-user arm)"
+            )
         return _geofence_alert_stream_bucketed(
             located, src_gf, dest_gf, state_buckets
         )
@@ -261,6 +333,25 @@ def _geofence_alert_stream_bucketed(
         import numpy as np
 
         users = _json.loads(state.get[0]) if state.exists else {}
+        # Guard against a state_buckets change across a checkpoint
+        # restart: the state SCHEMA (one JSON string per bucket) is
+        # unchanged so Spark would accept the checkpoint, but users
+        # re-hash to different buckets — seeds silently lost, A10
+        # counts reset, spurious OUTER->G re-entry alerts. The bucket
+        # count is stamped into every bucket's map under "_B" (user
+        # keys are all-digit strings, no collision) and verified on
+        # read; any bucket touched after a mismatched restart fails
+        # loudly instead.
+        stored_b = users.pop("_B", None)
+        if stored_b is not None and stored_b != n_buckets:
+            raise ValueError(
+                "geofence bucketed-state checkpoint was written with "
+                f"state_buckets={stored_b}, restarted with "
+                f"{n_buckets}: users re-hash to different buckets and "
+                "would silently lose their carried state. Restart "
+                "with the original bucket count (or a fresh "
+                "checkpoint)."
+            )
         chunks = list(pdfs)
         batch = (
             chunks[0]
@@ -325,6 +416,7 @@ def _geofence_alert_stream_bucketed(
             ) + seg_len
             for u, lg, ns in zip(start_users, last_gfs, new_seen):
                 users[str(u)] = [lg, int(ns)]
+        users["_B"] = n_buckets
         state.update((_json.dumps(users),))
 
     keyed = located.withColumn(

@@ -219,3 +219,82 @@ def test_bucketed_geofence_arm_full_parity(spark, tmp_path):
         for r in QUERIES["trip_geofence_transitions"](spark, SF_DIR_SMALL).collect()
     }
     assert {k: v[:4] for k, v in got_bucketed.items()} == want
+
+
+def test_select_geofence_arm_auto_rule(monkeypatch):
+    """Round 14 follow-through on r13 VERDICT missing #1: the
+    geofence machine's bucketed arm auto-selects from estimated key
+    cardinality at the measured ~150k-keys/box dead-heat cell
+    (stream_scale.json: per-user wins below, bucketed x2.8 at 1.5M);
+    an explicit env pin always wins."""
+    from pulsar_spark_spark.streaming.stateful import (
+        GEOFENCE_BUCKET_CROSSOVER_KEYS,
+        select_geofence_arm,
+    )
+
+    monkeypatch.delenv("SPARK_GRAFT_GEOFENCE_BUCKETS", raising=False)
+    # below the crossover: per-user machine
+    assert select_geofence_arm(1_500) is None
+    assert select_geofence_arm(149_999) is None
+    # the measured operating point: 4096 buckets at 1.5M keys
+    assert select_geofence_arm(1_500_000) == 4096
+    # sizing stays power-of-two and clamped
+    assert select_geofence_arm(GEOFENCE_BUCKET_CROSSOVER_KEYS) == 512
+    assert select_geofence_arm(10**9) == 65536
+    # cluster attribution: 16 boxes put 1.5M keys under the crossover
+    assert select_geofence_arm(1_500_000, executors=16) is None
+    # the operator's existing env pin beats any estimate
+    monkeypatch.setenv("SPARK_GRAFT_GEOFENCE_BUCKETS", "0")
+    assert select_geofence_arm(10**9) is None
+    monkeypatch.setenv("SPARK_GRAFT_GEOFENCE_BUCKETS", "8192")
+    assert select_geofence_arm(10) == 8192
+
+
+def test_bucketed_geofence_rejects_bucket_count_change(spark, tmp_path):
+    """A state_buckets change across a checkpoint restart re-hashes
+    users into different buckets (silently losing their seeds — the
+    state schema itself is unchanged, so Spark accepts the
+    checkpoint); the per-bucket "_B" stamp makes the restart fail
+    loudly instead. Also pins the arg guard: state_buckets=0 would be
+    pmod-by-zero (one NULL mega-group), rejected up front."""
+    import pytest
+    from pyspark.sql.utils import StreamingQueryException
+
+    ge = geo_events(spark, SF_DIR_SMALL).select(
+        "user_id", "event_id", F.unix_millis("ts").alias("ts_ms"), "lat", "lng"
+    )
+    input_dir = str(tmp_path / "incoming")
+    ge.coalesce(1).write.mode("append").parquet(input_dir)
+    schema = spark.read.parquet(input_dir).schema
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "alerts")
+
+    def drain(state_buckets):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(input_dir)
+        )
+        alerts = geofence_alert_stream(
+            _located(spark, stream), state_buckets=state_buckets
+        )
+        q = (
+            alerts.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(180)
+        finally:
+            q.stop()
+
+    drain(7)
+    ge.limit(50).coalesce(1).write.mode("append").parquet(input_dir)
+    with pytest.raises(StreamingQueryException, match="state_buckets=7"):
+        drain(5)
+
+    with pytest.raises(ValueError, match="state_buckets must be positive"):
+        geofence_alert_stream(_located(spark, ge), state_buckets=0)

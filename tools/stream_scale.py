@@ -48,6 +48,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# the full fourth-decade cells run exact setup quantiles over 100M
+# rows (bench's deterministic batch split points) — the default 8g
+# driver heap OOMs there; same profile as the other scale tools
+os.environ.setdefault("SPARK_DRIVER_MEM", "24g")
+
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
@@ -274,11 +279,22 @@ def main(filters) -> None:
         # store wins at ≤150k keys and hits its wall at 1.5M.
         sf100 = os.path.join(ROOT, ".scale", "sf100")
         budgets = {"session": SESSION_ROW_BUDGET, "geofence": SF100_ROW_BUDGET}
-        suffix = (
-            ("+rocksdb" if rocksdb else "")
-            + ("+native" if native else "")
-            + ("+bucketed" if bucketed_arm else "")
-        )
+
+        def suffix_for(name: str) -> str:
+            # arm suffixes are PER STREAM: the sessionizer has the
+            # native arm (and ignores the geofence bucket env), the
+            # geofence machine has the bucketed arm — a shared suffix
+            # would commit e.g. the python-arm session number under a
+            # "+bucketed" cell label
+            return (
+                ("+rocksdb" if rocksdb else "")
+                + ("+native" if native and name == "session" else "")
+                + (
+                    "+bucketed"
+                    if bucketed_arm and name == "geofence"
+                    else ""
+                )
+            )
         if rocksdb:
             os.environ["SPARK_GRAFT_STATE_STORE"] = "rocksdb"
         try:
@@ -295,7 +311,7 @@ def main(filters) -> None:
                 b = budgets[name]
                 capture(
                     name,
-                    f"sf100@budget{suffix}",
+                    f"sf100@budget{suffix_for(name)}",
                     dirs[b],
                     1000,
                     {
@@ -321,6 +337,7 @@ def main(filters) -> None:
                 )
                 continue
             for name in which:
+                extra = None
                 if label in SCALE_STREAMS and name not in SCALE_STREAMS[label]:
                     # round 14 (r13 VERDICT stretch): the UNBUDGETED
                     # 100M-row fourth-decade sessionizer cell is only
@@ -329,6 +346,23 @@ def main(filters) -> None:
                     # corpus; the Python arm times out by construction)
                     if not (native and name == "session" and label == "sf100"):
                         continue
+                    # ~95M live session-window state entries (sessions
+                    # barely merge on this corpus — SCALE.md's
+                    # user_sessions note) sit far past the on-heap
+                    # store's SIZE wall (measured: executor heap OOM
+                    # mid-stream at 24g), and at 1.5M keys/box past the
+                    # located key crossover too — so the cell runs
+                    # under RocksDB, the same arm select_state_store
+                    # picks there
+                    os.environ["SPARK_GRAFT_STATE_STORE"] = "rocksdb"
+                    extra = {
+                        "state_store": "rocksdb",
+                        "methodology": (
+                            "full 100M-row corpus, no row budget; "
+                            "RocksDB provider (the on-heap store OOMs "
+                            "on ~95M live session-window entries)"
+                        ),
+                    }
                 cell = label + (
                     "+native"
                     if native and name == "session"
@@ -338,7 +372,11 @@ def main(filters) -> None:
                         else ""
                     )
                 )
-                capture(name, cell, sf_dir, factor)
+                try:
+                    capture(name, cell, sf_dir, factor, extra)
+                finally:
+                    if extra is not None:
+                        os.environ.pop("SPARK_GRAFT_STATE_STORE", None)
     with open(out_path, "w") as f:
         json.dump({"cpus": CPUS, "rows": rows}, f, indent=1, sort_keys=True)
     print(f"-> {out_path}")
