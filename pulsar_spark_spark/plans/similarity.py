@@ -2441,6 +2441,13 @@ def stage_emb_pair_graph_reband(
     ``reband`` FAIR pool (session.py: weight 1 vs the default pool's
     8), bounding the foreground penalty to ~1/9 of the task slots
     under contention while keeping full width on an idle machine.
+    Measured controlled (tools/fair_pool_ab.py, interleaved rounds,
+    saturating fine-task hog): foreground ×1.47 under the capped
+    pool vs ×6.85 unisolated — within one pool scheduling is FIFO,
+    so an uncapped background job STARVES later foreground jobs,
+    which is also why the pool property is only set in pinned-thread
+    mode (shared local properties would leak the demotion onto the
+    foreground itself).
 
     Snapshot semantics: bands every rep visible in the log NOW and
     records the snapshot's high-water ``staged_max_version`` in a
