@@ -233,6 +233,17 @@ def _score_maps(
     n = len(lats)
     lat_a = np.asarray(lats, float)
     lng_a = np.asarray(lngs, float)
+    if np.isnan(lat_a).any() or np.isnan(lng_a).any():
+        # NaN breaks the coordinate-tuple keying below (nan != nan →
+        # a fresh (nan, nan) tuple never matches the stored one →
+        # KeyError deep in the walk). Non-finite coordinates are
+        # outside the kernel contract — operators/grouped.py's
+        # _finite_points drops them JVM-side before dispatch; a
+        # direct caller gets this loud error instead of the KeyError.
+        raise ValueError(
+            "non-finite coordinates in scoring kernel input — filter "
+            "them upstream (operators/grouped._finite_points)"
+        )
     if d is None:
         d = _pairwise_vincenty(lat_a, lng_a)
     differs = (lat_a[None, :] != lat_a[:, None]) | (lng_a[None, :] != lng_a[:, None])

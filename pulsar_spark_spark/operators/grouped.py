@@ -70,6 +70,24 @@ def _spread(df: DataFrame, key: str) -> DataFrame:
     return df.repartition(n, key)
 
 
+def _finite_points(df: DataFrame, cols: tuple = ("lat", "lng")) -> DataFrame:
+    """Total-function guard on the kernel inputs: rows with null/NaN
+    coordinates are dropped JVM-side before any kernel sees them. The
+    reference runs its validity filter (P4) upstream of every kernel,
+    so a non-finite coordinate is outside the kernels' contract — but
+    without this guard it would CRASH the scalar scoring walk (NaN
+    breaks its coordinate-tuple dict keying: nan != nan) while the
+    batch arm silently propagated NaN scores. Engine-internal
+    producers synthesize finite coordinates, so on every registered
+    plan this filter removes zero rows (and folds into the scan's
+    pushed predicates)."""
+    cond = None
+    for c in cols:
+        this = col(c).isNotNull() & ~F.isnan(col(c))
+        cond = this if cond is None else (cond & this)
+    return df.filter(cond)
+
+
 def _last_point(lat_col: str = "lat", lng_col: str = "lng") -> F.Column:
     """The reference guard's 'last point of the time-sorted list' as a
     JVM aggregate: argmax by (ts_ms, event_id)."""
@@ -106,6 +124,7 @@ def apply_best_latlng(points: DataFrame, pre_partitioned: bool = False) -> DataF
     dominated the 1000× wall before this.
     """
     ensure_package_on_executors(points.sparkSession)
+    points = _finite_points(points)
     agg = points.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("__n"), _last_point().alias("__last")
     )
@@ -158,6 +177,7 @@ def apply_cluster_score(points: DataFrame, pre_partitioned: bool = False) -> Dat
     :func:`apply_best_latlng`.
     """
     ensure_package_on_executors(points.sparkSession)
+    points = _finite_points(points)
     agg = points.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("__n"), _last_point().alias("__last")
     )
@@ -223,6 +243,7 @@ def apply_cluster_score_v3(
     kernel, pinned by a randomized parity test).
     """
     ensure_package_on_executors(points.sparkSession)
+    points = _finite_points(points)
 
     def body(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["user_id", *_SORT], kind="mergesort")
@@ -266,6 +287,7 @@ def apply_trimmed_centroid(
     count alone (same routing shape as :func:`apply_best_latlng`).
     """
     ensure_package_on_executors(points.sparkSession)
+    points = _finite_points(points)
     agg = points.groupBy("user_id").agg(
         F.count(F.when(col("accuracy") <= 100.0, 1)).alias("__n_acc")
     )
@@ -366,7 +388,13 @@ def apply_delivery_refinement(
         plat = pdf["p_lat"].to_numpy(dtype=np.float64, na_value=np.nan)
         plng = pdf["p_lng"].to_numpy(dtype=np.float64, na_value=np.nan)
         pacc = pdf["p_accuracy"].to_numpy(dtype=np.float64, na_value=np.nan)
-        valid = ~np.isnan(pts_)
+        # a ping is valid only when FULLY finite: p_ts_ms NaN marks
+        # the pingless left-join rows, and a NaN coordinate/accuracy
+        # is outside the kernels' contract (see _finite_points) — a
+        # half-null ping row is dropped, not walked
+        valid = ~(
+            np.isnan(pts_) | np.isnan(plat) | np.isnan(plng) | np.isnan(pacc)
+        )
         change = np.nonzero(did[1:] != did[:-1])[0] + 1
         starts = np.concatenate(([0], change))
         ends = np.concatenate((change, [len(did)]))

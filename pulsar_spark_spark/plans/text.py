@@ -204,7 +204,8 @@ _BAND_CAP = 64
 # ``recall_boost`` top tier instead: 4 more bands at the same r buys
 # J=0.8 recall 0.76 → 0.82 for +20% banding compute and a 24/20 FP
 # budget haircut (still ~8e10 docs) — the b-boost caveat the ladder
-# always documented, now a knob (auto_band_plan(recall_boost=True)).
+# always documented, now a knob (auto_band_plan(recall_boost=True),
+# reachable through the query API as plan="auto_boost").
 # Exact duplicates never depend on banding at all (the collapse +
 # (rep, rep) self-candidate arm). The floor tier is deliberately held
 # through 20 k docs — past its own 5 k budget point — so the sf0.1
@@ -295,18 +296,23 @@ def resolve_band_plan(
     files — unit-test fixtures, constructed DataFrames) resolve to
     the floor plan: they are small by construction and keeping them
     pinned to the oracle config keeps every existing parity test
-    byte-stable. Explicit 3-tuples pass through after a b·r == hashes
-    sanity check. Row count over-counts UNIQUE texts (the collapse
-    runs later), which only over-provisions the plan — safe."""
-    if plan is None or plan == "auto":
+    byte-stable. ``plan="auto_boost"`` resolves the same ladder with
+    the boosted top tier (``auto_band_plan(recall_boost=True)``) —
+    without this spelling the documented knob was unreachable through
+    the query API, which only threads a plan string/tuple. Explicit
+    3-tuples pass through after a b·r == hashes sanity check. Row
+    count over-counts UNIQUE texts (the collapse runs later), which
+    only over-provisions the plan — safe."""
+    if plan is None or plan in ("auto", "auto_boost"):
         n = _docs_rows(docs)
         if n is None:
             return BAND_PLANS[0][1]
-        return auto_band_plan(n)
+        return auto_band_plan(n, recall_boost=plan == "auto_boost")
     if isinstance(plan, str):
         raise ValueError(
-            f"band plan {plan!r}: accepted values are 'auto', None, or an"
-            " explicit (n_hashes, n_bands, rows_per_band) 3-tuple"
+            f"band plan {plan!r}: accepted values are 'auto', "
+            "'auto_boost', None, or an explicit (n_hashes, n_bands, "
+            "rows_per_band) 3-tuple"
         )
     n_hashes, n_bands, rows = plan
     if n_bands * rows != n_hashes:
@@ -607,75 +613,6 @@ def _mh_sig_matrix(flat, red, consts, n_rows, chunk=1 << 16):
                 out=sig_t[i, dlo:dhi],
             )
     return sig_t
-
-
-def _minhash_sigs_arrow(sh: DataFrame, n_hashes: int) -> DataFrame:
-    """(rep, sig) MinHash signatures via one vectorized Arrow pass —
-    the adaptive-tier twin of
-    :func:`~pulsar_spark_spark.functions.text.minhash_signature_from_hashes`,
-    producing bit-identical values (pinned in pytest).
-
-    Why it exists: Catalyst evaluates higher-order-function lambdas
-    INTERPRETED, one boxed element visit at a time (~60 ns each,
-    measured round 9), so a corpus-adaptive 96-permutation signature
-    costs 96 × |hv| ≈ 28 k visits per document — it dominated the
-    100×/1000× near-dup walls (the whole 1000× point measured 606 s
-    with ~5/6 of it in this one projection). The numpy kernel streams
-    the same arithmetic at ~0.7 ns per element-op: per permutation,
-    one fused multiply-add then ``x mod (2³¹−1)`` via two Mersenne
-    bit-folds (2³¹ ≡ 1 mod P, so x = hi·2³¹ + lo ≡ hi + lo) plus one
-    conditional subtract — exact int64 arithmetic, no modulo
-    instruction — then a segmented ``minimum.reduceat`` per row.
-
-    Only the adaptive tiers (n_hashes > the 16-hash floor) route
-    here, so every oracle-gate and bench corpus keeps the pure-JVM
-    expression plan the DuckDB oracles mirror. Empty hash arrays
-    yield an array of NULLs, exactly like the expression form.
-    """
-    from pulsar_spark_spark.functions.text import _mh_constants
-
-    consts = [_mh_constants(i) for i in range(n_hashes)]
-
-    def fn(batches):
-        import numpy as np
-        import pyarrow as pa
-
-        for batch in batches:
-            rep = batch.column("rep")
-            hv = batch.column("hv")
-            if isinstance(hv, pa.ChunkedArray):
-                hv = hv.combine_chunks()
-            n_rows = len(hv)
-            if n_rows == 0:
-                continue
-            off = hv.offsets.to_numpy().astype(np.int64)
-            flat = hv.values.to_numpy()
-            # a sliced ListArray's offsets need not start at 0
-            base = off[0]
-            if base or len(flat) != off[-1] - base:
-                flat = flat[base : off[-1]]
-                off = off - base
-            empty = off[1:] == off[:-1]
-            # TRUE segment starts (round-10 fix — zeroing empty rows'
-            # offsets corrupted the PRECEDING row's reduceat pair; the
-            # kernel now handles trailing-empty bounds itself)
-            sig_t = _mh_sig_matrix(flat, off[:-1], consts, n_rows)
-            vals = sig_t.T.ravel()
-            if empty.any():
-                mask = np.repeat(empty, n_hashes)
-                values_arr = pa.array(vals, mask=mask)
-            else:
-                values_arr = pa.array(vals)
-            sig_arr = pa.ListArray.from_arrays(
-                pa.array(
-                    np.arange(0, (n_rows + 1) * n_hashes, n_hashes),
-                    type=pa.int32(),
-                ),
-                values_arr,
-            )
-            yield pa.RecordBatch.from_arrays([rep, sig_arr], ["rep", "sig"])
-
-    return sh.select("rep", "hv").mapInArrow(fn, "rep bigint, sig array<bigint>")
 
 
 def _text_bands_arrow(

@@ -199,10 +199,20 @@ def merge_with_state(
             f"batch-only {sorted(set(cols) - set(state.columns))}; "
             "evolve the state table explicitly before upserting"
         )
-    n = new_rows.alias("n")
-    s = state.alias("s")
-    take_new = col(f"n.{version_col}").isNotNull() & (
-        col(f"s.{version_col}").isNull()
+    # Side presence is detected by dedicated markers, NOT by the
+    # user's version column: a batch row whose version is NULL (e.g.
+    # unix_micros of a null timestamp) used to be silently discarded
+    # on an existing key and — worse — persisted as an all-NULL row
+    # on a new key (the full-outer state side is absent, so every
+    # when(false, n.c).otherwise(s.c) projected NULL). With markers,
+    # a new-key row lands intact whatever its version; on an existing
+    # key a NULL-version batch row loses to the state (no ordering
+    # can be established against it — the one case version-comparison
+    # semantics cannot decide).
+    n = new_rows.withColumn("_n_present", F.lit(1)).alias("n")
+    s = state.withColumn("_s_present", F.lit(1)).alias("s")
+    take_new = col("n._n_present").isNotNull() & (
+        col("s._s_present").isNull()
         | (col(f"n.{version_col}") >= col(f"s.{version_col}"))
     )
     return s.join(n, keys, "full_outer").select(
@@ -518,6 +528,9 @@ def _merge_segments(
     )
 
 
+_ORPHAN_GRACE_SEC = 3600.0
+
+
 def compact_log(
     spark: SparkSession,
     table_base: str,
@@ -525,7 +538,8 @@ def compact_log(
     key: str | list[str],
     version_col: str,
     n_buckets: int = 16,
-) -> None:
+    orphan_grace_sec: float = _ORPHAN_GRACE_SEC,
+) -> bool:
     """Fold an append-log state into ONE merged segment and truncate
     the manifest — the read-optimization step of the MOR lifecycle
     (run it when the per-read latest-wins merge over many segments
@@ -548,33 +562,88 @@ def compact_log(
     reader that planned against the pre-compaction manifest (the
     standard MOR reader/compactor race — retries resolve it; a
     retention grace period is the production refinement).
+
+    Compactor-vs-compactor: the whole fold (merge, install, deletion)
+    holds a non-blocking ``.compact.lock``; a second compactor that
+    finds it held returns ``False`` immediately instead of folding an
+    overlapping snapshot — without this, two auto-compact triggers
+    crossing the threshold together could both run, and whichever
+    finished first would rmtree segments the other's merge job was
+    still reading (its append would then fail AFTER its segment was
+    durably committed). Returns ``True`` when a fold ran.
+
+    Orphan reaping: entries under ``path_base`` referenced by NO
+    manifest — a crashed append's segment, or a crashed compactor's
+    never-installed fold — are swept here (with their catalog
+    entries) once older than ``orphan_grace_sec``. The age guard
+    protects a live appender's write-then-commit window: a fresh
+    directory may be a segment whose manifest commit hasn't happened
+    yet, but a committed segment can never become an orphan, so age
+    is the only discriminator needed.
     """
     import os
     import shutil
+    import time
     import uuid
 
+    try:
+        import fcntl
+    except ImportError:  # non-posix: single-compactor contract only
+        fcntl = None
+
     keys = [key] if isinstance(key, str) else list(key)
-    snapshot = _read_manifest(path_base)
-    if not snapshot:
-        raise FileNotFoundError(f"no committed log under {path_base}")
-    merged = _merge_segments(spark, table_base, path_base, snapshot, keys, version_col)
-    seg = f"log_{uuid.uuid4().hex}"
-    save_bucketed(
-        merged,
-        f"{table_base}_{seg}",
-        keys,
-        n_buckets,
-        sort_cols=tuple(keys),
-        path=os.path.join(path_base, seg),
+    os.makedirs(path_base, exist_ok=True)
+    lock_fd = os.open(
+        os.path.join(path_base, ".compact.lock"), os.O_CREAT | os.O_RDWR
     )
-    with _manifest_lock(path_base):
-        snapped = set(snapshot)
-        # segments appended during the merge stay live, AFTER the
-        # compacted segment (later segments win version ties)
-        extras = [s for s in _read_manifest(path_base) if s not in snapped]
-        _write_manifest(path_base, [seg] + extras)
-    for old in snapshot:
-        if old == seg:
-            continue
-        spark.sql(f"DROP TABLE IF EXISTS {table_base}_{old}")
-        shutil.rmtree(os.path.join(path_base, old), ignore_errors=True)
+    try:
+        if fcntl is not None:
+            try:
+                fcntl.flock(lock_fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            except OSError:
+                return False  # a concurrent compactor is folding
+        snapshot = _read_manifest(path_base)
+        if not snapshot:
+            raise FileNotFoundError(f"no committed log under {path_base}")
+        merged = _merge_segments(
+            spark, table_base, path_base, snapshot, keys, version_col
+        )
+        seg = f"log_{uuid.uuid4().hex}"
+        save_bucketed(
+            merged,
+            f"{table_base}_{seg}",
+            keys,
+            n_buckets,
+            sort_cols=tuple(keys),
+            path=os.path.join(path_base, seg),
+        )
+        with _manifest_lock(path_base):
+            snapped = set(snapshot)
+            # segments appended during the merge stay live, AFTER the
+            # compacted segment (later segments win version ties)
+            live = _read_manifest(path_base)
+            extras = [s for s in live if s not in snapped]
+            _write_manifest(path_base, [seg] + extras)
+        for old in snapshot:
+            if old == seg:
+                continue
+            spark.sql(f"DROP TABLE IF EXISTS {table_base}_{old}")
+            shutil.rmtree(os.path.join(path_base, old), ignore_errors=True)
+        kept = {seg, *extras}
+        now = time.time()
+        for entry in os.listdir(path_base):
+            if not entry.startswith("log_") or entry in kept:
+                continue
+            full = os.path.join(path_base, entry)
+            try:
+                aged = now - os.path.getmtime(full) > orphan_grace_sec
+            except OSError:
+                continue  # already reaped concurrently
+            if os.path.isdir(full) and aged:
+                spark.sql(f"DROP TABLE IF EXISTS {table_base}_{entry}")
+                shutil.rmtree(full, ignore_errors=True)
+        return True
+    finally:
+        if fcntl is not None:
+            fcntl.flock(lock_fd, fcntl.LOCK_UN)
+        os.close(lock_fd)

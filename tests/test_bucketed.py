@@ -776,3 +776,127 @@ def test_event_layouts_fingerprint_events_files(spark, tmp_path, monkeypatch):
                        for k in meta["files"]), meta["files"]
         finally:
             spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_compact_log_skips_when_concurrent_compactor_holds_lock(
+    spark, tmp_path
+):
+    """Round 14 review fix: two auto-compact triggers crossing the
+    threshold together must not both fold — the loser would rmtree
+    segments the winner's merge job is still reading, failing an
+    append AFTER its segment was durably committed. The second
+    compactor returns False immediately instead."""
+    import fcntl
+    import os
+
+    from pulsar_spark_spark.sources.bucketed import (
+        _read_manifest,
+        append_log_bucketed,
+        compact_log,
+    )
+
+    base = str(tmp_path / "log")
+    tb = "t_compact_excl"
+    try:
+        for v in range(2):
+            b = spark.createDataFrame(
+                [(k, f"v{v}", v) for k in range(3)],
+                "k long, v string, version long",
+            )
+            append_log_bucketed(b, tb, base, "k", "version", n_buckets=2)
+        before = _read_manifest(base)
+        fd = os.open(
+            os.path.join(base, ".compact.lock"), os.O_CREAT | os.O_RDWR
+        )
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            assert (
+                compact_log(spark, tb, base, "k", "version", n_buckets=2)
+                is False
+            )
+        finally:
+            fcntl.flock(fd, fcntl.LOCK_UN)
+            os.close(fd)
+        assert _read_manifest(base) == before  # nothing folded
+        assert compact_log(spark, tb, base, "k", "version", n_buckets=2)
+        assert len(_read_manifest(base)) == 1
+    finally:
+        for t in [r["tableName"] for r in spark.sql("SHOW TABLES").collect()]:
+            if t.startswith(tb):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_compact_log_reaps_aged_orphans(spark, tmp_path):
+    """Round 14 review fix: segments referenced by NO manifest (a
+    crashed append or a crashed compactor's never-installed fold)
+    are swept by the next compaction once older than the grace
+    period; fresh orphans — possibly an appender mid write-then-
+    commit — survive."""
+    import os
+    import time
+
+    from pulsar_spark_spark.sources.bucketed import (
+        append_log_bucketed,
+        compact_log,
+        read_log_bucketed,
+    )
+
+    base = str(tmp_path / "log")
+    tb = "t_compact_orphan"
+    try:
+        for v in range(2):
+            b = spark.createDataFrame(
+                [(k, f"v{v}", v) for k in range(3)],
+                "k long, v string, version long",
+            )
+            append_log_bucketed(b, tb, base, "k", "version", n_buckets=2)
+        aged = os.path.join(base, "log_orphan_aged")
+        fresh = os.path.join(base, "log_orphan_fresh")
+        os.makedirs(aged)
+        os.makedirs(fresh)
+        old = time.time() - 7200
+        os.utime(aged, (old, old))
+        want = sorted(map(tuple, read_log_bucketed(
+            spark, tb, base, "k", "version"
+        ).collect()))
+        assert compact_log(
+            spark, tb, base, "k", "version", n_buckets=2,
+            orphan_grace_sec=3600,
+        )
+        assert not os.path.exists(aged)
+        assert os.path.exists(fresh)
+        got = sorted(map(tuple, read_log_bucketed(
+            spark, tb, base, "k", "version"
+        ).collect()))
+        assert got == want
+    finally:
+        for t in [r["tableName"] for r in spark.sql("SHOW TABLES").collect()]:
+            if t.startswith(tb):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_merge_with_state_null_version_rows(spark):
+    """Round 14 review fix: side presence in the upsert merge is
+    detected by markers, not by the user's version column — a batch
+    row with a NULL version lands INTACT on a new key (it used to
+    persist as an all-NULL row) and loses to the state on an existing
+    key (no ordering can be established against it; it used to be
+    silently identical, but for the wrong reason)."""
+    from pulsar_spark_spark.sources.bucketed import merge_with_state
+
+    state = spark.createDataFrame(
+        [(1, "s1", 5)], "k long, v string, version long"
+    )
+    batch = spark.createDataFrame(
+        [(1, "n1", None), (2, "n2", None), (3, "n3", 7)],
+        "k long, v string, version long",
+    )
+    got = {
+        r["k"]: (r["v"], r["version"])
+        for r in merge_with_state(state, batch, "k", "version").collect()
+    }
+    assert got == {
+        1: ("s1", 5),      # NULL-version batch row loses to state
+        2: ("n2", None),   # new key lands intact, NOT all-NULL
+        3: ("n3", 7),      # plain new key
+    }

@@ -908,3 +908,55 @@ class TestClusterScoreDuplicates:
             got3 = cluster_best_lat_lng_with_score(lats, lngs)
             want3 = geo_oracle.cluster_score_v3_oracle(list(zip(lats, lngs)))
             assert got3 == want3
+
+
+def test_nan_coordinates_guarded(spark):
+    """Round 14 review fix: a NaN coordinate used to CRASH the scalar
+    scoring walk (nan != nan breaks its coordinate-tuple dict keying
+    with a KeyError deep in the loop) while the batch arm silently
+    propagated NaN scores. Non-finite rows are now dropped JVM-side
+    in every grouped wrapper (operators/grouped._finite_points), so
+    a dirty input produces exactly the clean input's answer; the
+    kernel itself fails loudly if reached directly."""
+    import math
+
+    import numpy as np
+    import pytest
+
+    from pulsar_spark_spark.operators.geo_kernels import _score_maps
+    from pulsar_spark_spark.operators.grouped import (
+        apply_cluster_score,
+        apply_cluster_score_v3,
+    )
+
+    with pytest.raises(ValueError, match="non-finite"):
+        _score_maps(
+            np.array([1.0, float("nan"), 2.0]),
+            np.array([1.0, 2.0, 3.0]),
+            300.0,
+        )
+
+    rows = [
+        (1, i, 1000 + i, 10.0 + i * 1e-5, 70.0 + i * 1e-5)
+        for i in range(6)
+    ]
+    clean = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts_ms long, lat double, lng double"
+    )
+    dirty = clean.unionByName(
+        spark.createDataFrame(
+            [
+                (1, 100, 1100, float("nan"), 70.0),
+                (1, 101, 1101, None, 70.0),
+                (1, 102, 1102, 10.0, float("nan")),
+            ],
+            "user_id long, event_id long, ts_ms long, lat double, lng double",
+        )
+    )
+    for op in (apply_cluster_score, apply_cluster_score_v3):
+        want = sorted(map(tuple, op(clean).collect()))
+        got = sorted(map(tuple, op(dirty).collect()))
+        assert got == want, op.__name__
+        assert not any(
+            isinstance(x, float) and math.isnan(x) for t in got for x in t
+        )

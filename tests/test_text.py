@@ -240,6 +240,10 @@ def test_auto_band_plan_ladder(spark):
     # in-memory relations (no input files) pin to the floor
     df = spark.createDataFrame([(1, "a b c")], "doc_id int, text string")
     assert resolve_band_plan(df, "auto") == (16, 4, 4)
+    # the boost knob is reachable through the plan string (it only
+    # differs from "auto" past the 1.25e9-doc top-tier bound, so the
+    # in-memory floor resolution is identical)
+    assert resolve_band_plan(df, "auto_boost") == (16, 4, 4)
     # malformed explicit plans fail loudly
     import pytest
 
@@ -251,69 +255,19 @@ def test_auto_band_plan_ladder(spark):
         resolve_band_plan(df, "Auto")
 
 
-def test_arrow_minhash_parity_with_expression_form(spark):
-    """The adaptive-tier Arrow signature stage must produce values
-    BIT-IDENTICAL to the Catalyst expression form — same (a·h+b) mod P
-    arithmetic, numpy Mersenne folds vs JVM pmod — including the
-    empty-hash-array → array-of-NULLs edge."""
-    import pyspark.sql.functions as F
-    from pyspark.sql.functions import col
-
-    from pulsar_spark_spark.functions.text import (
-        char_shingles_of_clean,
-        clean_text,
-        minhash_signature_from_hashes,
-        shingle_hashes,
-    )
-    from pulsar_spark_spark.plans.text import _minhash_sigs_arrow
-
-    texts = [
-        (1, "the quick brown fox jumps over the lazy dog"),
-        (2, "pack my box with five dozen liquor jugs"),
-        (3, ""),  # empty text -> empty hv -> all-NULL signature
-        (4, "the quick brown fox jumps over the lazy cat"),
-    ]
-    sh = spark.createDataFrame(texts, "rep long, text string").select(
-        "rep",
-        shingle_hashes(
-            char_shingles_of_clean(clean_text(col("text")), 8)
-        ).alias("hv"),
-    )
-    for n in (60, 96):
-        want = {
-            r["rep"]: r["sig"]
-            for r in sh.select(
-                "rep", minhash_signature_from_hashes(col("hv"), n).alias("sig")
-            ).collect()
-        }
-        got = {
-            r["rep"]: r["sig"] for r in _minhash_sigs_arrow(sh, n).collect()
-        }
-        assert got == want
-        assert got[3] == [None] * n
-
-
 def test_arrow_kernel_multi_row_batch_interleaved_empties(spark):
     """Round-10 regression: in ONE multi-row Arrow batch, a non-empty
     doc immediately FOLLOWED by an empty doc must still get its exact
     min signature. The round-9 kernel zeroed empty rows' segment
     offsets, which degenerated the PRECEDING row's reduceat pair to a
     singleton — its signature became its first gram's value, not the
-    min. The pinned parity tests missed it because tiny test frames
-    arrive one row per batch; coalesce(1) forces one batch here."""
-    import pyspark.sql.functions as F
-    from pyspark.sql.functions import col
-
-    from pulsar_spark_spark.functions.text import (
-        char_shingles_of_clean,
-        clean_text,
-        minhash_signature_from_hashes,
-        shingle_hashes,
-    )
-    from pulsar_spark_spark.plans.text import (
-        _minhash_sigs_arrow,
-        _text_bands_arrow,
-    )
+    min. Pinned through the fused band stage (_text_bands_arrow —
+    bands are splitmix folds of the signatures, so any signature
+    corruption changes them): bands of a text computed next to
+    empties must equal bands of the same text in an empty-free batch.
+    coalesce(1) forces one multi-row batch — tiny test frames
+    otherwise arrive one row per batch and mask the interleaving."""
+    from pulsar_spark_spark.plans.text import _text_bands_arrow
 
     texts = [
         (1, "the quick brown fox jumps over the lazy dog"),
@@ -322,30 +276,6 @@ def test_arrow_kernel_multi_row_batch_interleaved_empties(spark):
         (4, "sphinx of black quartz judge my vow tonight"),
         (5, ""),  # trailing empty: the out-of-bounds case
     ]
-    sh = (
-        spark.createDataFrame(texts, "rep long, text string")
-        .coalesce(1)
-        .select(
-            "rep",
-            shingle_hashes(
-                char_shingles_of_clean(clean_text(col("text")), 8)
-            ).alias("hv"),
-        )
-    )
-    n = 60
-    want = {
-        r["rep"]: r["sig"]
-        for r in sh.select(
-            "rep", minhash_signature_from_hashes(col("hv"), n).alias("sig")
-        ).collect()
-    }
-    got = {r["rep"]: r["sig"] for r in _minhash_sigs_arrow(sh, n).collect()}
-    assert got == want
-    assert got[2] == [None] * n and got[5] == [None] * n
-
-    # same ordering through the fused band stage: bands of a text
-    # computed next to empties must equal bands of the same text in an
-    # empty-free batch
     rel = spark.createDataFrame(
         [(r, t.lower()) for r, t in texts], "rep long, ctext string"
     ).coalesce(1)
