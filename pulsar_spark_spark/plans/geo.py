@@ -305,8 +305,18 @@ def trip_geofence_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     the lag window over time, seeded 'outer' — one user_id shuffle; the
     containment probe stays a broadcast join. The incremental/stateful
     version runs in streaming/ via foreachBatch over this same plan.
+
+    The event projection is MATERIALIZED ahead of the containment
+    join for the same reason :func:`geofence_containment` documents:
+    the broadcast-loop condition evaluates per (event, fence)
+    candidate, and without a hard boundary the md5 lat/lng derivation
+    rides inside it — ~25× re-derivation per event.
     """
-    ge = geo_events(spark, sf_dir)
+    ge = materialize(
+        geo_events(spark, sf_dir).select(
+            "event_id", "ts", "user_id", "lat", "lng"
+        )
+    )
     gf = geofences(spark, sf_dir)
     dist = haversine_m(col("lat"), col("lng"), col("glat"), col("glng"))
     located = (
@@ -513,19 +523,34 @@ def _geotag_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     return state.unionByName(batch)
 
 
-def _geotag_merge(pts: DataFrame) -> DataFrame:
-    """dedup-first-occurrence → cap-100-newest over the point union."""
+def dedup_then_cap(pts: DataFrame, ts_col: str, cap: int) -> DataFrame:
+    """The reference's J4/A3 merge discipline in ONE place:
+    first-occurrence dedup per (user_id, lat, lng, accuracy), then
+    keep the ``cap`` newest points per user. Shared by the batch
+    geotag merge (``ts``, cap 100) and the streaming rescore state
+    fold (``ts_ms``, its history cap) so a future change to the dedup
+    ordering or cap semantics cannot silently diverge the two
+    formulations — they re-implemented the same window pair before
+    round 14. Returns the surviving rows, helper columns dropped."""
     w_dup = Window.partitionBy("user_id", "lat", "lng", "accuracy").orderBy(
-        "ts", "event_id"
+        ts_col, "event_id"
     )
     w_cap = Window.partitionBy("user_id").orderBy(
-        col("ts").desc(), col("event_id").desc()
+        col(ts_col).desc(), col("event_id").desc()
     )
     return (
-        pts.withColumn("dup_rn", F.row_number().over(w_dup))
-        .filter(col("dup_rn") == 1)
-        .withColumn("cap_rn", F.row_number().over(w_cap))
-        .filter(col("cap_rn") <= 100)
+        pts.withColumn("__dup_rn", F.row_number().over(w_dup))
+        .filter(col("__dup_rn") == 1)
+        .withColumn("__cap_rn", F.row_number().over(w_cap))
+        .filter(col("__cap_rn") <= cap)
+        .drop("__dup_rn", "__cap_rn")
+    )
+
+
+def _geotag_merge(pts: DataFrame) -> DataFrame:
+    """dedup-first-occurrence → cap-100-newest over the point union."""
+    return (
+        dedup_then_cap(pts, "ts", 100)
         .select("user_id", "event_id", "ts", "lat", "lng", "accuracy")
         .orderBy("user_id", "ts", "event_id")
     )

@@ -69,8 +69,13 @@ def upsert_parquet(
     per state path (foreachBatch is serial; a real deployment swaps
     this file for Delta/Iceberg MERGE with the same call contract).
     """
+    # NOTE deliberately no session-conf mutation here: the merge below
+    # is timezone-independent (version comparison + parquet instants),
+    # engine sessions already pin UTC at build (session.py), and a
+    # sink call has no business flipping a global planner setting for
+    # the rest of a foreign session's life (the same rule
+    # tests/test_plans.py pins for plan modules).
     spark = new_rows.sparkSession
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     os.makedirs(path, exist_ok=True)
     current = _current_version(path)
 
@@ -141,19 +146,28 @@ def dump_blobs(df: DataFrame, out_dir: str, id_col: str, payload_col: str) -> in
     """Per-row binary dump (K4 analog of batch/ImageDump.scala:17-49).
 
     Writes each row's payload as ``<id>.bin`` under ``out_dir`` from
-    the executors via ``foreachPartition`` — distributed, no driver
-    collect (the reference's version also wrote per-row from a
-    ``foreach``). Returns the number of files written.
+    the executors — distributed, no driver collect (the reference's
+    version also wrote per-row from a ``foreach``). Returns the
+    number of files THIS call wrote (per-partition write counts
+    summed — a directory census would count pre-existing files in a
+    reused out_dir and hide id collisions, so the return value would
+    be useless as the write audit it documents).
     """
     os.makedirs(out_dir, exist_ok=True)
 
-    def write_partition(rows) -> None:
+    def write_partition(rows):
+        n = 0
         for row in rows:
             payload = row[payload_col]
             if payload is None:
                 continue
             with open(os.path.join(out_dir, f"{row[id_col]}.bin"), "wb") as f:
                 f.write(bytes(payload))
+            n += 1
+        yield n
 
-    df.select(id_col, payload_col).foreachPartition(write_partition)
-    return len([f for f in os.listdir(out_dir) if f.endswith(".bin")])
+    return int(
+        df.select(id_col, payload_col)
+        .rdd.mapPartitions(write_partition)
+        .sum()
+    )

@@ -199,7 +199,19 @@ def run_dedup_upsert_stream(
                 col("newest.event_id").alias("event_id"),
                 col("newest.value").alias("value"),
             )
-            .withColumn("version", F.unix_micros("ts"))
+            # the version must order EXACTLY like the in-batch max_by
+            # — (ts, event_id), not ts alone: with a bare unix_micros
+            # version, two same-microsecond events for a key straddling
+            # a batch boundary let the LATER-ARRIVING (lower event_id)
+            # row win the sink's new-wins-ties rule, violating the A2
+            # "newest per (ts, event_id)" contract the batch arm keeps
+            .withColumn(
+                "version",
+                F.struct(
+                    F.unix_micros("ts").alias("t"),
+                    col("event_id").alias("e"),
+                ),
+            )
         )
         if state_table:
             from pulsar_spark_spark.sources.bucketed import upsert_bucketed
@@ -333,21 +345,44 @@ def run_geotag_rescore_stream(
     if auto_gate:
         state_table = _derived_state_table(state_path)
 
+    upgraded = {"bucketed": False}
+
     def _bucketed_now() -> bool:
         """Resolved per batch — the state GROWS across batches, so the
-        gate can flip mid-stream (plain→bucketed upgrade, one-way in
-        practice)."""
+        gate can flip mid-stream (plain→bucketed upgrade). The flip is
+        one-way (state only grows), so once over threshold the
+        decision is memoized: _state_bytes is a driver-side os.walk of
+        the whole committed version, and paying it per batch exactly
+        when the state is big is the wrong end of the trade."""
         if not state_table:
             return False
         if not auto_gate or bucketed_min_bytes <= 0:
             return True
-        return _state_bytes(state_path) >= bucketed_min_bytes
+        if upgraded["bucketed"]:
+            return True
+        flip = _state_bytes(state_path) >= bucketed_min_bytes
+        if flip:
+            upgraded["bucketed"] = True
+        return flip
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pulsar_spark_spark.operators.grouped import _finite_points
+
         spark = batch_df.sparkSession
         use_bucketed = _bucketed_now()
-        new_pts = batch_df.select(
-            "user_id", "event_id", "ts_ms", "lat", "lng", "accuracy"
+        # Non-finite coordinates are dropped at ENTRY, not just inside
+        # the scoring kernel: without this the history collect_list
+        # accumulated points that could never score, and — worse — a
+        # user whose batch points were ALL non-finite lost their
+        # entire update through the inner join against the
+        # NaN-filtered scoring output (silent row loss). Filtering
+        # here keeps history and scoring in agreement; an all-invalid
+        # batch simply carries no location information and leaves the
+        # stored state untouched.
+        new_pts = _finite_points(
+            batch_df.select(
+                "user_id", "event_id", "ts_ms", "lat", "lng", "accuracy"
+            )
         )
         try:
             state = (
@@ -372,21 +407,18 @@ def run_geotag_rescore_stream(
             pts = state_pts.unionByName(new_pts)
         except FileNotFoundError:
             pts = new_pts
-        from pyspark.sql import Window
+        from pulsar_spark_spark.plans.geo import dedup_then_cap
 
-        w_dup = Window.partitionBy(
-            "user_id", "lat", "lng", "accuracy"
-        ).orderBy("ts_ms", "event_id")
-        w_cap = Window.partitionBy("user_id").orderBy(
-            col("ts_ms").desc(), col("event_id").desc()
-        )
-        capped = (
-            pts.withColumn("__dup", F.row_number().over(w_dup))
-            .filter(col("__dup") == 1)
-            .withColumn("__cap", F.row_number().over(w_cap))
-            .filter(col("__cap") <= history_cap)
-            .drop("__dup", "__cap")
-        )
+        capped = dedup_then_cap(pts, "ts_ms", history_cap)
+        # version is DATA-derived (the capped history's newest point),
+        # not the stream's batch_id: batch_id restarts at 0 with a
+        # fresh checkpoint dir, and a merge against surviving state
+        # would then silently lose to the stored higher versions for
+        # every key until the counter caught up — the stream runs
+        # green while discarding all output. max(ts_ms, event_id) is
+        # monotone in the data per user (the merged capped set can
+        # only grow newer), and a replayed batch re-derives the same
+        # version, so new-wins-ties keeps replays idempotent.
         record = (
             capped.groupBy("user_id")
             .agg(
@@ -394,10 +426,10 @@ def run_geotag_rescore_stream(
                     F.collect_list(
                         F.struct("ts_ms", "event_id", "lat", "lng", "accuracy")
                     )
-                ).alias("history")
+                ).alias("history"),
+                F.max(F.struct("ts_ms", "event_id")).alias("version"),
             )
             .join(apply_best_latlng(capped), "user_id")
-            .withColumn("version", F.lit(batch_id))
         )
         if use_bucketed:
             # X4/T6 at scale: the state side of the merge arrives

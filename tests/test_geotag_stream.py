@@ -236,3 +236,92 @@ def test_rescore_auto_state_gate_and_upgrade(spark, tmp_path):
         for t in [r["tableName"] for r in spark.sql("SHOW TABLES").collect()]:
             if t.startswith(derived):
                 spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_rescore_survives_checkpoint_reset_with_source_retention(
+    spark, tmp_path
+):
+    """Round 14 review fix: the rescore upsert version is DATA-derived
+    (newest capped point), not the stream's batch_id. The old
+    batch_id version silently discarded every update after an ops
+    checkpoint reset once source retention had removed the
+    already-absorbed files: the fresh stream's batch ids restart at 0
+    below the stored version, the merge loses for every key, and the
+    stream runs green while writing nothing."""
+    import shutil
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    os.makedirs(src, exist_ok=True)
+    chunks = _chunks()
+
+    def drain(ckpt):
+        stream = spark.readStream.schema(SCHEMA).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(src)
+        q = run_geotag_rescore_stream(
+            stream, state, str(tmp_path / ckpt), history_cap=CAP,
+            bucketed_min_bytes=0,
+        )
+        assert q.awaitTermination(120)
+
+    # phase 1: chunks 1+2 (two batches) through checkpoint 1
+    _write_chunk(spark, chunks[0], src, "c1")
+    _write_chunk(spark, chunks[1], src, "c2")
+    drain("ckpt1")
+
+    # retention removes absorbed files; ops loses the checkpoint;
+    # chunk 3 arrives and drains through a FRESH checkpoint
+    shutil.rmtree(src)
+    os.makedirs(src, exist_ok=True)
+    _write_chunk(spark, chunks[2], src, "c3")
+    drain("ckpt2")
+
+    want = _fold(chunks)
+    got = {
+        r["user_id"]: r for r in read_upsert_table(spark, state).collect()
+    }
+    # user 3's chunk-3 points must have landed (the lost-update case)
+    assert got[3]["n_points"] == want[3][2]
+    hist = [(h["ts_ms"], h["event_id"]) for h in got[3]["history"]]
+    assert (100_000, 400) in hist  # a chunk-3 point survived the reset
+
+
+def test_rescore_drops_non_finite_points(spark, tmp_path):
+    """Round 14 review fix: null/NaN-coordinate points are dropped at
+    stream ENTRY. They used to accumulate in the stored history
+    (collect_list was unfiltered) while scoring ignored them — and a
+    user whose batch was ALL non-finite lost their entire update
+    through the inner join against the NaN-filtered scoring output."""
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src, exist_ok=True)
+    chunks = _chunks()
+    nan = float("nan")
+    dirty = [
+        # user 1: one NaN-lat point amid its finite history
+        (1, 190, 1_500, nan, 20.0, 30.0),
+        # user 9: ONLY non-finite points — carries no location info,
+        # must neither crash nor create a state row
+        (9, 901, 1_000, nan, 25.0, 10.0),
+        (9, 902, 2_000, 15.0, nan, 10.0),
+    ]
+
+    _write_chunk(spark, chunks[0] + dirty, src, "c1")
+    stream = spark.readStream.schema(SCHEMA).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    q = run_geotag_rescore_stream(
+        stream, state, ckpt, history_cap=CAP, bucketed_min_bytes=0
+    )
+    assert q.awaitTermination(120)
+
+    want = _fold([chunks[0]])
+    got = {
+        r["user_id"]: r for r in read_upsert_table(spark, state).collect()
+    }
+    assert 9 not in got  # all-invalid user: no state row, no crash
+    assert got[1]["n_points"] == want[1][2]  # NaN point not counted
+    hist_eids = [h["event_id"] for h in got[1]["history"]]
+    assert 190 not in hist_eids  # ...and not accumulated in history
