@@ -121,20 +121,34 @@ def doc_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     word-3-grams with at least one benchmark document, with the number
     of benchmark docs hit and the worst overlap.
 
-    Plan shape: corpus grams stream map-side against the BROADCAST
-    benchmark gram set (benchmark suites are tiny); the only shuffle
-    is the per-(doc, bench) overlap count, whose input is already
-    reduced to actual overlaps. The df cap bounds any single gram's
-    fanout on both sides.
+    Plan shape: corpus grams stream map-side against the benchmark
+    gram set, broadcast WHILE BOUNDED (benchmark suites are tiny
+    relative to the corpus, but this one is carved out of the corpus
+    itself — 1/25 of its gram rows — so an unconditional broadcast
+    hint grows linearly with corpus size and would blow the 8 GB
+    broadcast limit / driver heap at the 100 TB target;
+    broadcast_if_bounded degrades to the shuffle join there, over a
+    materialized gram set so the guard count scans checkpoint blocks
+    instead of re-running the gram explode). The only shuffle is the
+    per-(doc, bench) overlap count, whose input is already reduced to
+    actual overlaps. The df cap bounds any single gram's fanout on
+    both sides.
     """
+    from pulsar_spark_spark.operators.checkpoint import (
+        broadcast_if_bounded,
+        materialize,
+    )
+
     docs = load_table(spark, "documents", sf_dir)
     grams = pruned_grams(docs, w=1)
-    bench = grams.filter(col("doc_id") % _BENCH_MOD == 0).select(
-        col("doc_id").alias("bench_id"), "g"
+    bench = materialize(
+        grams.filter(col("doc_id") % _BENCH_MOD == 0).select(
+            col("doc_id").alias("bench_id"), "g"
+        )
     )
     corpus = grams.filter(col("doc_id") % _BENCH_MOD != 0)
     hits = (
-        corpus.join(F.broadcast(bench), "g")
+        corpus.join(broadcast_if_bounded(bench), "g")
         .groupBy("doc_id", "bench_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(col("n_shared") >= _DECONTAM_MIN_SHARED)

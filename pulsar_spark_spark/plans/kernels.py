@@ -163,6 +163,65 @@ _G4_MAX_ITERS = 18
 _CENTROID_NUDGE = 1e-10
 
 
+
+def _trim_loop_ctes(p: str, n_iters: int) -> tuple[str, str, str]:
+    """The G4 outlier-trim loop unrolled as SQL CTEs — ONE builder for
+    both oracle sites (the standalone G2+G4 oracle, ``p=""``, and the
+    refinement oracle's per-cluster trim, ``p="t"``), so the trim
+    rule's constants (HAVING count(*) > 3, avgd <= 25.0, the
+    10%-or-1 trim size, the <= 3 shrink terminal) can never silently
+    diverge between them — they lived as two near-identical ~30-line
+    f-string blocks before round 14. Expects a ``{p}kept0`` CTE
+    (user_id, pos, lat, lng) in scope; produces ``{p}cent/{p}stat/
+    {p}fin/{p}kept/{p}shr`` generations with Vincenty CTEs tagged
+    ``{p}{k}`` (distance relations ``cdist{p}{k}``). Returns
+    (blocks_sql, fins_union, shrs_union)."""
+    blocks = []
+    for k in range(n_iters):
+        blocks.append(
+            f""", {p}cent{k} AS MATERIALIZED (
+    SELECT user_id, count(*) AS m,
+           sum(lat) / count(*) AS clat, sum(lng) / count(*) AS clng
+    FROM {p}kept{k} GROUP BY user_id HAVING count(*) > 3
+), {sql_vincenty_center_ctes(f'{p}kept{k}', f'{p}cent{k}', f'{p}{k}')}
+, {p}stat{k} AS MATERIALIZED (
+    SELECT c.user_id AS user_id, c.m AS m,
+           c.clat AS clat, c.clng AS clng,
+           sum(dd.d) / c.m AS avgd
+    FROM {p}cent{k} c JOIN cdist{p}{k} dd ON dd.user_id = c.user_id
+    GROUP BY c.user_id, c.m, c.clat, c.clng
+), {p}fin{k} AS MATERIALIZED (
+    SELECT user_id, clat, clng FROM {p}stat{k} WHERE avgd <= 25.0
+), {p}kept{k + 1} AS MATERIALIZED (
+    SELECT user_id, pos, lat, lng FROM (
+        SELECT t.user_id AS user_id,
+               row_number() OVER (PARTITION BY t.user_id
+                                  ORDER BY dd.d ASC, t.pos ASC) AS pos,
+               t.lat AS lat, t.lng AS lng, s.m AS m
+        FROM {p}kept{k} t
+        JOIN cdist{p}{k} dd ON dd.user_id = t.user_id AND dd.pos = t.pos
+        JOIN {p}stat{k} s ON s.user_id = t.user_id
+        WHERE s.avgd > 25.0
+    ) WHERE pos <= m - CAST(trunc(greatest(CAST(m AS DOUBLE) * 0.1, 1.0))
+                            AS BIGINT)
+), {p}shr{k + 1} AS MATERIALIZED (
+    SELECT s.user_id AS user_id, s.clat AS clat, s.clng AS clng
+    FROM {p}stat{k} s
+    JOIN (SELECT user_id FROM {p}kept{k + 1}
+          GROUP BY user_id HAVING count(*) <= 3) x
+      ON x.user_id = s.user_id
+)"""
+        )
+    fins = "\nUNION ALL\n".join(
+        f"SELECT user_id, clat, clng FROM {p}fin{k}" for k in range(n_iters)
+    )
+    shrs = "\nUNION ALL\n".join(
+        f"SELECT user_id, clat, clng FROM {p}shr{k}"
+        for k in range(1, n_iters + 1)
+    )
+    return "".join(blocks), fins, shrs
+
+
 def _g2g4_oracle() -> str:
     """G2 + G4 value oracle for ``cluster_score_per_user``.
 
@@ -267,50 +326,8 @@ g2last AS (
     FROM ord4 o JOIN acc4 a ON a.user_id = o.user_id
     WHERE o.accuracy <= 100.0 AND a.n_acc >= 4
 )"""
-    blocks = []
-    for k in range(_G4_MAX_ITERS):
-        blocks.append(
-            f""", cent{k} AS MATERIALIZED (
-    SELECT user_id, count(*) AS m,
-           sum(lat) / count(*) AS clat, sum(lng) / count(*) AS clng
-    FROM kept{k} GROUP BY user_id HAVING count(*) > 3
-), {sql_vincenty_center_ctes(f'kept{k}', f'cent{k}', str(k))}
-, stat{k} AS MATERIALIZED (
-    SELECT c.user_id AS user_id, c.m AS m,
-           c.clat AS clat, c.clng AS clng,
-           sum(dd.d) / c.m AS avgd
-    FROM cent{k} c JOIN cdist{k} dd ON dd.user_id = c.user_id
-    GROUP BY c.user_id, c.m, c.clat, c.clng
-), fin{k} AS MATERIALIZED (
-    SELECT user_id, clat, clng FROM stat{k} WHERE avgd <= 25.0
-), kept{k + 1} AS MATERIALIZED (
-    SELECT user_id, pos, lat, lng FROM (
-        SELECT t.user_id AS user_id,
-               row_number() OVER (PARTITION BY t.user_id
-                                  ORDER BY dd.d ASC, t.pos ASC) AS pos,
-               t.lat AS lat, t.lng AS lng, s.m AS m
-        FROM kept{k} t
-        JOIN cdist{k} dd ON dd.user_id = t.user_id AND dd.pos = t.pos
-        JOIN stat{k} s ON s.user_id = t.user_id
-        WHERE s.avgd > 25.0
-    ) WHERE pos <= m - CAST(trunc(greatest(CAST(m AS DOUBLE) * 0.1, 1.0))
-                            AS BIGINT)
-), shr{k + 1} AS MATERIALIZED (
-    SELECT s.user_id AS user_id, s.clat AS clat, s.clng AS clng
-    FROM stat{k} s
-    JOIN (SELECT user_id FROM kept{k + 1}
-          GROUP BY user_id HAVING count(*) <= 3) x
-      ON x.user_id = s.user_id
-)"""
-        )
-    fins = "\nUNION ALL\n".join(
-        f"SELECT user_id, clat, clng FROM fin{k}"
-        for k in range(_G4_MAX_ITERS)
-    )
-    shrs = "\nUNION ALL\n".join(
-        f"SELECT user_id, clat, clng FROM shr{k}"
-        for k in range(1, _G4_MAX_ITERS + 1)
-    )
+    blocks, fins, shrs = _trim_loop_ctes("", _G4_MAX_ITERS)
+    blocks = [blocks]
     tail = f""", g4 AS (
 {fins}
 UNION ALL
@@ -507,49 +524,8 @@ tkept0 AS MATERIALIZED (
            lat, lng
     FROM cm
 )"""
-    blocks = []
-    for k in range(_REFINE_TRIM_ITERS):
-        blocks.append(
-            f""", tcent{k} AS MATERIALIZED (
-    SELECT user_id, count(*) AS m,
-           sum(lat) / count(*) AS clat, sum(lng) / count(*) AS clng
-    FROM tkept{k} GROUP BY user_id HAVING count(*) > 3
-), {sql_vincenty_center_ctes(f'tkept{k}', f'tcent{k}', f't{k}')}
-, tstat{k} AS MATERIALIZED (
-    SELECT c.user_id AS user_id, c.m AS m, c.clat AS clat, c.clng AS clng,
-           sum(dd.d) / c.m AS avgd
-    FROM tcent{k} c JOIN cdistt{k} dd ON dd.user_id = c.user_id
-    GROUP BY c.user_id, c.m, c.clat, c.clng
-), tfin{k} AS MATERIALIZED (
-    SELECT user_id, clat, clng FROM tstat{k} WHERE avgd <= 25.0
-), tkept{k + 1} AS MATERIALIZED (
-    SELECT user_id, pos, lat, lng FROM (
-        SELECT t.user_id AS user_id,
-               row_number() OVER (PARTITION BY t.user_id
-                                  ORDER BY dd.d ASC, t.pos ASC) AS pos,
-               t.lat AS lat, t.lng AS lng, s.m AS m
-        FROM tkept{k} t
-        JOIN cdistt{k} dd ON dd.user_id = t.user_id AND dd.pos = t.pos
-        JOIN tstat{k} s ON s.user_id = t.user_id
-        WHERE s.avgd > 25.0
-    ) WHERE pos <= m - CAST(trunc(greatest(CAST(m AS DOUBLE) * 0.1, 1.0))
-                            AS BIGINT)
-), tshr{k + 1} AS MATERIALIZED (
-    SELECT s.user_id AS user_id, s.clat AS clat, s.clng AS clng
-    FROM tstat{k} s
-    JOIN (SELECT user_id FROM tkept{k + 1}
-          GROUP BY user_id HAVING count(*) <= 3) x
-      ON x.user_id = s.user_id
-)"""
-        )
-    fins = "\nUNION ALL\n".join(
-        f"SELECT user_id, clat, clng FROM tfin{k}"
-        for k in range(_REFINE_TRIM_ITERS)
-    )
-    shrs = "\nUNION ALL\n".join(
-        f"SELECT user_id, clat, clng FROM tshr{k}"
-        for k in range(1, _REFINE_TRIM_ITERS + 1)
-    )
+    blocks, fins, shrs = _trim_loop_ctes("t", _REFINE_TRIM_ITERS)
+    blocks = [blocks]
     tail = f""", tcentroid AS MATERIALIZED (
 {fins}
 UNION ALL

@@ -161,6 +161,42 @@ def decode_image_real(payload: bytes):  # pragma: no cover - env-gated
     raise NotImplementedError("wire PIL decode here when codecs exist")
 
 
+def _feature_cols(pdf: pd.DataFrame) -> dict:
+    """Per-batch byte-stats columns — the ONE copy of the feature
+    contract, consumed by :func:`extract_features` and the fused
+    :func:`extract_features_resize` (it existed verbatim in both
+    bodies before round 14; a payload-contract change must now land
+    in exactly one place or the fused registered query and the
+    standalone operator diverge)."""
+    feats = [fake_decode_features(p) for p in pdf["payload"]]
+    return {
+        "n_bytes": [len(p) for p in pdf["payload"]],
+        "byte_mean": [f[0] for f in feats],
+        "byte_std": [f[1] for f in feats],
+        "hist4": [f[2] for f in feats],
+    }
+
+
+def _pooled_cols(pdf: pd.DataFrame) -> dict:
+    """Per-batch 8×8 → 4×4 mean-pool columns — the one copy of the
+    pooling arithmetic, consumed by :func:`resize_pool2` and the
+    fused :func:`extract_features_resize`. Exact in float64
+    (integer sums / 4)."""
+    mats = (
+        np.stack([np.frombuffer(p, dtype=np.uint8) for p in pdf["payload"]])
+        .astype(np.float64)
+        .reshape(-1, 8, 8)
+    )
+    pooled = mats.reshape(-1, 4, 2, 4, 2).sum(axis=(2, 4)) / 4.0
+    return {
+        "r00": pooled[:, 0, 0],
+        "r03": pooled[:, 0, 3],
+        "r30": pooled[:, 3, 0],
+        "r33": pooled[:, 3, 3],
+        "pool_sum": pooled.sum(axis=(1, 2)),
+    }
+
+
 def extract_features(media: DataFrame) -> DataFrame:
     """mapInPandas feature extraction over the binary column.
 
@@ -174,15 +210,11 @@ def extract_features(media: DataFrame) -> DataFrame:
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [fake_decode_features(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "media_type": pdf["media_type"],
-                    "n_bytes": [len(p) for p in pdf["payload"]],
-                    "byte_mean": [f[0] for f in feats],
-                    "byte_std": [f[1] for f in feats],
-                    "hist4": [f[2] for f in feats],
+                    **_feature_cols(pdf),
                 }
             )
 
@@ -248,24 +280,12 @@ def extract_features_resize(media: DataFrame) -> DataFrame:
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [fake_decode_features(p) for p in pdf["payload"]]
-            mats = np.stack(
-                [np.frombuffer(p, dtype=np.uint8) for p in pdf["payload"]]
-            ).astype(np.float64).reshape(-1, 8, 8)
-            pooled = mats.reshape(-1, 4, 2, 4, 2).sum(axis=(2, 4)) / 4.0
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "media_type": pdf["media_type"],
-                    "n_bytes": [len(p) for p in pdf["payload"]],
-                    "byte_mean": [f[0] for f in feats],
-                    "byte_std": [f[1] for f in feats],
-                    "hist4": [f[2] for f in feats],
-                    "r00": pooled[:, 0, 0],
-                    "r03": pooled[:, 0, 3],
-                    "r30": pooled[:, 3, 0],
-                    "r33": pooled[:, 3, 3],
-                    "pool_sum": pooled.sum(axis=(1, 2)),
+                    **_feature_cols(pdf),
+                    **_pooled_cols(pdf),
                 }
             )
 
@@ -411,21 +431,8 @@ def resize_pool2(media: DataFrame) -> DataFrame:
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            mats = np.stack(
-                [np.frombuffer(p, dtype=np.uint8) for p in pdf["payload"]]
-            ).astype(np.float64).reshape(-1, 8, 8)
-            pooled = (
-                mats.reshape(-1, 4, 2, 4, 2).sum(axis=(2, 4)) / 4.0
-            )  # (n, 4, 4)
             yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "r00": pooled[:, 0, 0],
-                    "r03": pooled[:, 0, 3],
-                    "r30": pooled[:, 3, 0],
-                    "r33": pooled[:, 3, 3],
-                    "pool_sum": pooled.sum(axis=(1, 2)),
-                }
+                {"media_id": pdf["media_id"], **_pooled_cols(pdf)}
             )
 
     schema = (

@@ -50,6 +50,7 @@ def asof_backward_join(
     right_ts: str,
     right_cols: list[str],
     strict: bool = True,
+    tiebreak: "str | None" = None,
 ) -> DataFrame:
     """Generic backward as-of join: for every ``left`` row, attach the
     most recent ``right`` row of the same ``on`` key with
@@ -58,12 +59,26 @@ def asof_backward_join(
     Union-tag + window shape (see module docstring): right rows sort
     AFTER left rows at equal timestamps when ``strict`` (so a same-ts
     right row is excluded), BEFORE them otherwise. Ties inside the
-    right side resolve to the largest ``__seq`` (event id) —
-    deterministic on both engines.
+    right side resolve to the largest ``tiebreak`` value —
+    deterministic on both engines. ``tiebreak`` must be an integral
+    right-side column (an event/row id); it defaults to
+    ``right_cols[0]`` for the id-first column convention the engine's
+    own callers use, but a non-integral first column is a hard error
+    rather than a silently nondeterministic cast (a double or string
+    cast to long is non-unique/NULL, and the window's tie order would
+    then vary across runs and partitionings).
 
     Output: all ``left`` columns plus ``right_cols`` (null when no
     prior right row exists).
     """
+    tiebreak = tiebreak or right_cols[0]
+    tb_type = dict(right.dtypes).get(tiebreak)
+    if tb_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"asof_backward_join tiebreak column {tiebreak!r} has type "
+            f"{tb_type!r}; pass tiebreak=<an integral right-side id "
+            "column> — tie order would otherwise be nondeterministic"
+        )
     lt = left.withColumn("__is_r", F.lit(0))
     rt = right.withColumn("__is_r", F.lit(1))
     l_cols = [c for c in left.columns]
@@ -81,7 +96,7 @@ def asof_backward_join(
         rt.select(
             col(on).alias("__k"),
             col(right_ts).alias("__ts"),
-            col(right_cols[0]).cast("long").alias("__seq"),
+            col(tiebreak).cast("long").alias("__seq"),
             col("__is_r"),
             F.lit(None).cast(
                 "struct<" + ",".join(f"{c}:{dict(left.dtypes)[c]}" for c in l_cols) + ">"

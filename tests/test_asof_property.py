@@ -119,3 +119,28 @@ def test_asof_matches_pandas_merge_asof(spark, strict, left_rows, right_rows):
         for r in want_df.itertuples()
     }
     assert got == want
+
+
+def test_asof_rejects_non_integral_tiebreak(spark):
+    """Round 14 review fix: the right-side tie order must come from an
+    integral id column — a double/string first column silently cast
+    to long made the tie winner vary across runs."""
+    import pytest
+
+    left = spark.createDataFrame(
+        [(1, 1)], "k long, lts long"
+    )
+    right = spark.createDataFrame(
+        [(1, 0, 1.0, 7)], "k long, rts long, v double, rid long"
+    )
+    with pytest.raises(ValueError, match="tiebreak"):
+        asof_backward_join(
+            left, right, on="k", left_ts="lts", right_ts="rts",
+            right_cols=["v", "rid"],
+        )
+    # explicit integral tiebreak accepts the same column order
+    out = asof_backward_join(
+        left, right, on="k", left_ts="lts", right_ts="rts",
+        right_cols=["v", "rid"], tiebreak="rid",
+    )
+    assert out.collect()[0]["rid"] == 7
