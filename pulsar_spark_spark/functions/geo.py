@@ -216,6 +216,15 @@ def _vincenty_np_core(
     # Same-point short circuit and the reference's no-fix sentinel.
     dist = np.where((lat1 == lat2) & (lng1 == lng2), 0.0, dist)
     dist = np.where((lat1 == 0.0) | (lat2 == 0.0), NO_FIX_DISTANCE_M, dist)
+    # Non-finite INPUTS propagate as NaN — the scalar vincenty_py
+    # returns NaN for them, and the isnan→0 line above exists only
+    # for the batch analogs of the scalar path's degenerate-geometry
+    # guards; without this mask a NULL coordinate (NaN through
+    # Arrow) came back as "0 meters away", silently matching every
+    # proximity predicate.
+    bad = np.isnan(lat1) | np.isnan(lng1) | np.isnan(lat2) | np.isnan(lng2)
+    if bad.any():
+        dist = np.where(bad, np.nan, dist)
     return dist
 
 
@@ -223,10 +232,17 @@ def _vincenty_np_core(
 def vincenty_udf(
     lat1: pd.Series, lng1: pd.Series, lat2: pd.Series, lng2: pd.Series
 ) -> pd.Series:
-    """Arrow-batched Vincenty distance column (meters)."""
-    return pd.Series(
-        vincenty_np(lat1.to_numpy(), lng1.to_numpy(), lat2.to_numpy(), lng2.to_numpy())
+    """Arrow-batched Vincenty distance column (meters). NULL/NaN
+    coordinates yield SQL NULL — the same null propagation as the
+    ``hav_m`` expression twin, so the two registered distance
+    functions agree on null semantics."""
+    out = vincenty_np(
+        lat1.to_numpy(), lng1.to_numpy(), lat2.to_numpy(), lng2.to_numpy()
     )
+    bad = np.isnan(out)
+    if bad.any():
+        return pd.Series(pd.arrays.FloatingArray(out, bad))
+    return pd.Series(out)
 
 
 # --------------------------------------------------------------------
@@ -297,10 +313,23 @@ def geohash_decode_py(gh: str) -> tuple[float, float]:
 
 @pandas_udf(StringType())
 def geohash_udf(lat: pd.Series, lng: pd.Series, precision: pd.Series) -> pd.Series:
-    """Arrow-batched geohash encode; precision is a column (pass lit(7))."""
+    """Arrow-batched geohash encode; precision is a column (pass
+    lit(7)). NULL coordinates encode to NULL — Spark NULL doubles
+    arrive in the pandas Series as NaN (never None, so an
+    ``is not None`` guard cannot fire), and without the isnan check a
+    null-coordinate row encoded to the all-zero-bits cell at
+    (-90, -180), bucketing every such row into a spurious
+    south-pole geohash."""
+    import math
+
     return pd.Series(
         [
-            geohash_encode_py(a, b, int(p)) if a is not None and b is not None else None
+            geohash_encode_py(a, b, int(p))
+            if a is not None
+            and b is not None
+            and not math.isnan(a)
+            and not math.isnan(b)
+            else None
             for a, b, p in zip(lat, lng, precision)
         ]
     )

@@ -28,11 +28,30 @@ def _pin_last_win_policy() -> None:
     duplicate-keyed KV lists these functions exist to normalize). The
     table loader pins it, but callers building maps on a session that
     never loaded a catalog table must not depend on that side effect —
-    pin it at expression-build time too."""
+    pin it at expression-build time too. The flip is session-wide
+    (Spark has no per-expression dedup policy, and the expression-
+    level alternative is the O(k²) exists-fold this single-pass form
+    measurably replaced), so on a session that was NOT already at
+    LAST_WIN it warns: a user relying on the EXCEPTION default to
+    catch duplicate map keys in unrelated queries loses that
+    protection, and should see it happen rather than discover it from
+    silently-last-wins data."""
+    import warnings
+
     from pyspark.sql import SparkSession
 
     s = SparkSession.getActiveSession()
-    if s is not None:
+    if s is None:
+        return
+    cur = (s.conf.get("spark.sql.mapKeyDedupPolicy", "EXCEPTION") or "").upper()
+    if cur != "LAST_WIN":
+        warnings.warn(
+            "kv_list_to_map_* requires spark.sql.mapKeyDedupPolicy="
+            "LAST_WIN; setting it for this session — duplicate map "
+            "keys in other queries will now resolve last-wins instead "
+            "of raising DUPLICATED_MAP_KEY",
+            stacklevel=3,
+        )
         s.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
 
 

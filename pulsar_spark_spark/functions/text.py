@@ -8,10 +8,12 @@ training-data-pipeline extension surface (dedup / quality / lang-id),
 built expression-first so it runs JVM-side.
 
 Design rule for hash functions: anything that must be oracle-checked
-in DuckDB uses md5-derived integers (``conv(substr(md5(x),1,16),16,10)``
-≡ DuckDB ``('0x' || substr(md5(x),1,16))::UINT64``) — identical on
+in DuckDB uses md5-derived integers (``conv(substr(md5(x),1,15),16,10)``
+≡ DuckDB ``('0x' || substr(md5(x),1,15))::BIGINT``) — identical on
 both engines, stable across runs, no dependence on Spark's internal
-murmur seed.
+murmur seed. 15 hex chars (60 bits), NOT 16: a 16th char would need
+UINT64, which signed-BIGINT Spark cannot hold — an oracle written to
+a 16-char version of this contract disagrees on every hash.
 """
 
 from __future__ import annotations

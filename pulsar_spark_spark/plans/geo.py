@@ -306,17 +306,18 @@ def trip_geofence_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     containment probe stays a broadcast join. The incremental/stateful
     version runs in streaming/ via foreachBatch over this same plan.
 
-    The event projection is MATERIALIZED ahead of the containment
-    join for the same reason :func:`geofence_containment` documents:
-    the broadcast-loop condition evaluates per (event, fence)
-    candidate, and without a hard boundary the md5 lat/lng derivation
-    rides inside it — ~25× re-derivation per event.
+    Deliberately NOT materialized ahead of the containment join,
+    unlike :func:`geofence_containment`: the same md5-rederivation
+    diagnosis applies (the broadcast-loop condition evaluates per
+    (event, fence) candidate), but an interleaved A/B measured the
+    boundary AGAINST this query — ×1.05 slower at sf0.1 and ×1.02 at
+    sf1 (min-of-3/4, arms alternated) — where containment measured
+    ×1.31 FOR it. The difference: this query carries a 5-column
+    projection into a left join + full-width groupBy whose checkpoint
+    write costs more than the saved derivation, while containment's
+    3-column projection feeds a 25-row aggregate.
     """
-    ge = materialize(
-        geo_events(spark, sf_dir).select(
-            "event_id", "ts", "user_id", "lat", "lng"
-        )
-    )
+    ge = geo_events(spark, sf_dir)
     gf = geofences(spark, sf_dir)
     dist = haversine_m(col("lat"), col("lng"), col("glat"), col("glng"))
     located = (

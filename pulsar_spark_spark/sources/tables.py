@@ -67,9 +67,13 @@ def _nanos_columns(path: str) -> frozenset[str]:
     probe = path
     if os.path.isdir(path):
         # first part file anywhere under the dir — covers both flat
-        # part-file layouts and hive-partitioned date=.../ trees
+        # part-file layouts and hive-partitioned date=.../ trees.
+        # The walk stays LAZY: sorting dirs in place steers os.walk's
+        # traversal order deterministically, while a sorted(os.walk())
+        # would materialize the whole tree before the first probe and
+        # make the in-place sort dead code.
         probe = None
-        for base, dirs, files in sorted(os.walk(path)):
+        for base, dirs, files in os.walk(path):
             dirs.sort()
             parts = sorted(
                 f for f in files
@@ -143,17 +147,25 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     return _normalize_timestamps(df, _nanos_columns(path))
 
 
-def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
-    """Register every catalog table as a temp view for spark.sql use.
+def register_views(
+    spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR
+) -> list[str]:
+    """Register every catalog table as a temp view for spark.sql use;
+    returns the registered names (sql.py's ``register_tables``
+    delegates here — ONE copy of the skip rule and path layout, so
+    the plan API and the SQL surface cannot see different catalogs).
 
     Routed through :func:`load_table` so both surfaces (plan API and
     spark.sql) share the same schema handling — in particular the
     events ns→µs timestamp conversion and its session conf.
     """
+    names = []
     for name in TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
             load_table(spark, name, sf_dir).createOrReplaceTempView(name)
+            names.append(name)
+    return names
 
 
 def load_events_range(

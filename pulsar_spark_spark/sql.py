@@ -413,17 +413,11 @@ def register_tables(spark: SparkSession, sf_dir: str) -> list[str]:
     """Create loader-normalized temp views for every fixture table
     present under ``sf_dir`` (NANOS→µs timestamp normalization and
     map-dedup pinning included — SQL users see the same relations the
-    DataFrame plans do)."""
-    import os
+    DataFrame plans do). Delegates to ``sources.tables.register_views``
+    so the skip rule / path layout lives in one place."""
+    from pulsar_spark_spark.sources.tables import register_views
 
-    from pulsar_spark_spark.sources.tables import TABLES, load_table
-
-    names = []
-    for name in TABLES:
-        if os.path.exists(os.path.join(sf_dir, f"{name}.parquet")):
-            load_table(spark, name, sf_dir).createOrReplaceTempView(name)
-            names.append(name)
-    return names
+    return register_views(spark, sf_dir)
 
 
 _MISSING_INPUT_CLASSES = {"PATH_NOT_FOUND", "TABLE_OR_VIEW_NOT_FOUND"}

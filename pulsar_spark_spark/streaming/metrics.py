@@ -39,6 +39,14 @@ from pyspark.sql import SparkSession
 from pyspark.sql.streaming import StreamingQueryListener
 
 
+def _finite_rate(v) -> float:
+    """Absent OR NaN rate → 0.0 (see the progress-event note below)."""
+    import math
+
+    r = float(v or 0.0)
+    return 0.0 if math.isnan(r) else r
+
+
 @dataclass
 class SourceMetrics:
     """Per-(query, source) counters — TopicConsumerMetrics twin."""
@@ -105,9 +113,16 @@ class StreamMetricsListener(StreamingQueryListener):
                 sm = qm.sources.setdefault(desc, SourceMetrics(source=desc))
                 sm.total_input_rows += int(s.numInputRows or 0)
                 sm.n_batches += 1
-                sm.last_input_rows_per_second = float(s.inputRowsPerSecond or 0.0)
-                sm.last_processed_rows_per_second = float(
-                    s.processedRowsPerSecond or 0.0
+                # Structured Streaming reports the rates as NaN on a
+                # query's first progress event; NaN is truthy so the
+                # `or 0.0` absent-value guard alone passes it through
+                # — and a NaN in the snapshot breaks JSON serializers
+                # and numeric comparisons downstream.
+                sm.last_input_rows_per_second = _finite_rate(
+                    s.inputRowsPerSecond
+                )
+                sm.last_processed_rows_per_second = _finite_rate(
+                    s.processedRowsPerSecond
                 )
                 sm.max_receive_rate = max(
                     sm.max_receive_rate, sm.last_processed_rows_per_second

@@ -194,3 +194,37 @@ class TestTextPrimitives:
         for r in rows:
             assert r["a"] == r["b"]
             assert r["sa"] == r["sb"]
+
+
+def test_distance_and_geohash_null_semantics(spark):
+    """Round 14 review fix: NULL/NaN coordinates must come back NULL
+    from both registered distance functions and the geohash encoder.
+    vincenty_np's isnan->0 degenerate-geometry guard used to launder
+    a NULL coordinate into '0 meters away' (matching every proximity
+    predicate), and the geohash UDF's `is not None` guard never fired
+    (Spark NULL doubles arrive as NaN), encoding NULLs to the
+    south-pole cell '0000000'."""
+    import math
+
+    import numpy as np
+
+    from pulsar_spark_spark.functions.geo import vincenty_np
+    from pulsar_spark_spark.sql import register_functions
+
+    register_functions(spark)
+    row = spark.sql(
+        "SELECT vincenty_m(CAST(NULL AS DOUBLE), 77.6, 12.9, 77.6) AS v, "
+        "       hav_m(CAST(NULL AS DOUBLE), 77.6, 12.9, 77.6) AS h, "
+        "       geohash_enc(CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), 7) AS g, "
+        "       vincenty_m(12.91, 77.61, 12.9, 77.6) AS ok"
+    ).first()
+    assert row["v"] is None and row["h"] is None and row["g"] is None
+    assert row["ok"] is not None and row["ok"] > 0
+    # the numpy kernel propagates NaN like the scalar path (parity)
+    out = vincenty_np(
+        np.array([float("nan"), 12.91]),
+        np.array([77.6, 77.61]),
+        np.array([12.9, 12.9]),
+        np.array([77.6, 77.6]),
+    )
+    assert math.isnan(out[0]) and out[1] > 0
