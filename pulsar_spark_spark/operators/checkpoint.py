@@ -82,7 +82,15 @@ def materialize(df: DataFrame, eager: bool = False, spill: bool = False) -> Data
     is a no-op there.
     """
     if _STATE["reliable"]:
-        return df.checkpoint(eager=eager)
+        # The flag is process-global but the checkpoint dir is
+        # per-SparkContext state: a DataFrame from a DIFFERENT session
+        # than the one configure_reliable_checkpoints saw would crash
+        # with 'Checkpoint directory has not been set'. Verify THIS
+        # df's context actually has a dir; fall through to the local
+        # arm otherwise (the behavior that session would have had).
+        sc = df.sparkSession.sparkContext
+        if sc._jsc.sc().getCheckpointDir().isDefined():
+            return df.checkpoint(eager=eager)
     if spill:
         from pyspark.storagelevel import StorageLevel
 

@@ -16,13 +16,19 @@ import zipfile
 
 from pyspark.sql import SparkSession
 
-_SHIPPED: set[int] = set()
+_SHIPPED: set[str] = set()
 
 
 def ensure_package_on_executors(spark: SparkSession) -> None:
-    """Idempotently add a zip of pulsar_spark_spark to the context."""
+    """Idempotently add a zip of pulsar_spark_spark to the context.
+
+    The idempotence key is ``applicationId`` — a context-LIFETIME
+    identity. ``id(sc)`` is not one: after ``spark.stop()`` and GC a
+    new context can land at the same CPython heap address, and the
+    stale entry would silently skip ``addPyFile`` — every grouped-map
+    kernel then fails on executors with ModuleNotFoundError."""
     sc = spark.sparkContext
-    key = id(sc)
+    key = sc.applicationId
     if key in _SHIPPED:
         return
     pkg_dir = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

@@ -226,11 +226,29 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         col("vec_id").alias("neighbor_id"),
         cosine(col("q_emb"), col("embedding")).alias("cos_sim"),
     )
-    w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc(), col("neighbor_id"))
+    return _rerank_topk(scored, _TOP_K)
+
+
+def _rerank_topk(scored: DataFrame, top_k: int) -> DataFrame:
+    """THE exact-rerank tail shared by every ANN query (brute-force,
+    LSH, IVF, and both index-probe serves): per-query rank by
+    (cos_sim desc, neighbor_id) — the deterministic tiebreak the
+    DuckDB oracles mirror — keep top_k, round to the oracle's 6
+    decimals. One copy: a tiebreak/rounding contract change applied
+    to four of five inlined copies would silently break oracle
+    parity for the fifth."""
+    w = Window.partitionBy("query_id").orderBy(
+        col("cos_sim").desc(), col("neighbor_id")
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w))
-        .filter(col("rank") <= _TOP_K)
-        .select("query_id", "neighbor_id", "rank", F.round("cos_sim", 6).alias("cos_sim"))
+        .filter(col("rank") <= top_k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round("cos_sim", 6).alias("cos_sim"),
+        )
         .orderBy("query_id", "rank")
     )
 
@@ -411,8 +429,16 @@ def _resolve_multiprobe(
     multiprobe: "bool | None",
     n_bits: int,
     n_tables: int,
-    collapse_rate: "float | None" = None,
+    collapse_rate=None,
 ) -> bool:
+    """``collapse_rate`` may be a float, ``None``, or a ZERO-ARG
+    CALLABLE evaluated only when the recall term alone would fire
+    probing — so the pay-the-stats-scan-only-when-needed decision
+    lives HERE, next to the floor condition it depends on, instead of
+    callers re-stating the floor inline (a one-sided edit to either
+    copy would compute the collapse rate when unused or skip it when
+    needed — the auto arm would then probe on a replica-dominated
+    corpus, the 6.3×-candidate regression round 13 closed)."""
     if multiprobe is not None:
         return multiprobe
     if (
@@ -420,6 +446,8 @@ def _resolve_multiprobe(
         >= _AUTO_MULTIPROBE_RECALL_FLOOR
     ):
         return False
+    if callable(collapse_rate):
+        collapse_rate = collapse_rate()
     return (
         collapse_rate is None
         or collapse_rate < _AUTO_MULTIPROBE_COLLAPSE_SKIP
@@ -486,7 +514,7 @@ def lsh_topk(
     # functions fall out of whole-stage codegen, while the per-bit
     # zip_with/aggregate pairs stay in it.)
     tables = [
-        (j, sign_bucket("embedding", n_bits, seed="srp" if j == 0 else f"srp{j}"))
+        (j, sign_bucket("embedding", n_bits, seed=_emb_seed(j)))
         for j in range(n_tables)
     ]
     emb_b = emb.select(
@@ -546,13 +574,7 @@ def lsh_topk(
             ).alias("cos_sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc(), col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(col("rank") <= top_k)
-        .select("query_id", "neighbor_id", "rank", F.round("cos_sim", 6).alias("cos_sim"))
-        .orderBy("query_id", "rank")
-    )
+    return _rerank_topk(scored, top_k)
 
 
 # ---------------------------------------------------------------------
@@ -606,13 +628,15 @@ def _emb_corpus_stats(emb: DataFrame) -> tuple[int, int]:
     form first, and HLL's ~±10% error is irrelevant to both consumers:
     a log2 for the width, a coarse ratio for the collapse rate).
 
-    Memoized per input fileset FINGERPRINT (path + size + mtime, not
-    path alone — a fixture regenerated in place under the same names
-    must re-resolve): a query re-executed over the same files (bench
-    min-of-N, repeated serving calls) must not pay the count scan
-    again — and an engine restart re-resolves, which is correct (the
-    corpus may have changed)."""
-    key = _files_stat_key(emb.inputFiles())
+    Memoized per (input fileset FINGERPRINT, normalized-plan digest)
+    — :func:`_emb_stats_key`: size+mtime so a fixture regenerated in
+    place under the same names re-resolves, the plan digest so a
+    filtered subset over the same files cannot poison the full
+    corpus's entry (or vice versa). A query re-executed over the same
+    relation (bench min-of-N, repeated serving calls) must not pay
+    the count scan again — and an engine restart re-resolves, which
+    is correct (the corpus may have changed)."""
+    key = _emb_stats_key(emb)
     if key and key in _EMB_STATS_MEMO:
         return _EMB_STATS_MEMO[key]
     row = emb.agg(
@@ -678,7 +702,7 @@ def _emb_exact_unique(emb: DataFrame) -> int:
     combine on the array key); memoized under the same fileset
     fingerprint as the approximate stats so repeated serving calls
     never pay it twice."""
-    key = _files_stat_key(emb.inputFiles())
+    key = _emb_stats_key(emb)
     if key and key in _EMB_EXACT_UNIQUE_MEMO:
         return _EMB_EXACT_UNIQUE_MEMO[key]
     n = emb.select("embedding").distinct().count()
@@ -701,6 +725,38 @@ def _files_stat_key(paths) -> tuple:
         except OSError:
             out.append((p, -1, -1))
     return tuple(out)
+
+
+def _emb_stats_key(emb: DataFrame) -> tuple:
+    """Memo key for corpus stats: the input fileset FINGERPRINT plus a
+    digest of the relation's NORMALIZED logical plan. Files alone are
+    not enough — a filtered/derived DataFrame over the same parquet
+    files returns the same ``inputFiles()``, so a subset smoke run
+    (``load_table(...).filter(...)``) would poison the memo and a
+    later full-corpus call would reuse the subset's (n_rows,
+    n_unique): auto_emb_bits then resolves a far-too-narrow width and
+    the bucket cap silently drops recall to the exact-duplicate arm —
+    the exact failure the adaptive width exists to prevent. The plan
+    string is normalized by stripping Catalyst's per-session
+    expression ids (``#123``) so two independent ``load_table`` calls
+    over the same files still share the entry (the memo's purpose);
+    anything that changes the RELATION (a Filter/Project node)
+    changes the digest. Empty when the plan is unavailable AND the
+    fileset is empty — then nothing is memoized, the safe fallback."""
+    import hashlib
+    import re
+
+    files = _files_stat_key(emb.inputFiles())
+    try:
+        plan = emb._jdf.queryExecution().logical().toString()
+        digest = hashlib.md5(
+            re.sub(r"#\d+", "", plan).encode()
+        ).hexdigest()
+    except Exception:
+        # no plan digest -> only safe to memoize nothing (a files-only
+        # key is exactly the poisoning hazard this function closes)
+        return ()
+    return (files, digest) if files else ()
 
 
 def _emb_seed(t: int) -> str:
@@ -857,22 +913,15 @@ def emb_near_dup_candidates(
     :func:`srp_banding_recall` to price the trade)."""
     spark = emb.sparkSession
     n_bits = resolve_emb_bits(emb, n_bits)
-    # the collapse-rate probe is paid ONLY in the auto-resolve path at
-    # adaptive widths (where the recall term alone would fire probing
-    # and the candidate join is about to grow (n_bits+1)×) — gate and
-    # bench corpora resolve at the 8-bit floor and never reach it, and
-    # the stats scan is the same memoized single pass the adaptive
-    # width already runs
-    collapse = (
-        emb_collapse_rate(emb)
-        if multiprobe is None
-        and srp_banding_recall(
-            _AUTO_MULTIPROBE_DESIGN_COS, n_bits, n_tables
-        )
-        < _AUTO_MULTIPROBE_RECALL_FLOOR
-        else None
+    # the collapse-rate probe is paid ONLY when the resolver's recall
+    # term alone would fire probing (the lazy-callable contract of
+    # _resolve_multiprobe — the floor condition lives there, not
+    # re-stated here): gate and bench corpora resolve at the 8-bit
+    # floor and never evaluate it, and the stats scan is the same
+    # memoized single pass the adaptive width already runs
+    multiprobe = _resolve_multiprobe(
+        multiprobe, n_bits, n_tables, lambda: emb_collapse_rate(emb)
     )
-    multiprobe = _resolve_multiprobe(multiprobe, n_bits, n_tables, collapse)
     vkey = _emb_vkey()
     # narrow (vec_id, vkey) relation for the final fan-out — consumed
     # by both fan-out sides, materialized so the vectors are not
@@ -1444,19 +1493,8 @@ def build_ivf_index(
     cell directories via partition pruning — ~n_probe/n_centroids of
     the bytes, enforced by the scan, not by a post-read filter.
     """
-    cents = emb.filter(col("vec_id") < n_centroids).select(
-        col("vec_id").alias("cent_id"), col("embedding").alias("cent_emb")
-    )
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        col("cent_cos").desc(), col("cent_id")
-    )
-    assign = (
-        emb.join(broadcast(cents))
-        .withColumn("cent_cos", cosine(col("embedding"), col("cent_emb")))
-        .withColumn("crn", F.row_number().over(w_assign))
-        .filter(col("crn") == 1)
-        .select("vec_id", "embedding", col("cent_id").alias("cell"))
-    )
+    cents = _ivf_cents(emb, n_centroids)
+    assign = _ivf_assign(emb, cents)
     assign.write.mode("overwrite").partitionBy("cell").parquet(
         f"{index_dir}/corpus"
     )
@@ -1473,16 +1511,7 @@ def probe_assignments(
     coarse cells, from the broadcast-sized centroid table of a
     :func:`build_ivf_index` layout."""
     cents = spark.read.parquet(f"{index_dir}/centroids")
-    w_probe = Window.partitionBy("query_id").orderBy(
-        col("cent_cos").desc(), col("cent_id")
-    )
-    return (
-        queries.join(broadcast(cents))
-        .withColumn("cent_cos", cosine(col("q_emb"), col("cent_emb")))
-        .withColumn("prn", F.row_number().over(w_probe))
-        .filter(col("prn") <= n_probe)
-        .select("query_id", "q_emb", col("cent_id").alias("cell"))
-    )
+    return _ivf_probes(queries, cents, n_probe)
 
 
 def ivf_probe_index(
@@ -1517,12 +1546,47 @@ def ivf_probe_index(
             cosine(col("q_emb"), col("embedding")).alias("cos_sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc(), col("neighbor_id"))
+    return _rerank_topk(scored, top_k)
+
+
+def _ivf_cents(emb: DataFrame, n_centroids: int) -> DataFrame:
+    """The coarse-centroid table (first n_centroids corpus vectors —
+    a production system k-means these; the PLAN is identical)."""
+    return emb.filter(col("vec_id") < n_centroids).select(
+        col("vec_id").alias("cent_id"), col("embedding").alias("cent_emb")
+    )
+
+
+def _ivf_assign(emb: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid cell assignment — THE one copy of the
+    assignment plan, shared by the in-memory ivf_topk and the
+    build_ivf_index disk layout (they re-stated it verbatim before
+    round 14; a one-sided tiebreak edit would silently diverge the
+    served index from the query the oracle checks)."""
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        col("cent_cos").desc(), col("cent_id")
+    )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(col("rank") <= top_k)
-        .select("query_id", "neighbor_id", "rank", F.round("cos_sim", 6).alias("cos_sim"))
-        .orderBy("query_id", "rank")
+        emb.join(broadcast(cents))
+        .withColumn("cent_cos", cosine(col("embedding"), col("cent_emb")))
+        .withColumn("crn", F.row_number().over(w_assign))
+        .filter(col("crn") == 1)
+        .select("vec_id", "embedding", col("cent_id").alias("cell"))
+    )
+
+
+def _ivf_probes(q: DataFrame, cents: DataFrame, n_probe: int) -> DataFrame:
+    """Per-query n_probe nearest coarse cells — the one copy of the
+    probe plan, shared by ivf_topk and probe_assignments."""
+    w_probe = Window.partitionBy("query_id").orderBy(
+        col("cent_cos").desc(), col("cent_id")
+    )
+    return (
+        q.join(broadcast(cents))
+        .withColumn("cent_cos", cosine(col("q_emb"), col("cent_emb")))
+        .withColumn("prn", F.row_number().over(w_probe))
+        .filter(col("prn") <= n_probe)
+        .select("query_id", "q_emb", col("cent_id").alias("cell"))
     )
 
 
@@ -1558,32 +1622,12 @@ def ivf_topk(
                  recall@k at the fixture gate drops.
     ===========  =============================================
     """
-    cents = emb.filter(col("vec_id") < n_centroids).select(
-        col("vec_id").alias("cent_id"), col("embedding").alias("cent_emb")
-    )
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        col("cent_cos").desc(), col("cent_id")
-    )
-    assign = (
-        emb.join(broadcast(cents))
-        .withColumn("cent_cos", cosine(col("embedding"), col("cent_emb")))
-        .withColumn("crn", F.row_number().over(w_assign))
-        .filter(col("crn") == 1)
-        .select("vec_id", "embedding", col("cent_id").alias("cell"))
-    )
+    cents = _ivf_cents(emb, n_centroids)
+    assign = _ivf_assign(emb, cents)
     q = emb.filter(col("vec_id") < n_queries).select(
         col("vec_id").alias("query_id"), col("embedding").alias("q_emb")
     )
-    w_probe = Window.partitionBy("query_id").orderBy(
-        col("cent_cos").desc(), col("cent_id")
-    )
-    probes = (
-        q.join(broadcast(cents))
-        .withColumn("cent_cos", cosine(col("q_emb"), col("cent_emb")))
-        .withColumn("prn", F.row_number().over(w_probe))
-        .filter(col("prn") <= n_probe)
-        .select("query_id", "q_emb", col("cent_id").alias("cell"))
-    )
+    probes = _ivf_probes(q, cents, n_probe)
     scored = (
         assign.join(broadcast(probes), "cell")
         .filter(col("vec_id") != col("query_id"))
@@ -1593,13 +1637,7 @@ def ivf_topk(
             cosine(col("q_emb"), col("embedding")).alias("cos_sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc(), col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(col("rank") <= top_k)
-        .select("query_id", "neighbor_id", "rank", F.round("cos_sim", 6).alias("cos_sim"))
-        .orderBy("query_id", "rank")
-    )
+    return _rerank_topk(scored, top_k)
 
 
 # ---------------------------------------------------------------------
@@ -1639,7 +1677,7 @@ def build_lsh_index(
 
     part_bits = min(n_bits, _LSH_PART_BITS)
     tables = [
-        (j, sign_bucket("embedding", n_bits, seed="srp" if j == 0 else f"srp{j}"))
+        (j, sign_bucket("embedding", n_bits, seed=_emb_seed(j)))
         for j in range(n_tables)
     ]
     emb_b = (
@@ -1716,7 +1754,7 @@ def lsh_probe_index(
         )
     part_bits = knobs["part_bits"]
     tables = [
-        (j, sign_bucket("q_emb", n_bits, seed="srp" if j == 0 else f"srp{j}"))
+        (j, sign_bucket("q_emb", n_bits, seed=_emb_seed(j)))
         for j in range(n_tables)
     ]
     q = queries.select(
@@ -1788,13 +1826,7 @@ def lsh_probe_index(
             col("q_norm") * l2_norm(col("n_emb")),
         ).alias("cos_sim"),
     )
-    w = Window.partitionBy("query_id").orderBy(col("cos_sim").desc(), col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(col("rank") <= top_k)
-        .select("query_id", "neighbor_id", "rank", F.round("cos_sim", 6).alias("cos_sim"))
-        .orderBy("query_id", "rank")
-    )
+    return _rerank_topk(scored, top_k)
 
 
 # ---------------------------------------------------------------------
@@ -2176,16 +2208,26 @@ def update_emb_pair_graph(
     # reps append makes a whole-shard retry recompute and re-append
     # rows the read-time latest-wins merge absorbs, then fold reps
     # once-effectively
-    append_log_bucketed(
-        keyed_new, t("keyed"), p("keyed"), "vec_id", "version", n_buckets
+    # Inline auto-compaction is DISABLED for the in-shard appends
+    # (auto_compact_segments=None) and run explicitly after the whole
+    # commit sequence below: an append that crossed the threshold
+    # mid-shard used to fold its log and delete the old segment
+    # directories while the LATER appends' lazy plans (pairs_new
+    # reads stored_banded; merged reads old reps) were still bound to
+    # those paths — a deterministic FileNotFoundException every time
+    # a manifest crossed 32 segments mid-shard, crashing the shard
+    # half-committed.
+    shard_logs = (
+        (keyed_new, t("keyed"), p("keyed"), "vec_id"),
+        (new_banded, banded_table, banded_path, ["vkey", "tbl"]),
+        (pairs_new, t("pairs"), p("pairs"), ["vkey_a", "vkey_b"]),
+        (merged, t("reps"), p("reps"), "vkey"),
     )
-    append_log_bucketed(
-        new_banded, banded_table, banded_path, ["vkey", "tbl"], "version", n_buckets
-    )
-    append_log_bucketed(
-        pairs_new, t("pairs"), p("pairs"), ["vkey_a", "vkey_b"], "version", n_buckets
-    )
-    append_log_bucketed(merged, t("reps"), p("reps"), "vkey", "version", n_buckets)
+    for rel, tb, pb, k in shard_logs:
+        append_log_bucketed(
+            rel, tb, pb, k, "version", n_buckets,
+            auto_compact_segments=None,
+        )
     # running unique count for the occupancy guard: counting the
     # (checkpointed, just-appended) banded relation is a cached scan.
     # A replay of a fully-committed shard contributes 0 (its keys are
@@ -2203,6 +2245,20 @@ def update_emb_pair_graph(
             "n_unique": total_unique,
         },
     )
+    # The deferred per-log segment-count compaction (the trigger the
+    # in-shard appends disabled above): every lazy plan of this shard
+    # has been fully evaluated by now, so folding and deleting old
+    # segments is safe. Same bounded-read-cost property, safe order.
+    if auto_compact:
+        from pulsar_spark_spark.sources.bucketed import (
+            _AUTO_COMPACT_SEGMENTS,
+            _read_manifest,
+            compact_log,
+        )
+
+        for _rel, tb, pb, k in shard_logs:
+            if len(_read_manifest(pb)) >= _AUTO_COMPACT_SEGMENTS:
+                compact_log(spark, tb, pb, k, "version", n_buckets)
     # auto re-band AFTER the shard's atomic commit (docstring: the
     # LSM-trigger discipline) — a crash inside compaction cannot lose
     # or double-fold shard state, only defer the re-band.
@@ -2464,6 +2520,7 @@ def stage_emb_pair_graph_reband(
     from pulsar_spark_spark.sources.bucketed import (
         _read_manifest,
         append_log_bucketed,
+        pin_log_segments,
         read_log_bucketed,
     )
 
@@ -2484,6 +2541,36 @@ def stage_emb_pair_graph_reband(
     # async trigger left in flight on the same gen+1 path (no-op when
     # called FROM that thread — the async arm's own worker runs here)
     _join_reband_thread(store_dir)
+    # The reps scan's lazy plan stays bound to this manifest snapshot
+    # for the WHOLE O(n_unique) build below, while foreground ingest
+    # keeps committing shards — without the shared pin, a foreground
+    # reps-log compaction crossing its segment threshold would rmtree
+    # segments this staging job is still reading, failing the build
+    # only after the O(n_unique) work was spent (and under steady
+    # ingest the retry can hit the same race forever). While the pin
+    # is held the compactor skips (deferral is always safe); ordinary
+    # readers keep the documented retry contract.
+    with pin_log_segments(p("reps")):
+        return _stage_reband_pinned(
+            spark, store_dir, table_prefix, n_bits, n_buckets,
+            t, p, meta, n_tables, cur_bits, gen,
+        )
+
+
+def _stage_reband_pinned(
+    spark, store_dir, table_prefix, n_bits, n_buckets,
+    t, p, meta, n_tables, cur_bits, gen,
+):
+    """Body of :func:`stage_emb_pair_graph_reband`, run under the reps
+    log's shared segment pin (see the call site)."""
+    import shutil
+
+    from pulsar_spark_spark.sources.bucketed import (
+        _read_manifest,
+        append_log_bucketed,
+        read_log_bucketed,
+    )
+
     reps = read_log_bucketed(spark, t("reps"), p("reps"), "vkey", "version")
     row = reps.agg(
         F.count(F.lit(1)).alias("n"), F.max("version").alias("v")
@@ -2819,6 +2906,12 @@ def read_emb_member_pairs(
         )
         .select("vkey_a", "vkey_b", "rep_a", "rep_b", "cos_sim")
     )
+    # materialize BEFORE the bounded-broadcast guard: its .count()
+    # executes the relation, and an unmaterialized `verified` is a
+    # three-log merge + two joins — the guard would run that whole
+    # plan once for the count and the serve join would run it again
+    # (broadcast_if_bounded's cheap-count contract, checkpoint.py)
+    verified = materialize(verified)
     ma = keyed.select(col("vkey").alias("vkey_a"), col("vec_id").alias("m_a"))
     mb = keyed.select(col("vkey").alias("vkey_b"), col("vec_id").alias("m_b"))
     return (

@@ -1484,3 +1484,31 @@ def test_collapse_rate_boundary_escalates_to_exact(spark, monkeypatch):
         .alias("embedding"),
     )
     assert S.emb_collapse_rate(distinct) < 0.2
+
+
+def test_corpus_stats_memo_not_poisoned_by_filtered_relation(spark):
+    """Round 14 review fix: the corpus-stats memo key includes a
+    normalized-logical-plan digest, not just the input fileset — a
+    filtered subset over the same parquet files used to poison the
+    full corpus's (n_rows, n_unique), and a poisoned unique count
+    resolves a too-narrow adaptive width whose bucket cap silently
+    collapses near-dup recall to the exact-duplicate arm."""
+    from pyspark.sql.functions import col
+
+    from pulsar_spark_spark.plans.similarity import _emb_corpus_stats
+    from pulsar_spark_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR_SMALL
+
+    emb = load_table(spark, "embeddings", SF_DIR_SMALL)
+    subset = emb.filter(col("vec_id") < 50)
+    n_sub = _emb_corpus_stats(subset)[0]
+    n_full = _emb_corpus_stats(emb)[0]
+    assert n_sub == 50
+    assert n_full == emb.count() and n_full > n_sub
+    # and two independent loads of the SAME relation share the entry
+    # (the memo's purpose): same key, not merely same values
+    from pulsar_spark_spark.plans.similarity import _emb_stats_key
+
+    again = load_table(spark, "embeddings", SF_DIR_SMALL)
+    assert _emb_stats_key(again) == _emb_stats_key(emb)
+    assert _emb_stats_key(subset) != _emb_stats_key(emb)
