@@ -79,8 +79,21 @@ def _finite_points(df: DataFrame, cols: tuple = ("lat", "lng")) -> DataFrame:
     breaks its coordinate-tuple dict keying: nan != nan) while the
     batch arm silently propagated NaN scores. Engine-internal
     producers synthesize finite coordinates, so on every registered
-    plan this filter removes zero rows (and folds into the scan's
-    pushed predicates)."""
+    plan this filter removes zero rows.
+
+    Cost note (round 14): when lat/lng are DERIVED expressions (the
+    registered kernel queries compute them from an md5 chain), this
+    filter is NOT free — Catalyst pushes the predicate through the
+    projection, re-inlining the whole derivation chain into the
+    Filter condition of BOTH kernel subtrees (the guard aggregate and
+    the kernel join re-read the input), and codegen does not CSE
+    across the Filter/Project boundary. Measured ×1.9 on
+    ``best_latlng_per_user`` at sf0.1 (2.47 → 4.62 s min-of-6).
+    Engine call sites whose lat/lng derivation is PROVABLY total
+    (md5-derived — every output is a finite double) pass
+    ``assume_finite=True`` to skip the redundant filter; the public
+    operator surface keeps the guard by default, and over physical
+    (stored) columns it costs nothing measurable."""
     cond = None
     for c in cols:
         this = col(c).isNotNull() & ~F.isnan(col(c))
@@ -94,7 +107,11 @@ def _last_point(lat_col: str = "lat", lng_col: str = "lng") -> F.Column:
     return F.max_by(F.struct(col(lat_col), col(lng_col)), F.struct("ts_ms", "event_id"))
 
 
-def apply_best_latlng(points: DataFrame, pre_partitioned: bool = False) -> DataFrame:
+def apply_best_latlng(
+    points: DataFrame,
+    pre_partitioned: bool = False,
+    assume_finite: bool = False,
+) -> DataFrame:
     """G1 per group. Input columns: user_id, event_id, ts_ms, lat, lng.
 
     Output: user_id, best_lat, best_lng, n_points.
@@ -124,7 +141,8 @@ def apply_best_latlng(points: DataFrame, pre_partitioned: bool = False) -> DataF
     dominated the 1000× wall before this.
     """
     ensure_package_on_executors(points.sparkSession)
-    points = _finite_points(points)
+    if not assume_finite:
+        points = _finite_points(points)
     agg = points.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("__n"), _last_point().alias("__last")
     )
@@ -169,7 +187,11 @@ def apply_best_latlng(points: DataFrame, pre_partitioned: bool = False) -> DataF
     return py.unionByName(jvm)
 
 
-def apply_cluster_score(points: DataFrame, pre_partitioned: bool = False) -> DataFrame:
+def apply_cluster_score(
+    points: DataFrame,
+    pre_partitioned: bool = False,
+    assume_finite: bool = False,
+) -> DataFrame:
     """G2 per group. Output: user_id, lat, lng, cluster_score, n_points.
 
     Pre-dispatch: n<3 groups return (last point, score 0.0)
@@ -177,7 +199,8 @@ def apply_cluster_score(points: DataFrame, pre_partitioned: bool = False) -> Dat
     :func:`apply_best_latlng`.
     """
     ensure_package_on_executors(points.sparkSession)
-    points = _finite_points(points)
+    if not assume_finite:
+        points = _finite_points(points)
     agg = points.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("__n"), _last_point().alias("__last")
     )
@@ -228,7 +251,9 @@ def apply_cluster_score(points: DataFrame, pre_partitioned: bool = False) -> Dat
 
 
 def apply_cluster_score_v3(
-    points: DataFrame, pre_partitioned: bool = False
+    points: DataFrame,
+    pre_partitioned: bool = False,
+    assume_finite: bool = False,
 ) -> DataFrame:
     """G3 per group (ping-cluster scoring with the real-ceil majority).
 
@@ -243,7 +268,8 @@ def apply_cluster_score_v3(
     kernel, pinned by a randomized parity test).
     """
     ensure_package_on_executors(points.sparkSession)
-    points = _finite_points(points)
+    if not assume_finite:
+        points = _finite_points(points)
 
     def body(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["user_id", *_SORT], kind="mergesort")
@@ -274,7 +300,9 @@ def apply_cluster_score_v3(
 
 
 def apply_trimmed_centroid(
-    points: DataFrame, pre_partitioned: bool = False
+    points: DataFrame,
+    pre_partitioned: bool = False,
+    assume_finite: bool = False,
 ) -> DataFrame:
     """G4 per group. Input adds an ``accuracy`` column.
 
@@ -287,7 +315,8 @@ def apply_trimmed_centroid(
     count alone (same routing shape as :func:`apply_best_latlng`).
     """
     ensure_package_on_executors(points.sparkSession)
-    points = _finite_points(points)
+    if not assume_finite:
+        points = _finite_points(points)
     agg = points.groupBy("user_id").agg(
         F.count(F.when(col("accuracy") <= 100.0, 1)).alias("__n_acc")
     )

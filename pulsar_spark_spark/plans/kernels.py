@@ -621,7 +621,15 @@ def _geo_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpoint would write the full fact-table-wide relation once per
     query (measured a wash at sf0.1: ±0.1 s on every G1-G4 query).
     Contrast :func:`_scaled_geo_points`, whose four-consumer
-    refinement pipeline does win from materialization."""
+    refinement pipeline does win from materialization.
+
+    Finiteness invariant (round 14): lat/lng here are total md5-chain
+    derivations over non-null event_id (geo_events) — every output is
+    a finite double, never NULL/NaN. The kernel call sites therefore
+    pass ``assume_finite=True``: the `_finite_points` guard would
+    remove zero rows while re-inlining this whole derivation into a
+    Filter on both kernel subtrees (measured ×1.9 on the G1 row —
+    see operators/grouped.py::_finite_points)."""
     ge = geo_events(spark, sf_dir)
     return ge.select(
         "user_id",
@@ -863,7 +871,10 @@ def _refinement_input(
 @query("best_latlng_per_user", oracle=_g1_oracle())
 def best_latlng_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G1: per-user best location by 300 m Vincenty neighbor count."""
-    return _sorted_out(apply_best_latlng(_geo_points(spark, sf_dir)), "user_id")
+    return _sorted_out(
+        apply_best_latlng(_geo_points(spark, sf_dir), assume_finite=True),
+        "user_id",
+    )
 
 
 @query("cluster_score_per_user", oracle=_g2g4_oracle())
@@ -887,7 +898,9 @@ def cluster_score_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     full double precision underneath.
     """
     pts = _geo_points(spark, sf_dir)
-    merged = apply_cluster_score(pts).join(apply_trimmed_centroid(pts), "user_id")
+    merged = apply_cluster_score(pts, assume_finite=True).join(
+        apply_trimmed_centroid(pts, assume_finite=True), "user_id"
+    )
     merged = merged.withColumn(
         "centroid_lat", F.round(col("centroid_lat") + F.lit(_CENTROID_NUDGE), 6)
     ).withColumn(
@@ -899,7 +912,10 @@ def cluster_score_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("ping_cluster_score_per_user", oracle=_g3_oracle())
 def ping_cluster_score_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G3: ping-cluster scoring variant (argmax neighbors, real ceil)."""
-    return _sorted_out(apply_cluster_score_v3(_geo_points(spark, sf_dir)), "user_id")
+    return _sorted_out(
+        apply_cluster_score_v3(_geo_points(spark, sf_dir), assume_finite=True),
+        "user_id",
+    )
 
 
 

@@ -960,3 +960,43 @@ def test_nan_coordinates_guarded(spark):
         assert not any(
             isinstance(x, float) and math.isnan(x) for t in got for x in t
         )
+
+
+def test_assume_finite_skips_guard_same_answer(spark):
+    """Round 14 optimization: engine call sites whose lat/lng are
+    total md5 derivations pass ``assume_finite=True`` (the finite
+    guard re-inlines the derivation chain into a Filter on both
+    kernel subtrees — measured ×1.9 on the G1 headline row). Pins
+    (a) identical results on finite input with and without the
+    guard, and (b) that the skipping arm really removed the Filter
+    from the plan."""
+    import pyspark.sql.functions as F
+
+    from pulsar_spark_spark.operators.grouped import (
+        apply_best_latlng,
+        apply_cluster_score,
+        apply_cluster_score_v3,
+        apply_trimmed_centroid,
+    )
+
+    rows = [
+        (u, u * 100 + i, 1000 + i, 10.0 + (u + i) * 1e-5, 70.0 + i * 1e-5)
+        for u in (1, 2)
+        for i in range(6)
+    ]
+    pts = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts_ms long, lat double, lng double"
+    ).withColumn("accuracy", F.lit(50.0))
+    for op in (
+        apply_best_latlng,
+        apply_cluster_score,
+        apply_cluster_score_v3,
+        apply_trimmed_centroid,
+    ):
+        want = sorted(map(tuple, op(pts).collect()))
+        fast = op(pts, assume_finite=True)
+        got = sorted(map(tuple, fast.collect()))
+        assert got == want, op.__name__
+        assert "isnan" not in fast._jdf.queryExecution().executedPlan().toString(), (
+            op.__name__
+        )
