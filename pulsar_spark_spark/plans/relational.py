@@ -384,19 +384,32 @@ def distinct_event_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference U2/A8: device-id key sets across two tables unioned on
     the driver (batch/GeoTagEventIntersection.scala:56-92) and
     ``rdd.distinct().collect()`` probes. Here the sets stay
-    distributed; each distinct is a partial-aggregated shuffle on the
-    key and the counts are single-row results.
+    distributed.
+
+    All four counts are derived from ONE pass: group the filtered
+    events by user_id with two boolean presence flags, then fold the
+    flag table into a single row. The literal set-algebra form
+    (two ``.distinct()`` sets, ``union().distinct()``,
+    ``.intersect()``, three crossJoins of scalar aggregates) scanned
+    events 4× and planned 6 exchanges; per-key ``max(bool)`` presence
+    flags make union = "any flag", intersection = "both flags", so
+    the same relation answers every count — 1 scan, 1 keyed exchange
+    (+ the single-row final fold). Set semantics are preserved
+    exactly: a NULL user_id forms one group, as one NULL member does
+    in SQL DISTINCT/UNION/INTERSECT.
     """
     ev = load_table(spark, "events", sf_dir)
-    p = ev.filter(col("event_type") == "purchase").select("user_id").distinct()
-    c = ev.filter(col("event_type") == "click").select("user_id").distinct()
-    return (
-        p.agg(F.count(F.lit(1)).alias("n_purchasers"))
-        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_clickers")))
-        .crossJoin(
-            p.union(c).distinct().agg(F.count(F.lit(1)).alias("n_union"))
+    flags = (
+        ev.filter(col("event_type").isin("purchase", "click"))
+        .groupBy("user_id")
+        .agg(
+            F.max(col("event_type") == "purchase").alias("is_p"),
+            F.max(col("event_type") == "click").alias("is_c"),
         )
-        .crossJoin(
-            p.intersect(c).agg(F.count(F.lit(1)).alias("n_both"))
-        )
+    )
+    return flags.agg(
+        F.count(F.when(col("is_p"), 1)).alias("n_purchasers"),
+        F.count(F.when(col("is_c"), 1)).alias("n_clickers"),
+        F.count(F.lit(1)).alias("n_union"),
+        F.count(F.when(col("is_p") & col("is_c"), 1)).alias("n_both"),
     )

@@ -153,7 +153,23 @@ def save_kernel_points(
 
     Buckets are additionally sorted by (user_id) so read-side
     ``sortWithinPartitions(user_id)`` is a near-no-op merge.
+
+    Finiteness is enforced HERE, once, at layout-build time (round
+    14): rows with null/NaN lat or lng are outside the kernels'
+    contract (operators/grouped.py::_finite_points) and are dropped
+    before the write, so every serve over the layout may pass
+    ``assume_finite=True`` and skip the per-run guard filter —
+    build-once, guard-once.
     """
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import col
+
+    points = points.filter(
+        col("lat").isNotNull()
+        & ~F.isnan(col("lat"))
+        & col("lng").isNotNull()
+        & ~F.isnan(col("lng"))
+    )
     save_bucketed(
         points, table, "user_id", n_buckets, sort_cols=("user_id",), path=path
     )

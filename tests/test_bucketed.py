@@ -97,6 +97,61 @@ def test_bucketed_kernel_runs_shuffle_free(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bk_geo_points")
 
 
+def test_kernel_layout_enforces_finiteness_at_build(spark, tmp_path):
+    """Round 14: save_kernel_points drops null/NaN-coordinate rows at
+    layout-build time, so the bucketed serve may pass
+    ``assume_finite=True`` (skipping the per-run guard filter) and
+    still match the guard-on serve exactly — even when the raw input
+    violated the finiteness contract."""
+    import math
+
+    from pulsar_spark_spark.operators.grouped import apply_best_latlng
+    from pulsar_spark_spark.sources.bucketed import (
+        bucketed_scan_pinned,
+        save_kernel_points,
+    )
+
+    rows = [
+        (1, 10, 1000, 12.90, 77.60),
+        (1, 11, 2000, 12.91, 77.61),
+        (1, 12, 3000, float("nan"), 77.62),  # dropped at build
+        (2, 20, 1000, None, 13.00),  # dropped at build
+        (2, 21, 2000, 13.01, 80.21),
+    ]
+    pts = spark.createDataFrame(
+        rows, "user_id bigint, event_id bigint, ts_ms bigint, lat double, lng double"
+    )
+    save_kernel_points(pts, "bk_finite_pts", n_buckets=2)
+    try:
+        stored = spark.table("bk_finite_pts").collect()
+        assert len(stored) == 3
+        assert all(
+            r.lat is not None and not math.isnan(r.lat) for r in stored
+        )
+        with bucketed_scan_pinned(spark):
+            bucketed = read_bucketed(spark, "bk_finite_pts")
+            fast = sorted(
+                map(
+                    tuple,
+                    apply_best_latlng(
+                        bucketed, pre_partitioned=True, assume_finite=True
+                    ).collect(),
+                )
+            )
+            guarded = sorted(
+                map(
+                    tuple,
+                    apply_best_latlng(bucketed, pre_partitioned=True).collect(),
+                )
+            )
+        assert fast == guarded
+        # and identical to the guard-on plain path over the RAW input
+        want = sorted(map(tuple, apply_best_latlng(pts).collect()))
+        assert fast == want
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bk_finite_pts")
+
+
 def test_kernel_shuffles_without_prepartition_control(spark):
     """Control: the default path keeps its explicit repartition, so
     the previous test's no-Exchange assertion is meaningful."""

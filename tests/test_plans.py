@@ -69,6 +69,18 @@ def test_user_sessions_single_shuffle_for_both_windows(spark):
     assert plan.count("hashpartitioning(user_id") == 1, plan
 
 
+def test_distinct_entities_single_scan_single_keyed_shuffle(spark):
+    # round 14: the four set counts fold out of ONE user_id aggregate
+    # — one parquet scan, one keyed exchange, no per-set
+    # distinct/intersect subtrees and no scalar crossJoins
+    plan = plan_of(QUERIES["distinct_event_entities"](spark, SF_DIR))
+    # one scan detail block (formatted output repeats the node name
+    # in the tree, so count the per-scan Location line instead)
+    assert plan.count("Location: InMemoryFileIndex") == 1, plan
+    assert plan.count("hashpartitioning(user_id") == 1, plan
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+
+
 def test_whole_stage_codegen_covers_relational_spine(spark):
     df = QUERIES["q1_pricing_summary"](spark, SF_DIR)
     df.collect()  # AQE finalizes the physical plan on execution
@@ -164,7 +176,6 @@ _PYTHON_STAGE_HIDDEN = {
 _BOUNDED_CROSS_OK = {
     "ann_topk_bruteforce",
     "ann_topk_ivf",
-    "distinct_event_entities",
     "geofence_containment",
     "trip_geofence_transitions",
 }
