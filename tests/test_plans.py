@@ -133,6 +133,23 @@ def test_smart_address_hot_set_is_broadcast_anti_join(spark):
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
 
 
+def test_smart_address_lookup_spread_feeds_agg_and_join(spark):
+    # round 14: the lookup grams are spread ONCE on the gram hash and
+    # that single keyed shuffle serves both the hot-set aggregate
+    # (clustering requirement satisfied — no ENSURE_REQUIREMENTS
+    # exchange above it) and the pruned side's anti-join/build. The
+    # checkpoint's scan partitioning (1 partition at fixture scale)
+    # must never feed those stages directly again.
+    plan = plan_of(QUERIES["smart_address_candidates"](spark, SF_DIR))
+    assert "REPARTITION_BY_COL" in plan, plan
+    # the count-by-gram aggregate sits on the spread, not on its own
+    # requirement-inserted exchange: every hashpartitioning(g...)
+    # exchange in the plan is the user spread
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning(g" in line:
+            assert "REPARTITION_BY_COL" in line, line
+
+
 def test_winnow_prunes_hot_grams_before_self_join(spark):
     plan = plan_of(QUERIES["doc_winnow_fingerprints"](spark, SF_DIR))
     assert "LeftAnti" in plan
