@@ -1854,7 +1854,11 @@ class CCBudgetExceeded(RuntimeError):
 
 
 def connected_components_min_label(
-    edges: DataFrame, a: str = "doc_a", b: str = "doc_b", max_iter: int = 20
+    edges: DataFrame,
+    a: str = "doc_a",
+    b: str = "doc_b",
+    max_iter: int = 20,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(node, component) via min-label propagation over an edge list.
 
@@ -1876,6 +1880,10 @@ def connected_components_min_label(
     the case where the result would be wrong. For such graphs use
     :func:`connected_components_star`, which converges in ~log
     rounds regardless of diameter.
+
+    ``stats``, if given, receives ``{"rounds": n}`` (round 14, the
+    same contract as the star walk) so round counts are observable
+    without instrumenting the loop.
     """
     spark = edges.sparkSession
     # the edge relation is read in EVERY round's join plus the label
@@ -1909,8 +1917,18 @@ def connected_components_min_label(
     # min-propagation, so the sum is strictly decreasing until the
     # fixpoint — one scalar read per round replaces the second
     # (labels ⋈ neighbor_min) join the changed-flag variant needed.
-    prev_sum = None
+    # Round 14: seed the check with the INIT labels' sum. The nbr_min
+    # init already reaches the fixpoint on pair/triangle components —
+    # the near-dup common case — and with prev_sum=None the loop had
+    # to pay a SECOND full join round just to observe that round 1
+    # changed nothing. One scalar aggregate over the materialized
+    # init relation (V rows, no join) buys that O(E) round back;
+    # graphs that do change in round 1 pay only the extra V-row scan.
+    prev_sum = labels.agg(
+        F.sum(col("label").cast("decimal(38,0)"))
+    ).first()[0]
     converged = False
+    rounds = 0
     for _ in range(max_iter):
         nbr = sym.join(labels, sym.dst == labels.node).select(
             col("src").alias("node"), col("label")
@@ -1926,6 +1944,7 @@ def connected_components_min_label(
         new_sum = labels.agg(
             F.sum(col("label").cast("decimal(38,0)"))
         ).first()[0]
+        rounds += 1
         if new_sum == prev_sum:
             converged = True
             break
@@ -1936,6 +1955,8 @@ def connected_components_min_label(
             "(component diameter exceeds the iteration budget); use "
             "connected_components_star for deep/chained graphs"
         )
+    if stats is not None:
+        stats["rounds"] = rounds
     return labels.select("node", col("label").alias("component"))
 
 

@@ -551,6 +551,29 @@ def test_star_cc_matches_min_label_on_shallow_graph(spark):
     assert all(c // 10 == n // 10 for n, c in a)
 
 
+def test_min_label_converges_in_one_round_on_shallow_graph(spark):
+    """Round 14: the convergence check is seeded with the INIT labels'
+    sum, so a graph whose nbr_min init already reaches the fixpoint
+    (pairs/triangles — the near-dup common case) converges after ONE
+    propagation round instead of paying a second full join round just
+    to detect that nothing changed. max_iter=1 must therefore suffice
+    where it previously raised."""
+    from pulsar_spark_spark.plans.text import connected_components_min_label
+
+    edges = spark.createDataFrame(
+        [(1, 2), (5, 6), (5, 7), (6, 7)], "doc_a long, doc_b long"
+    )
+    stats = {}
+    labels = {
+        (r["node"], r["component"])
+        for r in connected_components_min_label(
+            edges, max_iter=1, stats=stats
+        ).collect()
+    }
+    assert stats["rounds"] == 1
+    assert labels == {(1, 1), (2, 1), (5, 5), (6, 5), (7, 5)}
+
+
 def test_min_label_raises_beyond_iteration_budget(spark):
     """Exhausting max_iter must be LOUD (round 8), never silently
     wrong labels: a 30-hop chain cannot converge in 5 rounds."""
