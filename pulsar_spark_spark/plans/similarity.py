@@ -2494,8 +2494,12 @@ def stage_emb_pair_graph_reband(
     still shares the machine with foreground work (r13 measured an
     unisolated overlapped shard's ingest at ~1.9× its quiet wall);
     when launched via the async trigger its jobs run in the capped
-    ``reband`` FAIR pool (session.py: weight 1 vs the default pool's
-    8), bounding the foreground penalty to ~1/9 of the task slots
+    ``reband`` FAIR pool — declared by sessions built with
+    ``get_session(fair_pools=True)`` (round 15 scoped FAIR out of the
+    global session default; on a FIFO session the pool property is
+    ignored and staging runs unisolated, the pre-r14 behavior) —
+    weight 1 vs the default pool's
+    8, bounding the foreground penalty to ~1/9 of the task slots
     under contention while keeping full width on an idle machine.
     Measured controlled (tools/fair_pool_ab.py, interleaved rounds,
     saturating fine-task hog): foreground ×1.47 under the capped

@@ -104,7 +104,7 @@ def main() -> None:
     from pulsar_spark_spark.session import get_session
 
     spark = get_session(
-        app_name="fair_pool_ab", master=f"local[{CPUS}]"
+        app_name="fair_pool_ab", master=f"local[{CPUS}]", fair_pools=True
     )
     spark.sparkContext.setLogLevel("ERROR")
     # JIT/codegen stabilization: the first fold_r1 series measured a
