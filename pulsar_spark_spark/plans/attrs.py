@@ -40,7 +40,7 @@ from pulsar_spark_spark.functions.time import (
     ist_epoch_millis,
 )
 from pulsar_spark_spark.plans.registry import query
-from pulsar_spark_spark.sources.tables import load_table
+from pulsar_spark_spark.sources.tables import load_table, spread_scan
 
 
 def _h(prefix: str, key: Column, mod: int) -> Column:
@@ -111,8 +111,13 @@ def event_attrs_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster shuffle profile — and explains the row's earlier 10.7 →
     68 s capture variance. Disk blocks land in page cache at
     fixture scale, keeping the sf0.1 win.
+
+    spread_scan (round 15): the 5-md5 kv chain otherwise runs on the
+    single-file scan's one partition (measured 0.61 → 0.30 s at
+    sf0.1), and the checkpoint inherits that width for every
+    downstream consumer.
     """
-    ev = load_table(spark, "events", sf_dir)
+    ev = spread_scan(load_table(spark, "events", sf_dir))
     acc1 = _h("acc1:", col("event_id"), 250).cast("string")
     acc2 = _h("acc2:", col("event_id"), 250).cast("string")
     agent = F.concat(F.lit("A"), _h("agent:", col("user_id"), 20).cast("string"))

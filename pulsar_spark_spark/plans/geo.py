@@ -47,7 +47,7 @@ from pulsar_spark_spark.functions.geo import (
 from pulsar_spark_spark.functions.text import md5_i64
 from pulsar_spark_spark.operators.checkpoint import materialize
 from pulsar_spark_spark.plans.registry import query
-from pulsar_spark_spark.sources.tables import load_table
+from pulsar_spark_spark.sources.tables import load_table, spread_scan
 
 # ---------------------------------------------------------------------
 # deterministic geo projection (Spark + DuckDB twins)
@@ -65,14 +65,32 @@ def _sql_salted_mod(prefix: str, key_expr: str, mod: int) -> str:
     )
 
 
-def geo_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+def geo_events(
+    spark: SparkSession, sf_dir: str, spread: "bool | str" = False
+) -> DataFrame:
     """events + deterministic (lat, lng, accuracy) columns.
 
     Base point per user in a [2°,40°) × [60°,100°) box; per-event
     jitter ±0.0005° (~±55 m), with 1-in-10 outliers jittering ±0.05°
     (~±5.5 km); accuracy uniform in [0, 300).
+
+    ``spread`` widens the RAW events relation BEFORE the 6-md5
+    derivation chain runs (round 15, r14 VERDICT wrong #3: single-file
+    fixture scans serialize every map-side derivation): ``True`` =
+    :func:`spread_scan` (round-robin, no-op on real multi-file
+    corpora); a column name = a pinned keyed repartition of the raw
+    rows — for consumers that need that clustering anyway (the
+    exchange then does double duty AND ships the narrow raw rows
+    instead of +3 derived doubles). Measured at sf0.1 (noop,
+    min-of-3): derivation 0.71 s unspread → 0.37 s round-robin →
+    0.22 s keyed-pinned.
     """
     ev = load_table(spark, "events", sf_dir)
+    if spread is True:
+        ev = spread_scan(ev)
+    elif spread:
+        n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        ev = ev.repartition(n, spread)
     lat0 = 2.0 + _salted_mod("ulat:", col("user_id"), 3800) * 0.01
     lng0 = 60.0 + _salted_mod("ulng:", col("user_id"), 4000) * 0.01
     mult = F.when(_salted_mod("eout:", col("event_id"), 10) == 0, 100.0).otherwise(1.0)
@@ -190,7 +208,9 @@ def geofence_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     rides inside that condition (measured 1.77 → 1.35 s at sf0.1;
     at scale a ~20 B/row narrow write beats re-deriving per pair).
     """
-    ge = materialize(geo_events(spark, sf_dir).select("user_id", "lat", "lng"))
+    ge = materialize(
+        geo_events(spark, sf_dir, spread=True).select("user_id", "lat", "lng")
+    )
     gf = geofences(spark, sf_dir)
     dist = haversine_m(col("lat"), col("lng"), col("glat"), col("glng"))
     return (
@@ -317,9 +337,6 @@ def trip_geofence_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     write costs more than the saved derivation, while containment's
     3-column projection feeds a 25-row aggregate.
     """
-    ge = geo_events(spark, sf_dir)
-    gf = geofences(spark, sf_dir)
-    dist = haversine_m(col("lat"), col("lng"), col("glat"), col("glng"))
     # ONE user_id exchange ahead of the broadcast probe serves BOTH
     # downstream distribution needs (round 14): hashpartitioning on a
     # SUBSET of the aggregate's (event_id, ts, user_id) grouping keys
@@ -328,7 +345,15 @@ def trip_geofence_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # user_id) exchange for the dedup aggregate and a SECOND user_id
     # exchange for the window (3 → 2 exchanges; ×1.1-1.7 at sf0.1,
     # one full-width shuffle of the fact rows saved at scale).
-    ge = ge.repartition("user_id")
+    # Round 15 moved that exchange BELOW the md5 derivation (the
+    # spread="user_id" arm of geo_events): same exchange count, but
+    # the shuffle ships the narrow raw rows instead of +3 derived
+    # doubles, the derivation runs post-shuffle at pinned width
+    # instead of on the single-file scan partition, and the width no
+    # longer collapses under AQE's small-shuffle coalescing.
+    ge = geo_events(spark, sf_dir, spread="user_id")
+    gf = geofences(spark, sf_dir)
+    dist = haversine_m(col("lat"), col("lng"), col("glat"), col("glng"))
     located = (
         ge.join(broadcast(gf), _bbox_prefilter() & (dist < col("radius_m")), "left")
         .groupBy("event_id", "ts", "user_id")
@@ -407,7 +432,7 @@ def geohash_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB twin via sql_geohash_ctes; avg(accuracy) is
     order-independent because the fixture accuracies are integral.
     """
-    ge = geo_events(spark, sf_dir)
+    ge = geo_events(spark, sf_dir, spread=True)
     x, y = geohash_quantize(col("lat"), col("lng"), 7)
     staged = ge.select(
         "user_id", "accuracy", "lat", "lng", x.alias("__x"), y.alias("__y")
@@ -499,20 +524,16 @@ def geotag_history_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _geotag_merge_from_layout(spark, sf_dir)
 
 
-def _geotag_state_batch(
-    spark: SparkSession, sf_dir: str
-) -> "tuple[DataFrame, DataFrame]":
-    """(stored state, arriving micro-batch) point relations for the
-    history merge — 'purchase' events play the batch, everything else
-    the persisted state (the reference's union inputs)."""
-    ev = load_table(spark, "events", sf_dir)
+def _geotag_pts(ev: DataFrame) -> DataFrame:
+    """The history-merge point derivation over an events relation
+    (keeps ``event_type`` so callers can split state/batch)."""
     lat = (2.0 + _salted_mod("ulat:", col("user_id"), 3800) * 0.01) + (
         _salted_mod("hlat:", col("event_id"), 5) - 2
     ) * 1e-4
     lng = (60.0 + _salted_mod("ulng:", col("user_id"), 4000) * 0.01) + (
         _salted_mod("hlng:", col("event_id"), 5) - 2
     ) * 1e-4
-    all_pts = ev.select(
+    return ev.select(
         "user_id",
         "event_id",
         "ts",
@@ -521,16 +542,39 @@ def _geotag_state_batch(
         lng.alias("lng"),
         (_salted_mod("eacc:", col("event_id"), 3) * 50).cast("double").alias("accuracy"),
     )
+
+
+def _geotag_state_batch(
+    spark: SparkSession, sf_dir: str
+) -> "tuple[DataFrame, DataFrame]":
+    """(stored state, arriving micro-batch) point relations for the
+    history merge — 'purchase' events play the batch, everything else
+    the persisted state (the reference's union inputs)."""
+    all_pts = _geotag_pts(load_table(spark, "events", sf_dir))
     state = all_pts.filter(col("event_type") != "purchase").drop("event_type")
     batch = all_pts.filter(col("event_type") == "purchase").drop("event_type")
     return state, batch
 
 
 def _geotag_points(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The merge input: state ∪ batch (U1/J4 — the plain arm's union,
-    shared with tools/profile_merge.py's stage decomposition)."""
-    state, batch = _geotag_state_batch(spark, sf_dir)
-    return state.unionByName(batch)
+    """The merge input: state ∪ batch (U1/J4), collapsed to its value.
+
+    The two union inputs partition the SAME projection into
+    complementary ``event_type`` subsets — the union is exactly the
+    whole projection, but expressed as two scans + two md5 derivations
+    Catalyst cannot fuse. Round 15 collapses it to ONE keyed-spread
+    scan + one derivation: the raw rows are repartitioned on user_id
+    BEFORE the derivation (pinned width — the same exchange
+    :func:`_geotag_merge`'s two windows share, moved below the md5
+    chain so it ships narrow raw rows and the derivation runs
+    cores-wide instead of on the single-file scan partition). Row
+    ORDER differs from the literal union; both consumers are window
+    row_numbers with total (ts, event_id) orders, so results are
+    identical (oracle-checked)."""
+    spark_ = spark
+    n = int(spark_.conf.get("spark.sql.shuffle.partitions"))
+    ev = load_table(spark, "events", sf_dir).repartition(n, "user_id")
+    return _geotag_pts(ev).drop("event_type")
 
 
 def dedup_then_cap(pts: DataFrame, ts_col: str, cap: int) -> DataFrame:
@@ -560,19 +604,18 @@ def dedup_then_cap(pts: DataFrame, ts_col: str, cap: int) -> DataFrame:
 def _geotag_merge(pts: DataFrame) -> DataFrame:
     """dedup-first-occurrence → cap-100-newest over the point union.
 
-    The union is repartitioned on user_id ONCE up front (round 14):
+    Both windows share ONE user_id exchange (round 14):
     hashpartitioning(user_id) satisfies the dup window's clustering
     on (user_id, lat, lng, accuracy) — a key subset — AND the cap
-    window's user_id requirement, so both windows run off a single
-    exchange of the raw rows instead of one full-width exchange each
-    (3 → 2 total; the map-side WindowGroupLimit prune the old first
-    exchange enjoyed collapses few rows here — dups are ~15% of the
-    union — so one exchange of N beats two of ~0.9N; measured
-    ×1.05-1.35 at sf0.1 interleaved). The bucketed arm
+    window's user_id requirement (3 → 2 exchanges total; measured
+    ×1.05-1.35 at sf0.1 interleaved). Round 15 moved that exchange
+    INTO :func:`_geotag_points`, below the md5 derivation, so ``pts``
+    arrives already clustered on user_id — repartitioning here again
+    would be a redundant second shuffle. The bucketed arm
     (:func:`_geotag_merge_from_layout`) keeps its own zero-Exchange
     state shape and is unaffected."""
     return (
-        dedup_then_cap(pts.repartition("user_id"), "ts", 100)
+        dedup_then_cap(pts, "ts", 100)
         .select("user_id", "event_id", "ts", "lat", "lng", "accuracy")
         .orderBy("user_id", "ts", "event_id")
     )
@@ -718,14 +761,23 @@ def _geotag_merge_from_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = spark.table(table).select(
         *_GEOTAG_KEY, F.struct("ts", "event_id").alias("__first")
     ).alias("s")
-    _state, batch = _geotag_state_batch(spark, sf_dir)
     # ONE batch-side Exchange total: repartition to the state's exact
     # (key, count) spec up front, so the triple groupBy (clustered on
     # a superset of user_id) and the join (co-partitioned with the
-    # bucketed scan) both reuse it
+    # bucketed scan) both reuse it. Round 15: the batch is filtered
+    # and repartitioned on the RAW rows, and the md5 point derivation
+    # runs AFTER the exchange — 'purchase' rows only (~1/5 of the
+    # scan) are derived, the shuffle ships narrow raw columns, and
+    # the derivation runs at bucket width instead of the single-file
+    # scan partition.
+    ev = load_table(spark, "events", sf_dir)
+    batch = _geotag_pts(
+        ev.filter(col("event_type") == "purchase").repartition(
+            _geotag_n_buckets(sf_dir), "user_id"
+        )
+    ).drop("event_type")
     ba = (
-        batch.repartition(_geotag_n_buckets(sf_dir), "user_id")
-        .groupBy(*_GEOTAG_KEY)
+        batch.groupBy(*_GEOTAG_KEY)
         .agg(F.min(F.struct("ts", "event_id")).alias("__first"))
         .alias("b")
     )

@@ -629,8 +629,14 @@ def _geo_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass ``assume_finite=True``: the `_finite_points` guard would
     remove zero rows while re-inlining this whole derivation into a
     Filter on both kernel subtrees (measured ×1.9 on the G1 row —
-    see operators/grouped.py::_finite_points)."""
-    ge = geo_events(spark, sf_dir)
+    see operators/grouped.py::_finite_points).
+
+    ``spread=True`` (round 15): the md5 chain otherwise runs on the
+    single-file scan's one partition in EVERY consumer (the kernel
+    wrappers' keyed repartition sits ABOVE this projection, so their
+    guard aggregate and join side each re-derive it single-threaded;
+    measured 0.71 → 0.37 s per pass at sf0.1)."""
+    ge = geo_events(spark, sf_dir, spread=True)
     return ge.select(
         "user_id",
         "event_id",
@@ -676,8 +682,11 @@ def _scaled_geo_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation is the 7-column pruned projection (~50 B/row), far
     narrower than the source fact rows, and it replaces up to four
     full md5-projection passes (measured: delivery_refined_history
-    6.8 → 3.8 s at sf0.1)."""
-    ge = geo_events(spark, sf_dir)
+    6.8 → 3.8 s at sf0.1). ``spread=True`` (round 15) widens the raw
+    scan so the one derivation pass — and the checkpoint blocks every
+    consumer reads — runs cores-wide instead of on the single-file
+    scan's one partition."""
+    ge = geo_events(spark, sf_dir, spread=True)
     return materialize(
         ge.select(
             "user_id",

@@ -34,7 +34,7 @@ from pyspark.sql.functions import col
 from pulsar_spark_spark.operators.shipping import ensure_package_on_executors
 from pulsar_spark_spark.plans.registry import query
 from pulsar_spark_spark.plans.kernels import _sorted_out
-from pulsar_spark_spark.sources.tables import load_table
+from pulsar_spark_spark.sources.tables import load_table, spread_scan
 
 _TYPES = ("image", "audio", "video")
 
@@ -46,9 +46,11 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     The payload is 64 deterministic bytes (4 chained md5 digests of the
     doc text) — an opaque blob as far as the engine is concerned. The
     base64 column exists to exercise F11 (unbase64 → blob, the
-    signature-payload path).
+    signature-payload path). The scan is spread first (round 15): the
+    9-md5 payload/meta derivation otherwise runs on the single-file
+    fixture scan's one partition (no-op on real corpora).
     """
-    d = load_table(spark, "documents", sf_dir)
+    d = spread_scan(load_table(spark, "documents", sf_dir))
     hexes = F.concat(
         F.md5(col("text")),
         F.md5(F.concat(col("text"), F.lit(":1"))),

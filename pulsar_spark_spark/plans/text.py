@@ -59,7 +59,7 @@ from pulsar_spark_spark.operators.checkpoint import (
     materialize,
 )
 from pulsar_spark_spark.plans.registry import query
-from pulsar_spark_spark.sources.tables import load_table
+from pulsar_spark_spark.sources.tables import load_table, spread_scan
 
 # ---------------------------------------------------------------------
 # DuckDB oracle SQL fragments mirroring functions/text.py exactly.
@@ -796,6 +796,13 @@ def near_dup_candidates(
     """
     n_hashes, n_bands, rows_per_band = resolve_band_plan(docs, plan)
     spark = docs.sparkSession
+    # Round 15 measured AGAINST a spread_scan here (knob A/B, 4
+    # interleaved rounds, one JVM): the keyed/reps derivations are a
+    # light clean_text+md5 over FAT text rows, so round-robining the
+    # raw docs twice costs more than the single-partition derivation
+    # it parallelizes (near_dup 3.05 vs 3.30 s, dedup 3.77 vs 3.96 s,
+    # off-arm winning every round) — the heavy shingle stage already
+    # has its own keyed respread below.
     # doc → text-group membership, for the final fan-out. Narrow
     # (doc_id, ckey) relation consumed by both fan-out sides —
     # materialized so the corpus text is not re-scanned/re-hashed per
@@ -1146,9 +1153,12 @@ def doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     (en > es > fr > de > zh) so the result is deterministic — ties are
     common on short or out-of-lexicon documents. One scan + one tiny
     aggregate; the marker lists ship with the expression (no lookup
-    join), so the classifier is a pure map at any scale.
+    join), so the classifier is a pure map at any scale — which is
+    exactly why the scan is spread first (round 15): the whole
+    tokenize + 5-lexicon classifier otherwise runs on the single-file
+    fixture scan's one partition.
     """
-    docs = load_table(spark, "documents", sf_dir)
+    docs = spread_scan(load_table(spark, "documents", sf_dir))
     pred = lang_id(tokens(col("text")))
     return (
         docs.select(col("lang"), pred.alias("pred_lang"))
@@ -1446,6 +1456,12 @@ def pruned_grams(
                     spark.sparkContext.defaultParallelism * 2,
                     col("doc_id"),
                 )
+                # Below the engine floor NO spread (r12 measured the
+                # keyed exchange at +0.46 s on doc_curation; round 15
+                # re-measured a cheap raw round-robin spread_scan here
+                # and it still lost — winnow 1.40 vs 1.45 s, curation
+                # 2.06 vs 2.47 s, off-arm winning every interleaved
+                # round: fat text rows, light per-doc derivation).
                 if spread
                 else docs
             )

