@@ -810,6 +810,71 @@ def _bucketed_refinement_bench(spark) -> tuple[float, dict]:
     }
 
 
+def _run_headline_fold(spark, timings: dict, runs: int) -> None:
+    """One full headline sweep: per query, min over ``runs``
+    back-to-back collect() passes merged into ``timings`` (cache
+    cleared between executions so later timings are not contaminated
+    by earlier queries' storage memory)."""
+    for name in HEADLINE:
+        if name not in QUERIES:
+            continue
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            df = QUERIES[name](spark, SF_DIR)
+            df.collect()
+            elapsed = round(time.perf_counter() - t0, 3)
+            if name not in timings or elapsed < timings[name]:
+                timings[name] = elapsed
+            spark.catalog.clearCache()
+
+
+def _headline_fold_child(runs: int) -> None:
+    """Entry point of a FRESH-JVM headline fold (round 15, r14 VERDICT
+    next #8): ``bench.py --headline-fold`` builds its own session in a
+    new process (new JVM — JIT, allocator and GC state independent of
+    the parent's), warms exactly like the parent (q1 + python
+    workers), measures its own calibration row, runs one headline
+    sweep and prints a single ``FOLD_JSON`` line for the parent to
+    merge by min. Separate JVMs mean a transient host-contention burst
+    (the ±15-20% drift that dominated three rounds of cross-round
+    reads) cannot tax every fold through shared JIT/GC state."""
+    spark = get_session(
+        app_name="pulsar_spark_spark_bench_fold", master=f"local[{CPUS}]"
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    QUERIES["q1_pricing_summary"](spark, SF_DIR).collect()
+    _warm_python_workers(spark)
+    cal = _calibration(spark)
+    timings: dict[str, float] = {}
+    _run_headline_fold(spark, timings, runs)
+    print(
+        "FOLD_JSON "
+        + json.dumps({"calibration_sec": cal, "queries": timings})
+    )
+    spark.stop()
+
+
+def _fresh_jvm_fold(runs: int) -> "dict | None":
+    """Run one headline fold in a subprocess; None if it failed (the
+    caller falls back to an in-session fold so the bench always
+    completes and prints its one-line contract)."""
+    import subprocess
+
+    try:
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--headline-fold"],
+            capture_output=True,
+            text=True,
+            timeout=1800,
+        )
+        for line in p.stdout.splitlines():
+            if line.startswith("FOLD_JSON "):
+                return json.loads(line[len("FOLD_JSON "):])
+    except Exception:
+        pass
+    return None
+
+
 def _calibration(spark) -> float:
     """Fixed, code-stable, data-independent machine probe: min-of-3 of
     a pure whole-stage-codegen aggregate over a constant range. Round
@@ -885,23 +950,7 @@ def main() -> None:
     folds = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_FOLDS", "2")))
     calibrations = [calibration_sec]
 
-    def _headline_fold() -> None:
-        for name in HEADLINE:
-            if name not in QUERIES:
-                continue
-            for _ in range(runs):
-                t0 = time.perf_counter()
-                df = QUERIES[name](spark, SF_DIR)
-                df.collect()
-                elapsed = round(time.perf_counter() - t0, 3)
-                if name not in timings or elapsed < timings[name]:
-                    timings[name] = elapsed
-                # Isolation between queries: drop any cache a query
-                # pinned so later timings are not contaminated by
-                # earlier queries' storage memory.
-                spark.catalog.clearCache()
-
-    _headline_fold()
+    _run_headline_fold(spark, timings, runs)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     knob_notes = {
@@ -1023,13 +1072,24 @@ def main() -> None:
     geofence = _geofence_stream_bench(spark)
 
     # Remaining merge-min folds — temporally separated from fold 1 by
-    # the index/stream benches above (see the capture-discipline note
-    # at the first fold). Each fold re-measures the calibration row
-    # first, so the committed artifact records the host's fixed
-    # overhead AT EACH fold, not just at warmup.
+    # the index/stream benches above, and since round 15 run in FRESH
+    # JVMs (r14 VERDICT next #8: the ×1.49 intra-run calibration swing
+    # made same-JVM folds share one host/JIT state; an isolated
+    # process per fold decorrelates them). Each fold measures its own
+    # calibration row, so the committed artifact records the host's
+    # fixed overhead AT EACH fold, not just at warmup. Falls back to
+    # the pre-r15 in-session fold if the subprocess fails — the
+    # one-line JSON contract always completes.
     for _ in range(folds - 1):
-        calibrations.append(_calibration(spark))
-        _headline_fold()
+        fold = _fresh_jvm_fold(runs)
+        if fold is None:
+            calibrations.append(_calibration(spark))
+            _run_headline_fold(spark, timings, runs)
+        else:
+            calibrations.append(fold["calibration_sec"])
+            for name, sec in fold["queries"].items():
+                if name not in timings or sec < timings[name]:
+                    timings[name] = sec
     calibration_sec = min(calibrations)
     if {"delivery_refinement", "delivery_refined_history"} <= timings.keys():
         marginal = (
@@ -1136,8 +1196,10 @@ def main() -> None:
         # merge-min capture discipline (round 14): per-query min over
         # `headline_folds` temporally-separated full sweeps of
         # `runs_per_query` back-to-back passes each; one calibration
-        # row per fold for cross-round normalization
+        # row per fold for cross-round normalization. Round 15: folds
+        # after the first run in FRESH JVMs (subprocess per fold).
         "headline_folds": folds,
+        "fold_isolation": "jvm",
         "calibration_folds": calibrations,
     }
     if scale_slope:
@@ -1160,4 +1222,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--headline-fold" in sys.argv[1:]:
+        _headline_fold_child(runs=2)
+    else:
+        main()

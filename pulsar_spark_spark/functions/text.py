@@ -168,7 +168,9 @@ def shingle_hashes(shingles: Column) -> Column:
     return F.array_distinct(F.transform(shingles, lambda s: md5_i64(s) % MINHASH_P))
 
 
-def minhash_signature_from_hashes(hvals: Column, n_hashes: int = 16) -> Column:
+def minhash_signature_from_hashes(
+    hvals: "Column | str", n_hashes: int = 16
+) -> Column:
     """MinHash signature from pre-hashed shingle ints (cheap integer
     transforms only — the md5 cost was paid once in shingle_hashes).
 
@@ -183,7 +185,30 @@ def minhash_signature_from_hashes(hvals: Column, n_hashes: int = 16) -> Column:
     empty arrays yield NULL either way, guarded explicitly) with zero
     array allocations, and it is NOT the nested-HOF shape that fell
     out of codegen in the round-7 fused-bucket experiment (the
-    accumulator is a scalar, not an array)."""
+    accumulator is a scalar, not an array).
+
+    Pass ``hvals`` as a SQL fragment (usually the bound column name)
+    on hot paths: the whole n-permutation signature then parses
+    JVM-side in ONE call, where the Column-API form costs ~6 py4j
+    round-trips per permutation — profiled round 15 at 0.44 s of
+    DRIVER time per plan build at 16 hashes (the sign_bucket lesson
+    from plans/similarity.py, applied to the text family). Both forms
+    produce identical values (pinned in tests/test_functions.py).
+    """
+    if isinstance(hvals, str):
+        perms = []
+        for i in range(n_hashes):
+            a, b = _mh_constants(i)
+            agg = (
+                f"aggregate({hvals}, CAST({MINHASH_P} AS BIGINT), "
+                f"(acc, h) -> least(acc, (h * CAST({a} AS BIGINT) "
+                f"+ CAST({b} AS BIGINT)) % CAST({MINHASH_P} AS BIGINT)))"
+            )
+            perms.append(
+                f"(CASE WHEN size({hvals}) = 0 THEN CAST(NULL AS BIGINT) "
+                f"ELSE {agg} END)"
+            )
+        return F.expr("array(" + ", ".join(perms) + ")")
 
     # NB: PySpark higher-order functions pass one argument per lambda
     # parameter, so the ``lambda h, i=i`` default-arg idiom would bind
@@ -213,12 +238,24 @@ def minhash_signature(shingles: Column, n_hashes: int = 16) -> Column:
     return minhash_signature_from_hashes(shingle_hashes(shingles), n_hashes)
 
 
-def lsh_bands(signature: Column, n_bands: int, rows_per_band: int) -> Column:
+def lsh_bands(
+    signature: "Column | str", n_bands: int, rows_per_band: int
+) -> Column:
     """Band the signature for LSH: array of 'band_idx:md5(band values)'.
 
     Documents sharing any band key are near-dup candidates; join on
     the exploded key. bands × rows must equal the signature length.
+    A SQL-fragment ``signature`` builds the whole band array in one
+    JVM parse (the minhash_signature_from_hashes py4j rationale);
+    identical values either way (pinned in tests/test_functions.py).
     """
+    if isinstance(signature, str):
+        bands_sql = ", ".join(
+            f"concat('{b}:', md5(array_join(slice({signature}, "
+            f"{b * rows_per_band + 1}, {rows_per_band}), ',')))"
+            for b in range(n_bands)
+        )
+        return F.expr(f"array({bands_sql})")
     bands = [
         F.concat(
             F.lit(f"{b}:"),

@@ -61,6 +61,14 @@ _SAMPLE_TARGET = 3
 
 _HASH_SCALE = float(1 << 60)  # md5_i64 yields a uniform 60-bit int
 
+# Footer-resolved broadcast gate for the decontamination benchmark
+# side: benchmark docs are 1/_BENCH_MOD of the corpus at ~200 winnowed
+# grams each, so 500k corpus docs ≈ 4M bench gram rows — inside
+# broadcast_if_bounded's 5M-row bound (~0.5 GB framed) with margin.
+# Below this the broadcast needs no counting job; above it (or for
+# footerless in-memory relations) the counted guard decides.
+_BENCH_BROADCAST_MAX_DOCS = 500_000
+
 
 # Oracle bodies (no ORDER BY) — composed into the single registered
 # ``doc_curation`` oracle below; the per-stage functions stay public
@@ -126,29 +134,40 @@ def doc_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     relative to the corpus, but this one is carved out of the corpus
     itself — 1/25 of its gram rows — so an unconditional broadcast
     hint grows linearly with corpus size and would blow the 8 GB
-    broadcast limit / driver heap at the 100 TB target;
-    broadcast_if_bounded degrades to the shuffle join there, over a
-    materialized gram set so the guard count scans checkpoint blocks
-    instead of re-running the gram explode). The only shuffle is the
-    per-(doc, bench) overlap count, whose input is already reduced to
-    actual overlaps. The df cap bounds any single gram's fanout on
-    both sides.
+    broadcast limit / driver heap at the 100 TB target). The bound is
+    resolved from the parquet FOOTER row count (zero Spark jobs, the
+    resolve_band_plan discipline): below ``_BENCH_BROADCAST_MAX_DOCS``
+    the benchmark side broadcasts unconditionally; above it — or when
+    the corpus size is unknowable from footers — the counted
+    ``broadcast_if_bounded`` guard decides, degrading to the shuffle
+    join at the 100 TB target. Round 15: the r14 form ran the counted
+    guard (a count job) over an EXTRA localCheckpoint of the benchmark
+    grams on every fixture-scale run, which is what regressed
+    doc_curation vs r13 (cross-tree A/B 1.50 vs 1.82 s, r13 ahead in
+    all 3 interleaved rounds); the footer gate removes both jobs while
+    keeping the scale guard. The only shuffle is the per-(doc, bench)
+    overlap count, whose input is already reduced to actual overlaps.
+    The df cap bounds any single gram's fanout on both sides.
     """
-    from pulsar_spark_spark.operators.checkpoint import (
-        broadcast_if_bounded,
-        materialize,
-    )
+    from pulsar_spark_spark.operators.checkpoint import broadcast_if_bounded
+    from pulsar_spark_spark.plans.text import _docs_rows
 
     docs = load_table(spark, "documents", sf_dir)
     grams = pruned_grams(docs, w=1)
-    bench = materialize(
-        grams.filter(col("doc_id") % _BENCH_MOD == 0).select(
-            col("doc_id").alias("bench_id"), "g"
-        )
+    bench = grams.filter(col("doc_id") % _BENCH_MOD == 0).select(
+        col("doc_id").alias("bench_id"), "g"
     )
+    n_docs = _docs_rows(docs, count_fallback=False)
+    if n_docs is not None and n_docs <= _BENCH_BROADCAST_MAX_DOCS:
+        bench_side = F.broadcast(bench)
+    else:
+        # the counted guard re-scans pruned_grams' existing checkpoint
+        # (the filter pushes into the block scan) — no extra
+        # materialization needed for the count to be cheap
+        bench_side = broadcast_if_bounded(bench)
     corpus = grams.filter(col("doc_id") % _BENCH_MOD != 0)
     hits = (
-        corpus.join(broadcast_if_bounded(bench), "g")
+        corpus.join(bench_side, "g")
         .groupBy("doc_id", "bench_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(col("n_shared") >= _DECONTAM_MIN_SHARED)

@@ -915,13 +915,16 @@ def near_dup_candidates(
         )
         .transform(materialize)
     )
+    # "hv"/"sig" as SQL fragments: one JVM parse per builder instead of
+    # ~6 py4j round-trips per permutation/band (profiled 0.44 s of
+    # driver time per plan build at the floor's 16 hashes — round 15)
     sig = sh.select(
         "rep",
-        minhash_signature_from_hashes(col("hv"), n_hashes).alias("sig"),
+        minhash_signature_from_hashes("hv", n_hashes).alias("sig"),
     )
     banded = sig.select(
         "rep",
-        F.explode(lsh_bands(col("sig"), n_bands, rows_per_band)).alias("band_key"),
+        F.explode(lsh_bands("sig", n_bands, rows_per_band)).alias("band_key"),
     )
     # Hot-bucket cap (see cap_hot_buckets for the window-vs-agg trade)
     capped = cap_hot_buckets(banded, ["band_key"], band_cap)

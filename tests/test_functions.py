@@ -228,3 +228,42 @@ def test_distance_and_geohash_null_semantics(spark):
         np.array([77.6, 77.6]),
     )
     assert math.isnan(out[0]) and out[1] > 0
+
+
+def test_minhash_and_band_sql_fragment_forms_match_column_forms(spark):
+    """Round 15: the hot near-dup path builds the MinHash signature and
+    LSH band expressions from SQL fragments (one JVM parse) instead of
+    per-permutation py4j Column construction (profiled 0.44 s of
+    driver time per plan build at 16 hashes). Both forms must produce
+    byte-identical values — including the empty-input NULL guard."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.functions import col
+
+    from pulsar_spark_spark.functions.text import (
+        char_shingles,
+        lsh_bands,
+        minhash_signature_from_hashes,
+        shingle_hashes,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "lorem ipsum dolor sit amet consectetur"),
+         (3, ""),  # empty text -> empty hv -> NULL signature entries
+         (4, "zz")],
+        "doc_id long, text string",
+    ).select(
+        "doc_id", shingle_hashes(char_shingles(col("text"), 5)).alias("hv")
+    )
+    sig = df.select(
+        "doc_id",
+        minhash_signature_from_hashes("hv", 16).alias("s_sql"),
+        minhash_signature_from_hashes(col("hv"), 16).alias("s_col"),
+    )
+    rows = sig.collect()
+    assert rows and all(r["s_sql"] == r["s_col"] for r in rows)
+    bands = sig.select(
+        lsh_bands("s_sql", 4, 4).alias("b_sql"),
+        lsh_bands(col("s_col"), 4, 4).alias("b_col"),
+    ).collect()
+    assert all(r["b_sql"] == r["b_col"] for r in bands)
