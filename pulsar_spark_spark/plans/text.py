@@ -2090,22 +2090,85 @@ def connected_components_star(
     )
 
 
+# Edge bound for the driver-local union-find arm of component_walk's
+# ``auto`` dispatch. 100k edges collect to ~2 MB of longs — an order
+# under the broadcasts these same pipelines already ship to every
+# executor — and a path-compressed union-find resolves them in
+# milliseconds where EVERY distributed round costs a join + aggregate
+# + checkpoint + scalar read (~0.4-0.5 s of fixed overhead at any
+# graph size; the sf0.1 embedding rep graph needs FOUR of them).
+_LOCAL_WALK_MAX_EDGES = 100_000
+
+
+def connected_components_local(
+    edges: DataFrame, a: str = "doc_a", b: str = "doc_b"
+) -> DataFrame:
+    """(node, component) by a driver-side union-find over a BOUNDED
+    edge relation — the small-graph arm of :func:`component_walk`.
+
+    Same contract as :func:`connected_components_min_label` (the walk
+    the gate replaces): every node that appears in ANY edge — a
+    self-loop-only node keeps its own id as its component, exactly as
+    min-label's closed-neighborhood init yields — and component =
+    min id of the connected set. Union-by-min keeps every root equal
+    to its component label; path compression bounds the walk. The
+    caller owns the size gate (``_LOCAL_WALK_MAX_EDGES``) — this
+    function is the ``broadcast_if_bounded`` pattern applied to graph
+    state: below the bound the driver holds strictly less than the
+    pipelines' existing broadcasts; above it the distributed walks
+    are the right plan.
+    """
+    spark = edges.sparkSession
+    rows = edges.select(
+        col(a).cast("long").alias("x"), col(b).cast("long").alias("y")
+    ).collect()
+    parent: dict[int, int] = {}
+
+    def find(u: int) -> int:
+        while parent[u] != u:
+            parent[u] = parent[parent[u]]
+            u = parent[u]
+        return u
+
+    for r in rows:
+        x, y = r["x"], r["y"]
+        if x not in parent:
+            parent[x] = x
+        if y not in parent:
+            parent[y] = y
+        if x == y:
+            continue
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            if rx < ry:
+                parent[ry] = rx
+            else:
+                parent[rx] = ry
+    data = [(n, find(n)) for n in parent]
+    return spark.createDataFrame(data, "node bigint, component bigint")
+
+
 def component_walk(
     edges: DataFrame, a: str = "doc_a", b: str = "doc_b", cc: str = "auto"
 ) -> DataFrame:
     """Dispatch a connected-components walk by ``cc``.
 
     ``"min_label"`` and ``"star"`` force that algorithm. ``"auto"``
-    (the production default for the registered cluster queries) probes
-    with the min-label fast path — fewest rounds on the shallow
-    pair/triangle graphs near-dup thresholds usually produce — under a
-    deliberately SMALL budget (shallow graphs converge in 1-3 rounds,
-    so 8 probe rounds lose nothing), and on :class:`CCBudgetExceeded`
-    (component diameter beyond the probe, e.g. a chained boilerplate
-    cluster at crawl scale) falls back to the ~log(diameter) star walk
-    instead of failing the pipeline. The wasted probe rounds replay
-    the callers' checkpointed edge relation, not the LSH/verify chain,
-    so the retry costs iterations, not candidate generation.
+    (the production default for the registered cluster queries) first
+    gates on edge count (one cheap job over the callers' checkpointed
+    edge relation): a graph under ``_LOCAL_WALK_MAX_EDGES`` resolves
+    by driver-local union-find (:func:`connected_components_local`) —
+    round 15, interleaved A/B: the sf0.1 embedding rep graph took 4
+    distributed min-label rounds (~1.9 s of per-round fixed overhead)
+    for a few hundred edges the driver folds in milliseconds. Above
+    the bound it probes the min-label fast path — fewest rounds on
+    shallow pair/triangle graphs — under a deliberately SMALL budget,
+    and on :class:`CCBudgetExceeded` (component diameter beyond the
+    probe, e.g. a chained boilerplate cluster at crawl scale) falls
+    back to the ~log(diameter) star walk instead of failing the
+    pipeline. The wasted probe rounds replay the checkpointed edge
+    relation, not the LSH/verify chain, so the retry costs
+    iterations, not candidate generation.
     """
     if cc == "min_label":
         return connected_components_min_label(edges, a, b)
@@ -2113,6 +2176,8 @@ def component_walk(
         return connected_components_star(edges, a, b)
     if cc != "auto":
         raise ValueError(f"cc must be min_label/star/auto, got {cc!r}")
+    if edges.count() <= _LOCAL_WALK_MAX_EDGES:
+        return connected_components_local(edges, a, b)
     try:
         return connected_components_min_label(edges, a, b, max_iter=8)
     except CCBudgetExceeded:

@@ -588,11 +588,17 @@ def test_min_label_raises_beyond_iteration_budget(spark):
         connected_components_min_label(edges, max_iter=5)
 
 
-def test_component_walk_auto_falls_back_to_star_on_deep_graph(spark):
+def test_component_walk_auto_falls_back_to_star_on_deep_graph(
+    spark, monkeypatch
+):
     """cc='auto' (the registered queries' default since round 8) must
     survive a component deeper than min-label's budget by switching to
     the star walk instead of failing the pipeline — the 10×-scale
-    rolled-replica embedding corpus hit exactly this."""
+    rolled-replica embedding corpus hit exactly this. The round-15
+    local-walk gate is pinned to 0 here so the DISTRIBUTED dispatch is
+    what gets exercised (a 100-edge fixture would otherwise resolve on
+    the driver and never touch the fallback)."""
+    from pulsar_spark_spark.plans import text as T
     from pulsar_spark_spark.plans.text import (
         CCBudgetExceeded,
         component_walk,
@@ -600,6 +606,7 @@ def test_component_walk_auto_falls_back_to_star_on_deep_graph(spark):
     )
     import pytest as _pytest
 
+    monkeypatch.setattr(T, "_LOCAL_WALK_MAX_EDGES", 0)
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(100)], "doc_a long, doc_b long"
     )
@@ -611,6 +618,33 @@ def test_component_walk_auto_falls_back_to_star_on_deep_graph(spark):
     assert all(r["component"] == 0 for r in labels)
     with _pytest.raises(ValueError, match="min_label/star/auto"):
         component_walk(edges, cc="bogus")
+
+
+def test_component_walk_auto_local_arm_matches_distributed(spark):
+    """Round 15: under the edge bound, cc='auto' resolves by
+    driver-local union-find — exactly the labels min-label produces,
+    including self-loop-only node dropping and min-id components."""
+    import random
+
+    from pulsar_spark_spark.plans import text as T
+    from pulsar_spark_spark.plans.text import (
+        component_walk,
+        connected_components_min_label,
+    )
+
+    rng = random.Random(15)
+    pairs = [(rng.randrange(50), rng.randrange(50)) for _ in range(120)]
+    pairs += [(7, 7)]  # self loop — dropped unless the node has cross edges
+    edges = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    assert len(pairs) <= T._LOCAL_WALK_MAX_EDGES
+    local = {
+        (r["node"], r["component"]) for r in component_walk(edges).collect()
+    }
+    dist = {
+        (r["node"], r["component"])
+        for r in connected_components_min_label(edges).collect()
+    }
+    assert local == dist and local
 
 
 def test_hot_bucket_stats_reports_what_cap_drops(spark):
