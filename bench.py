@@ -1072,24 +1072,34 @@ def main() -> None:
     geofence = _geofence_stream_bench(spark)
 
     # Remaining merge-min folds — temporally separated from fold 1 by
-    # the index/stream benches above, and since round 15 run in FRESH
-    # JVMs (r14 VERDICT next #8: the ×1.49 intra-run calibration swing
-    # made same-JVM folds share one host/JIT state; an isolated
-    # process per fold decorrelates them). Each fold measures its own
-    # calibration row, so the committed artifact records the host's
-    # fixed overhead AT EACH fold, not just at warmup. Falls back to
-    # the pre-r15 in-session fold if the subprocess fails — the
-    # one-line JSON contract always completes.
+    # the index/stream benches above (see the capture-discipline note
+    # at the first fold). Each fold re-measures the calibration row
+    # first, so the committed artifact records the host's fixed
+    # overhead AT EACH fold, not just at warmup.
+    #
+    # Round 15 note on the r14 VERDICT's fresh-JVM-per-fold ask: the
+    # literal form (fold 2 in a subprocess) was implemented and
+    # MEASURED to bias the longitudinal metric — a cold JVM's sweep
+    # loses the warm fold's JIT state, so small-row minima rose
+    # 15-30% on untouched paths (q1 0.41 → 0.60 s, doc_exact ×0.74)
+    # while changed paths still improved: the merged min silently
+    # changes meaning, which is exactly the cross-round poison the ask
+    # wanted to remove. The merged-min folds therefore stay in-session
+    # (methodology identical to r14, numbers comparable), and the
+    # fresh-JVM capture ships as an ADDITIVE diagnostic fold below —
+    # its own calibration + per-query sweep, never merged into the
+    # mins, so a cross-round reader gets the decorrelated sample
+    # without the headline metric changing definition.
     for _ in range(folds - 1):
-        fold = _fresh_jvm_fold(runs)
-        if fold is None:
-            calibrations.append(_calibration(spark))
-            _run_headline_fold(spark, timings, runs)
-        else:
-            calibrations.append(fold["calibration_sec"])
-            for name, sec in fold["queries"].items():
-                if name not in timings or sec < timings[name]:
-                    timings[name] = sec
+        calibrations.append(_calibration(spark))
+        _run_headline_fold(spark, timings, runs)
+
+    # Additive fresh-JVM diagnostic fold (r14 VERDICT next #8):
+    # reported in bench_notes + a calibration scalar on the headline
+    # line; SPARK_GRAFT_BENCH_JVM_FOLD=0 skips it.
+    jvm_fold = None
+    if os.environ.get("SPARK_GRAFT_BENCH_JVM_FOLD", "1") not in ("0", ""):
+        jvm_fold = _fresh_jvm_fold(runs)
     calibration_sec = min(calibrations)
     if {"delivery_refinement", "delivery_refined_history"} <= timings.keys():
         marginal = (
@@ -1162,6 +1172,11 @@ def main() -> None:
                     "bucketed_kernel_detail": bucketed_detail,
                     "bucketed_refinement_detail": refine_bucketed_detail,
                     "bucketed_geotag_detail": geotag_bucketed_detail,
+                    # additive diagnostic: one full headline sweep in a
+                    # FRESH JVM (own warmup + calibration), never merged
+                    # into the headline mins — see the fold-discipline
+                    # comment in main()
+                    "fresh_jvm_fold": jvm_fold,
                     "scale_slope": scale_slope,
                 }
             }
@@ -1196,11 +1211,17 @@ def main() -> None:
         # merge-min capture discipline (round 14): per-query min over
         # `headline_folds` temporally-separated full sweeps of
         # `runs_per_query` back-to-back passes each; one calibration
-        # row per fold for cross-round normalization. Round 15: folds
-        # after the first run in FRESH JVMs (subprocess per fold).
+        # row per fold for cross-round normalization. Round 15 adds an
+        # ADDITIVE fresh-JVM diagnostic fold (bench_notes
+        # fresh_jvm_fold; its calibration scalar below) — never merged
+        # into the mins, so the metric definition matches r14.
         "headline_folds": folds,
-        "fold_isolation": "jvm",
         "calibration_folds": calibrations,
+        **(
+            {"fresh_jvm_calibration_sec": jvm_fold["calibration_sec"]}
+            if jvm_fold
+            else {}
+        ),
     }
     if scale_slope:
         headline["scale_10x"] = [
