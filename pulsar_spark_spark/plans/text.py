@@ -1890,8 +1890,11 @@ def connected_components_min_label(
     rounds; for web-scale graphs swap in the large-star/small-star
     variant (same per-round plan shape, fewer rounds).
 
-    Convergence is detected by an aggregate over the changed flags (a
-    driver-side scalar read per round, never a collect of the data).
+    Convergence is detected by the seeded label-sum check: labels only
+    decrease under min-propagation, so one decimal-sum scalar read per
+    round (seeded with the init relation's sum, so fixpoint-at-init
+    graphs stop after a single round) replaces the changed-flag join —
+    never a collect of the data.
 
     Exhausting ``max_iter`` without reaching the fixpoint RAISES
     (round 8) instead of silently returning partially-propagated

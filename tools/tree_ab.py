@@ -40,12 +40,20 @@ def child(root: str, queries: list[str]) -> None:
     import bench
 
     bench._warm_python_workers(spark)
+    sink = os.environ.get("TREE_AB_SINK", "collect")
     out: dict[str, float] = {}
     for name in queries:
         best = None
         for _ in range(2):
             t0 = time.perf_counter()
-            QUERIES[name](spark, sf_dir).collect()
+            df = QUERIES[name](spark, sf_dir)
+            if sink == "noop":
+                # scale corpora: a full collect would bottleneck on (or
+                # OOM) the driver; the noop sink computes every column
+                # of every row (guide §1.4)
+                df.write.format("noop").mode("overwrite").save()
+            else:
+                df.collect()
             sec = round(time.perf_counter() - t0, 3)
             best = sec if best is None or sec < best else best
             spark.catalog.clearCache()
