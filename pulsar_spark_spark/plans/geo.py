@@ -726,7 +726,7 @@ def ensure_geotag_state_layout(
     idx = _ensure_index(
         "geotag_state",
         sf_dir,
-        {"n_buckets": n_buckets, "v": 1},
+        {"n_buckets": n_buckets, "v": 2},
         build,
         index_root=index_root,
         # built FROM events — fingerprint those files, not the default

@@ -823,7 +823,7 @@ def ensure_refinement_layout(
     idx = _ensure_index(
         "refine_pts",
         sf_dir,
-        {"n_buckets": n_buckets, "clock_div": _PING_CLOCK_DIV, "v": 1},
+        {"n_buckets": n_buckets, "clock_div": _PING_CLOCK_DIV, "v": 2},
         build,
         index_root=index_root,
         # the layout is built FROM events — fingerprint those files,
